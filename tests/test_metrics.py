@@ -1,0 +1,175 @@
+"""log_to_metric / aggregate / tags / tag_cardinality_limit /
+metric_to_log — golden cases from log_to_metric.rs:404-856."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from vector_spark.operators import (
+    add_tags,
+    aggregate_metrics,
+    log_to_metric,
+    metric_to_log,
+    remove_tags,
+    tag_cardinality_limit,
+)
+from vector_spark.operators.metrics import histogram_buckets
+
+TS = datetime.datetime(2018, 11, 14, 8, 9, 10)
+
+
+def _log_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_counter_basic(spark):
+    # log_to_metric.rs `count_http_status_codes`-style: counter value 1
+    df = _log_df(spark, [("i am a log", "42", TS)], "message string, status string, timestamp timestamp")
+    out = log_to_metric(df, [{"type": "counter", "field": "status"}])
+    r = out.first()
+    assert r.name == "status" and r.value == 1.0 and r.kind == "incremental"
+    assert r.ts == TS
+
+
+def test_counter_templated_tags_and_missing_tag_dropped(spark):
+    # `count_http_requests_with_tags`: tags {method:{{method}}, code:{{code}},
+    # host:localhost}; a template referencing a missing field drops that tag
+    df = _log_df(
+        spark,
+        [("i am a log", "post", "200", TS)],
+        "message string, method string, code string, timestamp timestamp",
+    )
+    out = log_to_metric(
+        df,
+        [
+            {
+                "type": "counter",
+                "field": "message",
+                "name": "http_requests_total",
+                "namespace": "app",
+                "tags": {
+                    "method": "{{method}}",
+                    "code": "{{code}}",
+                    "host": "localhost",
+                },
+            }
+        ],
+    )
+    r = out.first()
+    assert r.name == "http_requests_total" and r.namespace == "app"
+    assert r.tags == {"method": "post", "code": "200", "host": "localhost"}
+
+
+def test_counter_increment_by_value(spark):
+    df = _log_df(spark, [("x", "33.99", TS)], "message string, amount string, timestamp timestamp")
+    out = log_to_metric(df, [{"type": "counter", "field": "amount", "increment_by_value": True}])
+    assert out.first().value == 33.99
+
+
+def test_gauge_and_set(spark):
+    df = _log_df(
+        spark,
+        [("x", "123", "1.2.3.4", TS), ("x", "200", "5.6.7.8", TS), ("x", "201", "1.2.3.4", TS)],
+        "message string, memory_rss string, user_ip string, timestamp timestamp",
+    )
+    gauges = log_to_metric(df, [{"type": "gauge", "field": "memory_rss"}])
+    assert gauges.first().kind == "absolute"
+    sets = log_to_metric(df, [{"type": "set", "field": "user_ip"}])
+    agg = aggregate_metrics(sets)
+    r = agg.first()
+    assert r.value == 2.0  # two distinct IPs
+    assert sorted(r.set_values) == ["1.2.3.4", "5.6.7.8"]
+
+
+def test_missing_field_emits_nothing(spark):
+    df = _log_df(spark, [("x", None, TS)], "message string, status string, timestamp timestamp")
+    out = log_to_metric(df, [{"type": "counter", "field": "status"}])
+    assert out.count() == 0
+
+
+def test_aggregate_counter_sums_gauge_last(spark):
+    df = _log_df(
+        spark,
+        [
+            ("x", "1", "100", TS),
+            ("x", "1", "150", TS + datetime.timedelta(seconds=1)),
+        ],
+        "message string, hit string, mem string, timestamp timestamp",
+    )
+    metrics = log_to_metric(
+        df,
+        [
+            {"type": "counter", "field": "hit"},
+            {"type": "gauge", "field": "mem"},
+        ],
+    )
+    agg = aggregate_metrics(metrics)
+    rows = {r.name: r.value for r in agg.collect()}
+    assert rows == {"hit": 2.0, "mem": 150.0}  # counter adds, gauge last-write
+
+
+def test_aggregate_tumbling_window(spark):
+    df = _log_df(
+        spark,
+        [
+            ("x", "1", TS),
+            ("x", "1", TS + datetime.timedelta(seconds=5)),
+            ("x", "1", TS + datetime.timedelta(seconds=15)),
+        ],
+        "message string, hit string, timestamp timestamp",
+    )
+    metrics = log_to_metric(df, [{"type": "counter", "field": "hit"}])
+    agg = aggregate_metrics(metrics, interval="10 seconds")
+    vals = sorted(r.value for r in agg.collect())
+    assert vals == [1.0, 2.0]
+
+
+def test_histogram_buckets(spark):
+    df = spark.createDataFrame([(5.0,), (15.0,), (50.0,), (200.0,)], "time_ms double")
+    out = histogram_buckets(df, "time_ms", [10.0, 100.0])
+    r = out.first()
+    assert r.le_10_0 == 1 and r.le_100_0 == 3 and r["count"] == 4 and r["sum"] == 270.0
+
+
+def test_add_remove_tags(spark):
+    df = spark.createDataFrame(
+        [("m", {"a": "1"})], "name string, tags map<string,string>"
+    )
+    out = add_tags(df, {"b": "2", "a": "override"})
+    assert out.first().tags == {"a": "override", "b": "2"}
+    out2 = add_tags(df, {"a": "no"}, overwrite=False)
+    assert out2.first().tags == {"a": "1"}
+    out3 = remove_tags(out, ["a"])
+    assert out3.first().tags == {"b": "2"}
+
+
+def test_tag_cardinality_limit_drop_tag(spark):
+    rows = [(i, {"user": f"u{i}", "env": "prod"}) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts long, tags map<string,string>")
+    out = tag_cardinality_limit(df, value_limit=3, action="drop_tag", order_by="ts")
+    collected = sorted(out.collect(), key=lambda r: r.ts)
+    # first 3 users kept; later users' tag stripped; env always kept
+    assert collected[0].tags == {"user": "u0", "env": "prod"}
+    assert collected[2].tags == {"user": "u2", "env": "prod"}
+    assert collected[5].tags == {"env": "prod"}
+
+
+def test_tag_cardinality_limit_drop_event(spark):
+    rows = [(i, {"user": f"u{i}"}) for i in range(10)]
+    df = spark.createDataFrame(rows, "ts long, tags map<string,string>")
+    out = tag_cardinality_limit(df, value_limit=4, action="drop_event", order_by="ts")
+    assert sorted(r.ts for r in out.collect()) == [0, 1, 2, 3]
+
+
+def test_metric_to_log(spark):
+    df = spark.createDataFrame(
+        [("cnt", None, {"host": "h1", "env": "p"}, TS, "incremental", "counter", 3.0, None)],
+        "name string, namespace string, tags map<string,string>, ts timestamp, "
+        "kind string, metric_type string, value double, set_value string",
+    )
+    out = metric_to_log(df, host_tag="host")
+    r = out.first()
+    assert r.name == "cnt" and r.value == 3.0 and r.host == "h1"
+    assert r.timestamp == TS

@@ -1,0 +1,133 @@
+"""Parser golden tests — mirror the reference unit tests:
+regex_parser.rs:342-470, grok_parser.rs:192-230, json_parser.rs,
+logfmt_parser.rs, tokenizer.rs, split.rs."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_spark.operators import (
+    grok_parser,
+    json_parser,
+    key_value_parser,
+    logfmt_parser,
+    regex_parser,
+    split_fields,
+    tokenizer,
+)
+
+
+def test_regex_parser_named_captures(spark):
+    # regex_parser.rs:342-370 golden case
+    df = spark.createDataFrame([("status=1234 time=5678",)], "message string")
+    out = regex_parser(
+        df,
+        [r"status=(?P<status>\d+) time=(?P<time>\d+)"],
+        types={"status": "int", "time": "int"},
+    )
+    row = out.first()
+    assert row.status == 1234 and row.time == 5678
+    assert "message" not in out.columns  # drop_field default
+
+
+def test_regex_parser_first_match_and_drop_failed(spark):
+    df = spark.createDataFrame(
+        [("a=1",), ("b=2",), ("nope",)], "message string"
+    )
+    out = regex_parser(
+        df,
+        [r"a=(?P<val>\d+)", r"b=(?P<val>\d+)"],
+        types={"val": "int"},
+        drop_failed=True,
+        drop_field=False,
+    )
+    rows = {r.message: r.val for r in out.collect()}
+    assert rows == {"a=1": 1, "b=2": 2}
+
+
+def test_regex_parser_unmatched_null(spark):
+    df = spark.createDataFrame([("nope",)], "message string")
+    out = regex_parser(df, [r"a=(?P<val>\d+)"], drop_field=False)
+    assert out.first().val is None
+
+
+def test_grok_apache_common_log(spark):
+    # grok_parser.rs:192-230
+    line = '109.184.11.34 - - [12/Dec/2015:18:32:56 +0100] "GET /administrator/ HTTP/1.1" 200 4263'
+    df = spark.createDataFrame([(line,)], "message string")
+    out = grok_parser(
+        df,
+        "%{HTTPD_COMMONLOG}",
+        types={"response": "int", "bytes": "int"},
+    )
+    r = out.first()
+    assert r.clientip == "109.184.11.34"
+    assert r.ident is None or r.ident == "-" or r.ident == ""  # '-' captured raw
+    assert r.verb == "GET"
+    assert r.request == "/administrator/"
+    assert r.httpversion == "1.1"
+    assert r.response == 200
+    assert r.bytes == 4263
+    assert r.timestamp == "12/Dec/2015:18:32:56 +0100"
+
+
+def test_json_parser_typed_merge(spark):
+    df = spark.createDataFrame(
+        [('{"greeting":"hello","name":"bob"}',), ("not json",)], "message string"
+    )
+    out = json_parser(df, schema="greeting string, name string")
+    rows = out.collect()
+    assert ("hello", "bob") in [(r.greeting, r.name) for r in rows]
+    # invalid row kept with nulls (drop_invalid=False default)
+    assert len(rows) == 2
+    out2 = json_parser(df, schema="greeting string, name string", drop_invalid=True)
+    assert out2.count() == 1
+
+
+def test_json_parser_map_mode(spark):
+    df = spark.createDataFrame([('{"a":"1","b":"x"}',)], "message string")
+    out = json_parser(df)
+    assert out.first().parsed == {"a": "1", "b": "x"}
+
+
+def test_key_value_parser(spark):
+    df = spark.createDataFrame([("status=1234 time=5678",)], "message string")
+    out = key_value_parser(df, fields=["status", "time"], types={"status": "int"})
+    r = out.first()
+    assert r.status == 1234 and r.time == "5678"
+
+
+def test_logfmt_quoted_values(spark):
+    df = spark.createDataFrame(
+        [('level=info msg="shutting down" id=42',)], "message string"
+    )
+    out = logfmt_parser(df, fields=["level", "msg", "id"], types={"id": "int"})
+    r = out.first()
+    assert r.level == "info" and r.msg == "shutting down" and r.id == 42
+
+
+def test_tokenizer_quotes_brackets_null(spark):
+    # tokenizer.rs / lib/shared/src/tokenize.rs:11
+    df = spark.createDataFrame(
+        [('1.2.3.4 - - [2015-01-01] "GET /"',)], "message string"
+    )
+    out = tokenizer(df, ["ip", "ident", "auth", "ts", "req"])
+    r = out.first()
+    assert r.ip == "1.2.3.4"
+    assert r.ident is None and r.auth is None
+    assert r.ts == "2015-01-01"
+    assert r.req == "GET /"
+
+
+def test_split_positional(spark):
+    df = spark.createDataFrame([("a,b,12",)], "message string")
+    out = split_fields(df, ["x", "y", "z"], separator=",", types={"z": "int"})
+    r = out.first()
+    assert (r.x, r.y, r.z) == ("a", "b", 12)
+
+
+def test_split_whitespace_default(spark):
+    df = spark.createDataFrame([("  a   b  ",)], "message string")
+    out = split_fields(df, ["x", "y"])
+    r = out.first()
+    assert (r.x, r.y) == ("a", "b")

@@ -1,0 +1,99 @@
+"""Shaper transforms — add/remove/rename_fields, concat,
+ansi_stripper, coercer (reference tests in the respective files)."""
+
+from __future__ import annotations
+
+from vector_spark.operators import (
+    add_fields,
+    ansi_stripper,
+    coercer,
+    concat_fields,
+    remove_fields,
+    rename_fields,
+)
+from vector_spark.operators.remap import explode_events, remap
+
+
+def test_add_fields_literal_and_template(spark):
+    df = spark.createDataFrame([("post", "200")], "method string, code string")
+    out = add_fields(
+        df, {"static": "val", "combined": "{{method}}-{{code}}", "num": 7}
+    )
+    r = out.first()
+    assert r.static == "val" and r.combined == "post-200" and r.num == 7
+
+
+def test_add_fields_no_overwrite(spark):
+    df = spark.createDataFrame([("keep",)], "a string")
+    out = add_fields(df, {"a": "new"}, overwrite=False)
+    assert out.first().a == "keep"
+
+
+def test_remove_rename(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    assert remove_fields(df, ["b", "nonexistent"]).columns == ["a"]
+    assert rename_fields(df, {"a": "x"}).columns == ["x", "b"]
+
+
+def test_concat_substrings(spark):
+    # concat.rs test shape: field[start..end]
+    df = spark.createDataFrame([("hello", "world")], "first string, second string")
+    out = concat_fields(df, "out", ["first[0..3]", "second"], joiner="_")
+    assert out.first().out == "hel_world"
+
+
+def test_ansi_stripper(spark):
+    df = spark.createDataFrame([("\x1b[31mred\x1b[0m text",)], "message string")
+    assert ansi_stripper(df).first().message == "red text"
+
+
+def test_coercer_types_and_drop_unspecified(spark):
+    df = spark.createDataFrame(
+        [("42", "3.5", "true", "extra")], "i string, f string, b string, junk string"
+    )
+    out = coercer(
+        df, {"i": "int", "f": "float", "b": "bool"}, drop_unspecified=True
+    )
+    r = out.first()
+    assert (r.i, r.f, r.b) == (42, 3.5, True)
+    assert out.columns == ["i", "f", "b"]
+
+
+def test_coercer_timestamp_format(spark):
+    df = spark.createDataFrame([("2020-03-05 11:12:13",)], "t string")
+    out = coercer(df, {"t": "timestamp|%Y-%m-%d %H:%M:%S"})
+    assert str(out.first().t) == "2020-03-05 11:12:13"
+
+
+def test_remap_program(spark):
+    df = spark.createDataFrame([("post", 200)], "method string, code int")
+    out = remap(
+        df,
+        [
+            (".method_up", "upcase(.method)"),
+            (".is_ok", ".code >= 200 && .code < 300"),
+            (".double", ".code * 2"),
+        ],
+    )
+    r = out.first()
+    assert r.method_up == "POST" and r.is_ok is True and r.double == 400
+
+
+def test_remap_abort_rollback(spark):
+    # remap.rs:77-127 — aborted events pass through UNMODIFIED
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    out = remap(df, [(".v", ".v * 10")], abort_when=".v == 2")
+    vals = sorted(r.v for r in out.collect())
+    assert vals == [2, 10]
+
+
+def test_remap_drop_on_abort(spark):
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    out = remap(df, [(".v", ".v * 10")], abort_when=".v == 2", drop_on_abort=True)
+    assert [r.v for r in out.collect()] == [10]
+
+
+def test_explode_events(spark):
+    df = spark.createDataFrame([("a", [1, 2, 3])], "k string, arr array<int>")
+    out = explode_events(df, "arr", target="v")
+    assert sorted(r.v for r in out.collect()) == [1, 2, 3]

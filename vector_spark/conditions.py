@@ -1,0 +1,393 @@
+"""Condition compiler: Vector's predicate surfaces → Spark ``Column``.
+
+Reference surfaces (SURVEY.md §2.2):
+
+- ``check_fields`` DSL — src/conditions/check_fields.rs:442-458:
+  ``"<field>.<predicate>" = arg`` pairs; predicates
+  ``eq/equals, neq/not_equals, contains, prefix, starts_with,
+  ends_with, exists, regex, ip_cidr_contains, length_eq`` and
+  ``not_*`` negations. Multi-value arg = OR across values; multiple
+  keys = AND across keys.
+- VRL boolean expressions (src/conditions/vrl.rs:40-95) — here a
+  compiled subset ("VRL-lite"): field paths (``.a.b``), literals,
+  comparison ops, ``&& || !``, parentheses, and predicate functions
+  ``contains/starts_with/ends_with/match/exists/length/is_null``.
+
+Everything compiles to a boolean ``Column`` so Catalyst can push the
+predicate into the parquet scan — Vector evaluates these per event in
+an interpreter; we get whole-stage codegen for free.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def ip_aton(col: Column) -> Column:
+    """Dotted-quad IPv4 string → uint32-as-long, JVM-side (no UDF)."""
+    parts = F.split(col, r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+def ip_cidr_contains(col: Column, cidr: str) -> Column:
+    """IPv4 CIDR membership as pure bit arithmetic (check_fields
+    ``ip_cidr_contains``; VRL ``ip_cidr_contains`` —
+    lib/vrl/stdlib/src/ip_cidr_contains.rs)."""
+    net = ipaddress.ip_network(cidr, strict=False)
+    lo = int(net.network_address)
+    hi = int(net.broadcast_address)
+    a = ip_aton(col)
+    return (a >= F.lit(lo)) & (a <= F.lit(hi))
+
+
+def _field(name: str) -> Column:
+    return F.col(name)
+
+
+# --------------------------------------------------------------------------
+# check_fields DSL
+# --------------------------------------------------------------------------
+
+_CF_PREDICATES = {
+    "eq",
+    "equals",
+    "neq",
+    "not_equals",
+    "contains",
+    "prefix",
+    "starts_with",
+    "ends_with",
+    "exists",
+    "regex",
+    "ip_cidr_contains",
+    "length_eq",
+}
+
+
+def _cf_one(field: str, pred: str, arg: Any) -> Column:
+    col = _field(field)
+    if pred in ("eq", "equals"):
+        return col == F.lit(arg)
+    if pred in ("neq", "not_equals"):
+        return col != F.lit(arg)
+    if pred == "contains":
+        return col.contains(arg)
+    if pred in ("prefix", "starts_with"):
+        return col.startswith(arg)
+    if pred == "ends_with":
+        return col.endswith(arg)
+    if pred == "exists":
+        exists = col.isNotNull()
+        return exists if arg else ~exists
+    if pred == "regex":
+        return col.rlike(arg)
+    if pred == "ip_cidr_contains":
+        return ip_cidr_contains(col, arg)
+    if pred == "length_eq":
+        return F.length(col.cast("string")) == F.lit(int(arg))
+    raise ValueError(f"unknown check_fields predicate: {pred}")
+
+
+def compile_check_fields(spec: dict[str, Any]) -> Column:
+    """``{"<field>.<pred>": arg, ...}`` → AND of per-key predicates,
+    each key OR-ing over list-valued args (check_fields.rs semantics).
+    ``not_<pred>`` negates. ``exists`` takes a bool arg."""
+    conjuncts: list[Column] = []
+    for key, arg in spec.items():
+        field, _, pred = key.rpartition(".")
+        negate = False
+        if pred.startswith("not_") and pred not in _CF_PREDICATES:
+            negate, pred = True, pred[4:]
+        if pred not in _CF_PREDICATES:
+            raise ValueError(f"unknown predicate in key {key!r}")
+        args = arg if isinstance(arg, (list, tuple)) else [arg]
+        disjunct = None
+        for a in args:
+            c = _cf_one(field, pred, a)
+            disjunct = c if disjunct is None else (disjunct | c)
+        if negate:
+            disjunct = ~disjunct
+        conjuncts.append(disjunct)
+    out = None
+    for c in conjuncts:
+        out = c if out is None else (out & c)
+    if out is None:
+        raise ValueError("empty check_fields spec")
+    return out
+
+
+# --------------------------------------------------------------------------
+# VRL-lite expression parser
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<path>\.[A-Za-z_][A-Za-z0-9_.\[\]]*)
+  | (?P<op>&&|\|\||\?\?|==|!=|<=|>=|<|>|!|\(|\)|,|\+|-|\*|/|%)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+# VRL stdlib subset (lib/vrl/stdlib/src/, 113 fns — SURVEY.md §2.3);
+# each maps to a JVM-side builtin so remap programs stay codegen'd.
+_FUNCS = {
+    "contains": lambda a, b: a.contains(b),
+    "starts_with": lambda a, b: a.startswith(b),
+    "ends_with": lambda a, b: a.endswith(b),
+    "match": lambda a, b: a.rlike(b),
+    "exists": lambda a: a.isNotNull(),
+    "is_null": lambda a: a.isNull(),
+    "is_nullish": lambda a: a.isNull() | (a.cast("string") == "") | (a.cast("string") == "-"),
+    "length": lambda a: F.length(a),
+    "ip_cidr_contains": lambda a, b: ip_cidr_contains(a, b),
+    "upcase": lambda a: F.upper(a),
+    "downcase": lambda a: F.lower(a),
+    "abs": lambda a: F.abs(a),
+    "ceil": lambda a: F.ceil(a),
+    "floor": lambda a: F.floor(a),
+    "round": lambda a, *n: F.round(a, *[_as_py_int(x) for x in n]),
+    "truncate": lambda a, n: F.substring(a, 1, _as_py_int(n)),
+    "slice": lambda a, s, e: F.substring(a, _as_py_int(s) + 1, _as_py_int(e) - _as_py_int(s)),
+    "replace": lambda a, p, r: F.regexp_replace(a, p, r),
+    "strip_whitespace": lambda a: F.trim(a),
+    "strip_ansi_escape_codes": lambda a: F.regexp_replace(
+        a, r"\x1b\[[0-9;]*[A-Za-z]|\x1b\][^\x07]*\x07|\x1b[@-Z\\-_]", ""
+    ),
+    "split": lambda a, sep: F.split(a, sep),
+    "join": lambda a, sep: F.array_join(a, sep),
+    "to_string": lambda a: a.cast("string"),
+    "to_int": lambda a: a.cast("double").cast("long"),
+    "to_float": lambda a: a.cast("double"),
+    "to_bool": lambda a: a.cast("boolean"),
+    "to_timestamp": lambda a: F.to_timestamp(a.cast("string")),
+    "to_unix_timestamp": lambda a: F.unix_timestamp(a),
+    "format_timestamp": lambda a, fmt: F.date_format(a, fmt),
+    "now": lambda: F.current_timestamp(),
+    "md5": lambda a: F.md5(a.cast("string")),
+    "sha1": lambda a: F.sha1(a.cast("string")),
+    "sha2": lambda a, *bits: F.sha2(a.cast("string"), _as_py_int(bits[0]) if bits else 256),
+    "uuid_v4": lambda: F.expr("uuid()"),
+    "encode_base64": lambda a: F.base64(a.cast("binary")),
+    "decode_base64": lambda a: F.unbase64(a).cast("string"),
+    "encode_json": lambda a: F.to_json(a),
+    "flatten": lambda a: F.flatten(a),
+    "compact": lambda a: F.array_compact(a),
+    "includes": lambda a, v: F.array_contains(a, v),
+    "append": lambda a, b: F.concat(a, b),
+    "push": lambda a, v: F.array_append(a, v),
+    "merge": lambda a, b: F.map_concat(a, b),
+    "format_number": lambda a, d: F.format_number(a, _as_py_int(d)),
+    "parse_int": lambda a, *base: F.conv(a, _as_py_int(base[0]) if base else 10, 10).cast(
+        "long"
+    ),
+    "get": lambda a, k: F.element_at(a, k),
+    "coalesce": lambda *a: F.coalesce(*a),
+    "if_else": lambda c, t, f: F.when(c, t).otherwise(f),
+}
+
+
+def _as_py_int(col_or_int) -> int:
+    """Literal int arg passed through the parser as a Column — the
+    parser tags literal Columns with ``_vs_pyval`` so static args
+    (substring lengths, rounding digits) stay plan-time constants."""
+    if isinstance(col_or_int, int):
+        return col_or_int
+    v = getattr(col_or_int, "_vs_pyval", None)
+    if not isinstance(v, int):
+        raise ValueError("expected integer literal argument")
+    return v
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if not m:
+                raise ValueError(f"VRL-lite: cannot tokenize at {text[pos:pos+20]!r}")
+            pos = m.end()
+            kind = m.lastgroup
+            if kind != "ws":
+                self.toks.append((kind, m.group()))
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ValueError(f"VRL-lite: expected {val!r}, got {v!r}")
+
+    # precedence: ?? < or < and < cmp < add < mul < unary < primary
+    # (?? is VRL's error-coalescing operator → F.coalesce)
+    def parse(self):
+        e = self.parse_coalesce()
+        if self.peek() != (None, None):
+            raise ValueError(f"VRL-lite: trailing tokens at {self.peek()!r}")
+        return e
+
+    def parse_coalesce(self):
+        left = self.parse_or()
+        while self.peek()[1] == "??":
+            self.next()
+            left = F.coalesce(left, self.parse_or())
+        return left
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek()[1] == "||":
+            self.next()
+            left = left | self.parse_and()
+        return left
+
+    def parse_and(self):
+        left = self.parse_cmp()
+        while self.peek()[1] == "&&":
+            self.next()
+            left = left & self.parse_cmp()
+        return left
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self.parse_add()
+            return {
+                "==": lambda a, b: a == b,
+                "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b,
+                "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b,
+                ">=": lambda a, b: a >= b,
+            }[v](left, right)
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
+            _, v = self.next()
+            right = self.parse_mul()
+            left = (left + right) if v == "+" else (left - right)
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek()[1] in ("*", "/", "%") and self.peek()[0] == "op":
+            _, v = self.next()
+            right = self.parse_unary()
+            if v == "*":
+                left = left * right
+            elif v == "/":
+                left = left / right
+            else:
+                left = left % right
+        return left
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if k == "op" and v == "!":
+            self.next()
+            return ~self.parse_unary()
+        if k == "op" and v == "-":
+            self.next()
+            return -self.parse_unary()
+        return self.parse_primary()
+
+    def parse_primary(self):
+        k, v = self.next()
+        if k == "op" and v == "(":
+            e = self.parse_or()
+            self.expect(")")
+            return e
+        if k == "str":
+            lit = F.lit(_unescape(v))
+            lit._vs_pyval = _unescape(v)
+            return lit
+        if k == "num":
+            pyval = float(v) if "." in v else int(v)
+            lit = F.lit(pyval)
+            lit._vs_pyval = pyval
+            return lit
+        if k == "path":
+            return _field(v[1:])
+        if k == "ident":
+            if v == "true":
+                return F.lit(True)
+            if v == "false":
+                return F.lit(False)
+            if v == "null":
+                return F.lit(None)
+            if self.peek()[1] == "(":
+                self.next()
+                args = []
+                if self.peek()[1] != ")":
+                    args.append(self.parse_or())
+                    while self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.parse_or())
+                self.expect(")")
+                if v not in _FUNCS:
+                    raise ValueError(f"VRL-lite: unknown function {v}()")
+                return _FUNCS[v](*args)
+            # bare identifier = column reference
+            return _field(v)
+        raise ValueError(f"VRL-lite: unexpected token {v!r}")
+
+
+def _unescape(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\'", "'").replace("\\\\", "\\")
+
+
+def compile_vrl_lite(expr: str) -> Column:
+    """Compile a VRL-lite boolean/scalar expression to a Column."""
+    return _Parser(expr).parse()
+
+
+def compile_condition(spec: Any) -> Column:
+    """AnyCondition (src/conditions/mod.rs:63-67): a bare string = VRL
+    expression; a dict with type 'check_fields' = the DSL; a dict with
+    type 'vrl' carries 'source'."""
+    if isinstance(spec, str):
+        return compile_vrl_lite(spec)
+    if isinstance(spec, Column):
+        return spec
+    if isinstance(spec, dict):
+        typ = spec.get("type", "check_fields")
+        if typ == "vrl":
+            return compile_vrl_lite(spec["source"])
+        if typ == "check_fields":
+            body = {k: v for k, v in spec.items() if k != "type"}
+            return compile_check_fields(body)
+        if typ == "is_log":
+            return F.lit(True)  # log-only frames in this engine
+        if typ == "is_metric":
+            return F.lit(False)
+        raise ValueError(f"unknown condition type {typ!r}")
+    raise TypeError(f"cannot compile condition from {type(spec)}")

@@ -1,0 +1,74 @@
+"""Type-coercion ``types = {field: spec}`` maps.
+
+Reference: src/types.rs → lib/shared/src/conversion.rs:22-28 — specs
+``bool | int | float | string | timestamp | timestamp|%FMT``. Vector
+parses per event; here each spec is one ``cast``/``to_timestamp``
+Column expr. Boolean coercion follows Conversion::Boolean semantics
+(the strings "true"/"t"/"yes"/"1"→true, "false"/"f"/"no"/"0"→false,
+conversion.rs parse_bool).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_STRFTIME_TO_SPARK = [
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%z", "Z"),
+    ("%:z", "XXX"),
+    ("%F", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"),
+    ("%f", "SSSSSS"),
+    ("%b", "MMM"),
+    ("%a", "EEE"),
+    ("%e", "d"),
+]
+
+
+def strftime_to_spark(fmt: str) -> str:
+    for k, v in _STRFTIME_TO_SPARK:
+        fmt = fmt.replace(k, v)
+    return fmt
+
+
+_TRUE = ("true", "t", "yes", "y", "1")
+_FALSE = ("false", "f", "no", "n", "0")
+
+
+def coerce(col: Column, spec: str) -> Column:
+    spec = spec.strip()
+    if spec in ("string", "str"):
+        return col.cast("string")
+    if spec == "int":
+        # Conversion::Integer accepts float-looking strings by truncation
+        return col.cast("double").cast("long")
+    if spec == "float":
+        return col.cast("double")
+    if spec in ("bool", "boolean"):
+        s = F.lower(F.trim(col.cast("string")))
+        return (
+            F.when(s.isin(*_TRUE), F.lit(True))
+            .when(s.isin(*_FALSE), F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    m = re.match(r"timestamp(?:\|(?P<fmt>.+))?$", spec)
+    if m:
+        fmt = m.group("fmt")
+        if fmt:
+            return F.to_timestamp(col.cast("string"), strftime_to_spark(fmt))
+        return F.to_timestamp(col.cast("string"))
+    raise ValueError(f"unknown coercion spec {spec!r}")
+
+
+def apply_types(df, types: dict[str, str]):
+    """Apply a coercion map to existing columns (coercer transform core,
+    src/transforms/coercer.rs:15-100)."""
+    return df.withColumns({field: coerce(F.col(field), spec) for field, spec in types.items()})

@@ -1,0 +1,98 @@
+"""Grok parsing: ``%{PATTERN:name}`` templates → Java regex → Column.
+
+Reference: src/transforms/grok_parser.rs:25-147 (the reference uses the
+`grok` crate with the standard pattern library). Here: a registry of
+the standard grok base patterns (public grok pattern definitions, as
+shipped by logstash/grok — reimplemented, not copied), recursive
+expansion into a single named-group regex, then the same extraction
+machinery as regex_parser. Everything stays a JVM regexp expression.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from vector_spark.operators.parsers import regex_parser
+
+# Standard grok base patterns (public, from the grok/logstash pattern
+# vocabulary), minimal set covering the reference's tests + common logs.
+GROK_PATTERNS: dict[str, str] = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "POSINT": r"\d+",
+    "NONNEGINT": r"\d+",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r'"(?:[^"\\]*(?:\\.[^"\\]*)*)"|\'(?:[^\'\\]*(?:\\.[^\'\\]*)*)\'',
+    "QS": r'"(?:[^"\\]*(?:\\.[^"\\]*)*)"',
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "EMAILADDRESS": r"[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+\.[a-zA-Z0-9-.]+",
+    "MONTH": r"\bJan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?\b",
+    "MONTHDAY": r"(?:0[1-9]|[12]\d|3[01]|[1-9])",
+    "YEAR": r"\d{4}",
+    "TIME": r"\d{2}:\d{2}:\d{2}",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{ISO8601_TIMEZONE}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]\d{2}:?\d{2})",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-\d{2}-\d{2}[T ]\d{2}:\d{2}(?::\d{2}(?:\.\d+)?)?%{ISO8601_TIMEZONE}?",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    # Apache/HTTPD common + combined log (the grok_parser.rs:192-230 test case)
+    "HTTPD_COMMONLOG": (
+        r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] '
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" '
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMMONAPACHELOG": r"%{HTTPD_COMMONLOG}",
+    "HTTPD_COMBINEDLOG": r"%{HTTPD_COMMONLOG} %{QS:referrer} %{QS:agent}",
+    "COMBINEDAPACHELOG": r"%{HTTPD_COMBINEDLOG}",
+}
+
+_GROK_REF_RE = re.compile(r"%\{(?P<pat>[A-Z0-9_]+)(?::(?P<name>[^}:]+))?(?::[^}]+)?\}")
+
+
+def grok_to_regex(pattern: str, _depth: int = 0) -> str:
+    """Recursively expand ``%{PAT:name}`` refs into a named-group regex."""
+    if _depth > 20:
+        raise ValueError("grok expansion too deep (cycle?)")
+
+    def sub(m: re.Match) -> str:
+        pat, name = m.group("pat"), m.group("name")
+        if pat not in GROK_PATTERNS:
+            raise ValueError(f"unknown grok pattern %{{{pat}}}")
+        body = grok_to_regex(GROK_PATTERNS[pat], _depth + 1)
+        if name:
+            safe = name.replace(".", "_").replace("-", "_")
+            return f"(?P<{safe}>{body})"
+        return f"(?:{body})"
+
+    return _GROK_REF_RE.sub(sub, pattern)
+
+
+def grok_parser(
+    df: DataFrame,
+    pattern: str,
+    field: str = "message",
+    types: dict[str, str] | None = None,
+    drop_field: bool = True,
+) -> DataFrame:
+    """Match a grok pattern against ``field``; named captures become
+    typed columns (grok_parser.rs:25-147). drop_field keeps the source
+    if the pattern re-captures it, mirroring the reference."""
+    regex = grok_to_regex(pattern)
+    return regex_parser(
+        df, [regex], field=field, types=types, drop_field=drop_field, drop_failed=False
+    )

@@ -1,0 +1,295 @@
+"""Metric operators: log_to_metric, aggregate, add/remove_tags,
+tag_cardinality_limit, metric_to_log.
+
+References: src/transforms/log_to_metric.rs:20-400,
+aggregate.rs:18-130, add_tags.rs:68, remove_tags.rs:55,
+tag_cardinality_limit.rs:25-300, metric_to_log.rs:17-180; metric data
+model lib/vector-core/src/event/metric.rs:17-167.
+
+Metrics frame schema (SURVEY.md §1.5 mapping of Metric):
+``name string, namespace string, tags map<string,string>,
+ts timestamp, kind string ('incremental'|'absolute'),
+metric_type string ('counter'|'gauge'|'set'|'distribution'|
+'histogram'|'summary'), value double, set_value string``.
+
+log_to_metric emits ONE metric row per (event, metric-config) — a
+cheap narrow projection + union, no shuffle (faithful to the
+reference's Function transform). ``aggregate_metrics`` is the Task
+rollup (groupBy series + tumbling window) — that is where the single
+shuffle happens, with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_spark.templates import compile_template, is_template
+
+TIMESTAMP_KEY = "timestamp"  # log_schema.rs:47-56 default
+
+
+def _tmpl(value: str) -> Column:
+    return compile_template(value) if is_template(value) else F.lit(value)
+
+
+def _tags_col(tags: dict[str, str] | None) -> Column:
+    """Render a tag-template map; tags whose template references a
+    missing/null field are DROPPED (log_to_metric.rs:210-230 render
+    error → skip tag). Built in sorted key order (BTreeMap parity)."""
+    if not tags:
+        return F.lit(None).cast("map<string,string>")
+    entries = [
+        F.when(
+            _tmpl(v).isNotNull(), F.struct(F.lit(k).alias("key"), _tmpl(v).alias("value"))
+        )
+        for k, v in sorted(tags.items())
+    ]
+    return F.map_from_entries(F.filter(F.array(*entries), lambda e: e.isNotNull()))
+
+
+def log_to_metric(
+    df: DataFrame,
+    metrics: list[dict[str, Any]],
+    timestamp_field: str = TIMESTAMP_KEY,
+) -> DataFrame:
+    """Each config emits one metric row per event that HAS the field
+    (missing field → no metric, counted as processing error by the
+    caller — log_to_metric.rs:370-400).
+
+    Config keys per spec (log_to_metric.rs:20-90): ``type``
+    (counter|gauge|set|histogram|summary), ``field``, ``name``
+    (template, default = field), ``namespace`` (template),
+    ``tags`` (map of templates), ``increment_by_value`` (counter).
+    """
+    has_ts = timestamp_field in df.columns
+    ts = F.col(timestamp_field) if has_ts else F.lit(None).cast("timestamp")
+    parts: list[DataFrame] = []
+    for m in metrics:
+        mtype = m["type"]
+        field = m["field"]
+        name = _tmpl(m.get("name") or field)
+        namespace = _tmpl(m["namespace"]) if m.get("namespace") else F.lit(None).cast("string")
+        tags = _tags_col(m.get("tags"))
+        fcol = F.col(field)
+        if mtype == "counter":
+            if m.get("increment_by_value"):
+                value = fcol.cast("double")
+                kind = F.lit("incremental")
+            else:
+                value = F.lit(1.0)
+                kind = F.lit("incremental")
+            set_value = F.lit(None).cast("string")
+        elif mtype == "gauge":
+            value = fcol.cast("double")
+            kind = F.lit("absolute")
+            set_value = F.lit(None).cast("string")
+        elif mtype == "set":
+            value = F.lit(None).cast("double")
+            kind = F.lit("incremental")
+            set_value = fcol.cast("string")
+        elif mtype in ("histogram", "summary", "distribution"):
+            value = fcol.cast("double")
+            kind = F.lit("incremental")
+            set_value = F.lit(None).cast("string")
+        else:
+            raise ValueError(f"unknown metric type {mtype!r}")
+        row = df.filter(fcol.isNotNull()).select(
+            name.alias("name"),
+            namespace.alias("namespace"),
+            tags.alias("tags"),
+            ts.alias("ts"),
+            kind.alias("kind"),
+            F.lit(mtype).alias("metric_type"),
+            value.alias("value"),
+            set_value.alias("set_value"),
+        )
+        # value-typed metrics with an unparseable value emit nothing
+        if mtype in ("counter",) and m.get("increment_by_value"):
+            row = row.filter(F.col("value").isNotNull())
+        if mtype in ("gauge", "histogram", "summary", "distribution"):
+            row = row.filter(F.col("value").isNotNull())
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _series_key() -> list[Column]:
+    # group key for a MetricSeries; tags map is grouped via its JSON
+    # rendering (sorted construction order → stable)
+    return [
+        F.col("name"),
+        F.col("namespace"),
+        F.col("metric_type"),
+        F.col("kind"),
+        F.to_json(F.col("tags")).alias("_tags_key"),
+    ]
+
+
+def aggregate_metrics(
+    metrics_df: DataFrame,
+    interval: str | None = None,
+    quantiles: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """The ``aggregate`` Task transform (aggregate.rs:76-130):
+    Incremental metrics ADD within a flush interval, Absolute metrics
+    last-write-wins. ``interval`` is a tumbling-window duration (e.g.
+    '10 seconds'); None = single global flush (batch).
+
+    One shuffle; partial aggregation happens map-side for sum/count.
+    Output: one row per (window, series) with type-appropriate value
+    columns.
+    """
+    keys: list[Column] = [
+        F.col("name"),
+        F.col("namespace"),
+        F.col("metric_type"),
+        F.col("kind"),
+        F.to_json(F.col("tags")).alias("_tags_key"),
+    ]
+    if interval:
+        keys.append(F.window("ts", interval).alias("window"))
+    is_inc = F.col("kind") == "incremental"
+    agg = (
+        metrics_df.groupBy(*keys)
+        .agg(
+            F.first("tags").alias("tags"),
+            F.max("ts").alias("ts"),
+            F.sum(F.when(is_inc, F.col("value"))).alias("_sum_inc"),
+            F.max_by("value", "ts").alias("_last_abs"),
+            F.count(F.col("value")).alias("count"),
+            F.sum("value").alias("sum"),
+            F.collect_set("set_value").alias("set_values"),
+            F.percentile_approx("value", list(quantiles)).alias("_quantiles"),
+        )
+        .drop("_tags_key")
+    )
+    value = (
+        F.when(F.col("metric_type") == "counter", F.col("_sum_inc"))
+        .when(F.col("metric_type") == "gauge", F.col("_last_abs"))
+        .when(F.col("metric_type") == "set", F.size(F.col("set_values")).cast("double"))
+        .otherwise(F.col("sum"))
+    )
+    return agg.withColumn("value", value).drop("_sum_inc", "_last_abs")
+
+
+def histogram_buckets(
+    df: DataFrame,
+    value_col: str,
+    limits: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """AggregatedHistogram (metric.rs:126-133): cumulative bucket
+    counts per upper_limit (+inf implied by ``count``), plus
+    count/sum. Pure conditional aggregation — one shuffle, map-side
+    combine, no UDF."""
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.sum(F.when(v <= lim, 1).otherwise(0)).alias(f"le_{str(lim).replace('.', '_')}")
+        for lim in limits
+    ]
+    aggs += [F.count(v).alias("count"), F.sum(v).alias("sum")]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def add_tags(df: DataFrame, tags: dict[str, str], overwrite: bool = True) -> DataFrame:
+    """add_tags.rs:68 — insert tags; overwrite=False keeps existing."""
+    new = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in sorted(tags)]),
+        F.array(*[_tmpl(tags[k]) for k in sorted(tags)]),
+    )
+    cur = F.coalesce(F.col("tags"), F.lit(None).cast("map<string,string>"))
+    merged = (
+        F.map_concat(F.map_filter(cur, lambda k, _: ~k.isin(*tags.keys())), new)
+        if overwrite
+        else F.map_concat(cur, F.map_filter(new, lambda k, _: ~F.array_contains(F.map_keys(cur), k)))
+    )
+    merged = F.when(F.col("tags").isNull(), new).otherwise(merged)
+    return df.withColumn("tags", merged)
+
+
+def remove_tags(df: DataFrame, tags: list[str]) -> DataFrame:
+    """remove_tags.rs:55 — drop tag keys."""
+    return df.withColumn(
+        "tags", F.map_filter(F.col("tags"), lambda k, _: ~k.isin(*tags))
+    )
+
+
+def tag_cardinality_limit(
+    df: DataFrame,
+    value_limit: int = 500,
+    action: str = "drop_tag",
+    order_by: str = "ts",
+    tags_col: str = "tags",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cap per-tag-key value cardinality
+    (tag_cardinality_limit.rs:25-300): the reference admits the FIRST
+    ``value_limit`` distinct values per key (arrival order) and then
+    either strips the offending tag (``drop_tag``) or drops the event
+    (``drop_event``).
+
+    Batch determinism: "first seen" = min(``order_by``) per
+    (key, value); ranking is a window over the (key) partition —
+    skew-safe because tag keys are few and the ranked frame is only
+    (key, value, rank), not the events.
+    """
+    entry = F.explode(F.col(tags_col))
+    exploded = df.select(F.col(order_by).alias("_ord"), entry.alias("_k", "_v"))
+    first_seen = exploded.groupBy("_k", "_v").agg(F.min("_ord").alias("_fs"))
+    w = Window.partitionBy("_k").orderBy(F.col("_fs"), F.col("_v"))
+    allowed = (
+        first_seen.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= value_limit)
+        .select("_k", "_v")
+        .withColumn("_ok", F.lit(True))
+    )
+    # rebuild tags per row: join each row's exploded tags against the
+    # allowed set (broadcast — bounded by keys × value_limit)
+    id_cols = id_cols or []
+    row = df.withColumn("_rid", F.monotonically_increasing_id())
+    ex = row.select("_rid", F.explode(F.col(tags_col)).alias("_k", "_v"))
+    flagged = ex.join(F.broadcast(allowed), ["_k", "_v"], "left")
+    if action == "drop_event":
+        bad = flagged.filter(F.col("_ok").isNull()).select("_rid").distinct()
+        return row.join(bad, "_rid", "left_anti").drop("_rid")
+    kept = (
+        flagged.filter(F.col("_ok").isNotNull())
+        .groupBy("_rid")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("_k"), F.col("_v"))))
+            ).alias("_new_tags")
+        )
+    )
+    return (
+        row.join(kept, "_rid", "left")
+        .withColumn(tags_col, F.coalesce(F.col("_new_tags"), F.lit(None).cast("map<string,string>")))
+        .drop("_rid", "_new_tags")
+    )
+
+
+def metric_to_log(metrics_df: DataFrame, host_tag: str | None = None) -> DataFrame:
+    """metric_to_log.rs:112 — serialize each metric to a log-shaped
+    row; the host tag is hoisted to the ``host`` column (host_key)."""
+    out = metrics_df.select(
+        F.col("name"),
+        F.col("namespace"),
+        F.col("ts").alias(TIMESTAMP_KEY),
+        F.col("kind"),
+        F.col("metric_type"),
+        F.col("value"),
+        F.to_json(F.col("tags")).alias("tags_json"),
+        *(
+            [F.element_at(F.col("tags"), host_tag).alias("host")]
+            if host_tag
+            else []
+        ),
+    )
+    return out

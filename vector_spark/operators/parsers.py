@@ -1,0 +1,297 @@
+"""Parser Function transforms: regex, json, key-value, logfmt,
+tokenizer, split.
+
+References: src/transforms/regex_parser.rs:22-300,
+json_parser.rs:13-130, key_value_parser.rs:16-200,
+logfmt_parser.rs:15-120, tokenizer.rs:16-120 (+
+lib/shared/src/tokenize.rs:11), split.rs:16-160.
+
+All are pure Column-expression plans (regexp_extract / from_json /
+map_from_arrays) — the reference compiles a regex once per process and
+interprets per event; whole-stage codegen gives us the vectorized
+version of the same thing. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.conversion import coerce
+
+_NAMED_GROUP_RE = re.compile(r"\(\?P?<(?P<name>[A-Za-z][A-Za-z0-9_]*)>")
+
+
+def named_groups(pattern: str) -> list[str]:
+    """Named capture groups in order of appearance."""
+    return _NAMED_GROUP_RE.findall(pattern)
+
+
+def to_java_regex(pattern: str) -> str:
+    """Python/Rust ``(?P<name>...)`` → Java ``(?<name>...)``."""
+    return pattern.replace("(?P<", "(?<")
+
+
+def _group_index(pattern: str, name: str) -> int:
+    """1-based index of a named group among ALL capture groups."""
+    idx = 0
+    for m in re.finditer(r"\((?!\?:)(?!\?=)(?!\?!)(\?P?<[A-Za-z][A-Za-z0-9_]*>)?", pattern):
+        idx += 1
+        g = m.group(1)
+        if g and g.strip("?P<>") == name:
+            return idx
+    raise ValueError(f"group {name!r} not in pattern")
+
+
+def regex_parser(
+    df: DataFrame,
+    patterns: list[str] | str,
+    field: str = "message",
+    types: dict[str, str] | None = None,
+    target_field: str | None = None,
+    drop_field: bool = True,
+    drop_failed: bool = False,
+) -> DataFrame:
+    """Multi-pattern first-match named-capture extraction
+    (regex_parser.rs:105-135 captures, :242-300 transform).
+
+    The reference pre-filters with a RegexSet then runs the first
+    matching pattern's captures; here each output field is a
+    ``when(rlike(p1), extract(p1)).when(rlike(p2), ...)`` chain —
+    Catalyst evaluates the rlike once per pattern via common
+    subexpression elimination in codegen. Unmatched rows keep null
+    fields (or are dropped with ``drop_failed``).
+    """
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    types = types or {}
+    src = F.col(field).cast("string")
+    all_fields: list[str] = []
+    for p in patterns:
+        for g in named_groups(p):
+            if g not in all_fields:
+                all_fields.append(g)
+
+    matched = None
+    for p in patterns:
+        c = src.rlike(to_java_regex(p))
+        matched = c if matched is None else (matched | c)
+
+    cols = {}
+    for name in all_fields:
+        expr: Column | None = None
+        chain = F
+        for p in patterns:
+            if name not in named_groups(p):
+                continue
+            jp = to_java_regex(p)
+            extracted = F.regexp_extract(src, jp, _group_index(p, name))
+            cond = src.rlike(jp)
+            expr = (
+                F.when(cond, extracted) if expr is None else expr.when(cond, extracted)
+            )
+        assert expr is not None
+        expr = expr.otherwise(F.lit(None))
+        if name in types:
+            expr = coerce(expr, types[name])
+        out_name = f"{target_field}.{name}" if target_field else name
+        cols[out_name] = expr
+    out = df.withColumns(cols)
+    if drop_failed:
+        out = out.filter(matched)
+    if drop_field and field not in cols:
+        out = out.drop(field)
+    return out
+
+
+def json_parser(
+    df: DataFrame,
+    field: str = "message",
+    schema: str | None = None,
+    target_field: str | None = None,
+    drop_invalid: bool = False,
+    drop_field: bool = True,
+    overwrite_target: bool = True,
+) -> DataFrame:
+    """Parse ``field`` as a JSON object (json_parser.rs:13-130).
+
+    With ``schema`` (DDL string) → typed struct via ``from_json``;
+    without → ``map<string,string>`` (Vector's dynamic shape). Root
+    merge (``select parsed.*``) only with an explicit schema;
+    map results land under ``target_field`` (default ``parsed``).
+    """
+    src = F.col(field).cast("string")
+    if schema:
+        parsed = F.from_json(src, schema)
+    else:
+        parsed = F.from_json(src, "map<string,string>")
+    tgt = target_field or ("" if schema else "parsed")
+    out = df.withColumn("_vs_parsed", parsed)
+    if drop_invalid:
+        # PERMISSIVE struct parse yields an all-null struct for bad
+        # JSON; a map-typed probe returns null exactly on malformed
+        # input — use it as the validity predicate.
+        out = out.filter(F.from_json(src, "map<string,string>").isNotNull())
+    if schema and not target_field:
+        # merge parsed keys into root
+        keep = [c for c in out.columns if c != "_vs_parsed"]
+        parsed_fields = out.select("_vs_parsed.*").columns
+        if not overwrite_target:
+            keep_set = set(keep)
+            parsed_fields = [c for c in parsed_fields if c not in keep_set]
+        else:
+            keep = [c for c in keep if c not in set(parsed_fields)]
+        out = out.select(*keep, *[F.col(f"_vs_parsed.{c}").alias(c) for c in parsed_fields])
+    else:
+        out = out.withColumnRenamed("_vs_parsed", tgt)
+    if drop_field and field in out.columns:
+        out = out.drop(field)
+    return out
+
+
+_KV_PAIR_TMPL = r'(%s)%s("(?:[^"\\]|\\.)*"|[^%s\s"]+)'
+
+
+def _kv_map(src: Column, field_split: str, separator_class: str) -> Column:
+    """Generic quoted-value-aware k=v extraction → map<string,string>,
+    JVM-side via regexp_extract_all + map_from_arrays."""
+    key_pat = rf"[^\s{re.escape(field_split)}]+"
+    pair = _KV_PAIR_TMPL % (key_pat, re.escape(field_split), re.escape(field_split))
+    keys = F.regexp_extract_all(src, F.lit(pair), F.lit(1))
+    vals = F.transform(
+        F.regexp_extract_all(src, F.lit(pair), F.lit(2)),
+        lambda v: F.regexp_replace(v, r'^"|"$', ""),
+    )
+    return F.map_from_arrays(keys, vals)
+
+
+def key_value_parser(
+    df: DataFrame,
+    field: str = "message",
+    field_split: str = "=",
+    separator: str = " ",
+    types: dict[str, str] | None = None,
+    fields: list[str] | None = None,
+    target_field: str | None = None,
+    drop_field: bool = True,
+    trim_key: str | None = None,
+    trim_value: str | None = None,
+) -> DataFrame:
+    """Split into k/v pairs (key_value_parser.rs:16-200). ``fields``
+    materializes listed keys as typed columns (fixed-schema stage);
+    otherwise the map lands at ``target_field``/``kv``."""
+    src = F.col(field).cast("string")
+    m = _kv_map(src, field_split, separator)
+    if trim_key:
+        m = F.map_from_arrays(
+            F.transform(F.map_keys(m), lambda k: F.btrim(k, F.lit(trim_key))),
+            F.map_values(m),
+        )
+    if trim_value:
+        m = F.map_from_arrays(
+            F.map_keys(m),
+            F.transform(F.map_values(m), lambda v: F.btrim(v, F.lit(trim_value))),
+        )
+    return _materialize_map(df, m, fields, types, target_field or "kv", field, drop_field)
+
+
+def logfmt_parser(
+    df: DataFrame,
+    field: str = "message",
+    types: dict[str, str] | None = None,
+    fields: list[str] | None = None,
+    target_field: str | None = None,
+    drop_field: bool = True,
+) -> DataFrame:
+    """logfmt = key=value with double-quoted values
+    (logfmt_parser.rs:15-120)."""
+    return key_value_parser(
+        df,
+        field=field,
+        field_split="=",
+        types=types,
+        fields=fields,
+        target_field=target_field or "logfmt",
+        drop_field=drop_field,
+    )
+
+
+def _materialize_map(df, map_col, fields, types, map_name, src_field, drop_field):
+    types = types or {}
+    if fields:
+        cols = {}
+        for name in fields:
+            c = F.element_at(map_col, name)
+            if name in types:
+                c = coerce(c, types[name])
+            cols[name] = c
+        out = df.withColumns(cols)
+    else:
+        out = df.withColumn(map_name, map_col)
+    if drop_field and src_field in out.columns and (not fields or src_field not in fields):
+        out = out.drop(src_field)
+    return out
+
+
+# token = "quoted" | [bracketed] | bare-nonspace (lib/shared/src/tokenize.rs:11)
+_TOKEN_PATTERN = r'"(?:[^"\\]|\\.)*"|\[[^\]]*\]|\S+'
+
+
+def tokenizer(
+    df: DataFrame,
+    field_names: list[str],
+    field: str = "message",
+    types: dict[str, str] | None = None,
+    drop_field: bool = True,
+) -> DataFrame:
+    """Whitespace tokenize respecting quotes/brackets
+    (tokenizer.rs:16-120); positional assignment to ``field_names``;
+    ``-`` → null; strips the quote/bracket delimiters."""
+    types = types or {}
+    toks = F.regexp_extract_all(F.col(field).cast("string"), F.lit(_TOKEN_PATTERN), F.lit(0))
+    toks = F.transform(
+        toks,
+        lambda t: F.when(t == "-", F.lit(None)).otherwise(
+            F.regexp_replace(t, r'^["\[]|["\]]$', "")
+        ),
+    )
+    cols = {}
+    for i, name in enumerate(field_names):
+        c = F.element_at(toks, i + 1)
+        if name in types:
+            c = coerce(c, types[name])
+        cols[name] = c
+    out = df.withColumns(cols)
+    if drop_field and field not in field_names:
+        out = out.drop(field)
+    return out
+
+
+def split_fields(
+    df: DataFrame,
+    field_names: list[str],
+    field: str = "message",
+    separator: str | None = None,
+    types: dict[str, str] | None = None,
+    drop_field: bool = True,
+) -> DataFrame:
+    """Split on a literal separator (default: whitespace runs) and
+    assign positionally (split.rs:16-160)."""
+    types = types or {}
+    src = F.col(field).cast("string")
+    if separator is None:
+        parts = F.split(F.trim(src), r"\s+")
+    else:
+        parts = F.split(src, re.escape(separator))
+    cols = {}
+    for i, name in enumerate(field_names):
+        c = F.element_at(parts, i + 1)
+        if name in types:
+            c = coerce(c, types[name])
+        cols[name] = c
+    out = df.withColumns(cols)
+    if drop_field and field not in field_names:
+        out = out.drop(field)
+    return out

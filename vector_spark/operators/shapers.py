@@ -1,0 +1,93 @@
+"""Field-shaping Function transforms (stateless 1→1).
+
+Reference files: src/transforms/add_fields.rs:104, remove_fields.rs:63,
+rename_fields.rs:67, concat.rs:136, ansi_stripper.rs:56,
+coercer.rs:15-100. All compile to projection exprs — Catalyst prunes
+any column a downstream stage doesn't read.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.conversion import apply_types
+from vector_spark.templates import compile_template, is_template
+
+
+def add_fields(df: DataFrame, fields: dict[str, Any], overwrite: bool = True) -> DataFrame:
+    """Insert literal or ``{{templated}}`` values (add_fields.rs:104).
+
+    ``overwrite=False`` keeps an existing non-null value (the reference
+    skips insertion if the path exists)."""
+    cols = {}
+    for name, value in fields.items():
+        if isinstance(value, str) and is_template(value):
+            col = compile_template(value)
+        else:
+            col = F.lit(value)
+        if not overwrite and name in df.columns:
+            col = F.coalesce(F.col(name), col)
+        cols[name] = col
+    return df.withColumns(cols)
+
+
+def remove_fields(df: DataFrame, fields: list[str], drop_empty: bool = False) -> DataFrame:
+    """Drop columns (remove_fields.rs:63). ``drop_empty`` (map-pruning
+    in the reference) is a no-op on fixed schemas — columns vanish
+    entirely."""
+    return df.drop(*[f for f in fields if f in df.columns])
+
+
+def rename_fields(df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """old → new column name (rename_fields.rs:67)."""
+    for old, new in fields.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def concat_fields(
+    df: DataFrame, target: str, items: list[str], joiner: str = " "
+) -> DataFrame:
+    """``concat`` transform (concat.rs:69-136): each item is
+    ``field[start..end]`` (byte-slice in the reference; char-slice
+    here), joined with ``joiner`` into ``target``."""
+    item_re = re.compile(r"^(?P<field>[^\[\]]+)(?:\[(?P<s>\d*)\.\.(?P<e>\d*)\])?$")
+    cols = []
+    for item in items:
+        m = item_re.match(item.strip())
+        if not m:
+            raise ValueError(f"bad concat item {item!r}")
+        col = F.col(m.group("field")).cast("string")
+        s, e = m.group("s"), m.group("e")
+        if s or e:
+            start = int(s) if s else 0
+            if e:
+                col = F.substring(col, start + 1, int(e) - start)
+            else:
+                col = F.substring(col, start + 1, 2_000_000_000)
+        cols.append(col)
+    return df.withColumn(target, F.concat_ws(joiner, *cols))
+
+
+_ANSI_RE = r"\x1b\[[0-9;]*[A-Za-z]|\x1b\][^\x07]*\x07|\x1b[@-Z\\-_]"
+
+
+def ansi_stripper(df: DataFrame, field: str = "message") -> DataFrame:
+    """Strip ANSI escape sequences (ansi_stripper.rs:56; the reference
+    uses the `strip-ansi-escapes` crate — CSI/OSC/single-char escapes)."""
+    return df.withColumn(field, F.regexp_replace(F.col(field), _ANSI_RE, ""))
+
+
+def coercer(
+    df: DataFrame, types: dict[str, str], drop_unspecified: bool = False
+) -> DataFrame:
+    """Cast listed fields (coercer.rs:15-100); ``drop_unspecified``
+    keeps only listed columns → explicit column pruning."""
+    out = apply_types(df, types)
+    if drop_unspecified:
+        out = out.select(*types.keys())
+    return out
