@@ -1,0 +1,125 @@
+"""dataops: dedup (exact/jaccard/minhash-LSH/simhash), similarity
+(brute-force + LSH), text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+    word_shingles,
+)
+from vector_spark.dataops.multimodal import extract_features, synthetic_media
+from vector_spark.dataops.similarity import brute_force_topk, lsh_topk
+from vector_spark.dataops.textstats import text_stats
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog"),
+    ("d2", "the quick brown fox jumps over the lazy dog"),  # exact dup of d1
+    ("d3", "the quick brown fox jumps over the lazy cat"),  # near dup
+    ("d4", "completely different content about spark pipelines"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    rows = {r.keep_id: r.dup_count for r in out.collect()}
+    assert rows["d1"] == 2  # d1+d2 collapse
+    assert out.count() == 3
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    sh = df.select(word_shingles(F.col("text"), 3).alias("s")).first().s
+    assert sh == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    out = ngram_jaccard_pairs(_docs(spark), threshold=0.4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert ("d1", "d2") in pairs  # exact dup -> jaccard 1.0
+    assert ("d1", "d3") in pairs or ("d2", "d3") in pairs  # near dup
+    assert not any("d4" in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(spark):
+    sigs = minhash_signatures(_docs(spark), k=8)
+    assert sigs.count() == 4 * 8
+    # exact dups share ALL minhashes -> candidates in every band
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert ("d1", "d2") in pairs
+    assert not any("d4" in p for p in pairs)
+
+
+def test_simhash_identical_for_dups(spark):
+    out = {r.id: r.simhash for r in simhash16(_docs(spark)).collect()}
+    assert out["d1"] == out["d2"]
+    assert 0 <= out["d1"] < 65536
+    assert out["d1"] != out["d4"]
+
+
+def test_text_stats(spark):
+    out = {r.doc_id: r for r in text_stats(_docs(spark)).collect()}
+    assert out["d1"].n_words == 9
+    assert out["d1"].lang_guess == "en"
+    assert out["d4"].stopword_ratio < out["d1"].stopword_ratio
+    assert out["d1"].fingerprint == out["d2"].fingerprint
+    assert 0 <= out["d1"].quality <= 1
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [0.7, 0.7, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    df = _vecs(spark)
+    q = df.filter("vec_id = 0")
+    out = brute_force_topk(df, q, k=2)
+    rows = [(r.neighbor_id, r.cos) for r in out.orderBy(F.desc("cos")).collect()]
+    assert rows[0][0] == 1 and rows[1][0] == 3
+    assert rows[0][1] > 0.99
+
+
+def test_lsh_topk_same_bucket(spark):
+    # sign-LSH: same sign pattern -> same bucket; opposite -> pruned
+    rows = [
+        (0, [1.0, 0.2, -0.3, 0.5]),
+        (1, [0.9, 0.3, -0.2, 0.6]),    # same signs as 0 -> candidate
+        (2, [-1.0, -0.2, 0.3, -0.5]),  # all flipped -> different bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = lsh_topk(df, q, k=3, dims=4)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert ids == {1}
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, 30)
+    out = extract_features(media)
+    rows = out.collect()
+    assert len(rows) == 30
+    ok = [r for r in rows if r.decode_ok]
+    bad = [r for r in rows if not r.decode_ok]
+    assert all(r.kind == "video" for r in bad)  # video decoder stubbed out
+    assert all(len(r.feat) == 4 for r in ok)
+    assert all(r.n_bytes > 0 and r.sha for r in rows)
+    # determinism
+    again = {r.media_id: r.sha for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.sha for r in rows)

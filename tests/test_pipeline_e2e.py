@@ -1,0 +1,192 @@
+"""End-to-end pipeline: the north-rule flagship
+(parse → enrich → route → aggregate) with telemetry conservation,
+routed-row set equality vs a pure-Python oracle, token-array
+invariant, and resumable checkpointing.
+
+Mirrors Vector's behavior-test harness (src/config/unit_test.rs:11-57,
+tests/behavior/transforms/route.toml): inputs in, per-sink row-set
+assertions out.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.checkpoint import resumable_run, shard_files
+from vector_spark.fixtures import HOT_SOURCE, enrich_sources, sequences
+from vector_spark.plans import Pipeline
+
+
+def flagship_config(tmp: str | None = None, write: bool = False) -> dict:
+    sinks = {
+        "hot_sink": {"inputs": ["router.hot"]},
+        "large_sink": {"inputs": ["router.large"]},
+        "rest_sink": {"inputs": ["router.rest"]},
+    }
+    if tmp:
+        for name in sinks:
+            sinks[name]["path"] = f"{tmp}/{name}"
+            sinks[name]["partition_by"] = ["source"]
+    return {
+        "transforms": {
+            "derive": {
+                "type": "remap",
+                "inputs": ["in"],
+                "assignments": [
+                    (
+                        ".size_bucket",
+                        'if_else(.n_tok < 128, "small", if_else(.n_tok < 1024, "medium", "large"))',
+                    ),
+                    (".tok_head", "get(.tokens, 1)"),
+                ],
+            },
+            "drop_empty": {
+                "type": "filter",
+                "inputs": ["derive"],
+                "condition": ".n_tok >= 4",
+            },
+            "enrich_src": {
+                "type": "enrich",
+                "inputs": ["drop_empty"],
+                "table": "sources",
+                "on": "source",
+            },
+            "router": {
+                "type": "route",
+                "inputs": ["enrich_src"],
+                "routes": {
+                    "hot": f'.source == "{HOT_SOURCE}"',
+                    "large": '.size_bucket == "large"',
+                    "rest": f'.source != "{HOT_SOURCE}" && .size_bucket != "large"',
+                },
+            },
+        },
+        "sinks": sinks,
+    }
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    return sequences(spark, 4000).cache()
+
+
+def _python_oracle(rows):
+    """Pure-Python reimplementation of the flagship semantics."""
+    lanes = {"hot": set(), "large": set(), "rest": set()}
+    n_filtered = 0
+    for r in rows:
+        if r.n_tok < 4:
+            n_filtered += 1
+            continue
+        bucket = "small" if r.n_tok < 128 else ("medium" if r.n_tok < 1024 else "large")
+        if r.source == HOT_SOURCE:
+            lanes["hot"].add(r.doc_id)
+        if bucket == "large":
+            lanes["large"].add(r.doc_id)
+        if r.source != HOT_SOURCE and bucket != "large":
+            lanes["rest"].add(r.doc_id)
+    return lanes, n_filtered
+
+
+def test_flagship_routed_row_equality_and_telemetry(spark, seq_df):
+    pipe = Pipeline(flagship_config(), enrich_tables={"sources": enrich_sources(spark)})
+    res = pipe.run(seq_df, write=False)
+
+    raw = seq_df.collect()
+    oracle_lanes, oracle_filtered = _python_oracle(raw)
+
+    # routed-row SET equality per sink (the north-rule gate)
+    for lane in ("hot", "large", "rest"):
+        got = {r.doc_id for r in res.lanes[f"{lane}_sink"].select("doc_id").collect()}
+        assert got == oracle_lanes[lane], f"lane {lane} mismatch"
+
+    # telemetry conservation: in - filtered = live; lane counts match oracle
+    t = res.telemetry
+    assert t["events_in_total"] == 4000
+    assert t["drop_empty_discarded_total"] == oracle_filtered
+    for lane in ("hot", "large", "rest"):
+        assert t[f"router_{lane}_total"] == len(oracle_lanes[lane])
+    # every live event hit >= 1 lane (rest is the complement) → no discards
+    assert t["router_discarded_total"] == 0
+    res.frame.unpersist()
+
+
+def test_flagship_token_invariant(spark, seq_df):
+    pipe = Pipeline(flagship_config(), enrich_tables={"sources": enrich_sources(spark)})
+    res = pipe.run(seq_df, write=False, collect_telemetry=False)
+    surv = res.lanes["hot_sink"].select("doc_id", F.md5(F.concat_ws(",", "tokens")).alias("h2"))
+    orig = seq_df.select("doc_id", F.md5(F.concat_ws(",", "tokens")).alias("h1"))
+    assert surv.join(orig, "doc_id").filter("h1 <> h2").count() == 0
+    res.frame.unpersist()
+
+
+def test_flagship_single_scan_fanout(spark, seq_df):
+    """The fan-out must not rescan the input per sink: terminal frame
+    is persisted (InMemoryTableScan feeds each lane)."""
+    pipe = Pipeline(flagship_config(), enrich_tables={"sources": enrich_sources(spark)})
+    res = pipe.run(seq_df, write=False, collect_telemetry=False)
+    plan = res.lanes["hot_sink"]._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    res.frame.unpersist()
+
+
+def test_pipeline_writes_partitioned_sinks(spark, seq_df):
+    tmp = tempfile.mkdtemp(prefix="vs_sinks_")
+    try:
+        pipe = Pipeline(
+            flagship_config(tmp, write=True), enrich_tables={"sources": enrich_sources(spark)}
+        )
+        res = pipe.run(seq_df, write=True, collect_telemetry=True)
+        hot = spark.read.parquet(f"{tmp}/hot_sink")
+        assert hot.count() == res.sink_counts["hot_sink"]
+        # hive-partitioned by source
+        assert any("source=" in f for f in hot.inputFiles())
+        # internal flag columns must not leak into sinks
+        assert not [c for c in hot.columns if c.startswith("_")]
+        res.frame.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_resumable_checkpoint(spark):
+    tmp = tempfile.mkdtemp(prefix="vs_ckpt_")
+    try:
+        # write a small partitioned input (several files)
+        sequences(spark, 1000, num_partitions=6).write.parquet(f"{tmp}/input")
+        calls = []
+
+        def process(df, sid):
+            pipe = Pipeline(
+                flagship_config(), enrich_tables={"sources": enrich_sources(spark)}
+            )
+            res = pipe.run(df, write=False)
+            res.frame.unpersist()
+            calls.append(sid)
+            return res
+
+        r1 = resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=3)
+        assert len(calls) == 3 and not any(s.skipped for s in r1)
+        total_in = sum(s.telemetry["events_in_total"] for s in r1)
+        assert total_in == 1000
+        # resume: nothing reprocessed
+        calls.clear()
+        r2 = resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=3)
+        assert calls == [] and all(s.skipped for s in r2)
+        # lineage recorded
+        from vector_spark.checkpoint import CheckpointLog
+
+        recs = CheckpointLog(f"{tmp}/ckpt").read_all()
+        assert len(recs) == 3 and all(r["lineage_files"] for r in recs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_shard_files_deterministic():
+    files = [f"f{i}" for i in range(10)]
+    a = shard_files(list(reversed(files)), 3)
+    b = shard_files(files, 3)
+    assert a == b and sum(len(s) for s in a) == 10

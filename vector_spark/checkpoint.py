@@ -1,0 +1,133 @@
+"""Resumable runs: per-shard checkpointing with lineage + metrics.
+
+Reference: Vector's file-source Checkpointer persists per-file
+fingerprint→offset so a restart resumes without loss or duplication
+(lib/file-source/src/checkpointer.rs:40,268,288); sink disk buffers
+WAL events (lib/vector-core/buffers/src/disk/mod.rs).
+
+Spark translation: the unit of resumability is an input FILE GROUP
+(shard). The driver lists the input's parquet files (public
+``DataFrame.inputFiles()``), deterministically round-robins them into
+N shards, and processes each shard as an independent job appending to
+the sinks. After a shard commits, a small JSON checkpoint record is
+written (shard id, file list = lineage, per-stage telemetry,
+events_in/out). A resumed run skips completed shards — no loss, no
+duplication, per-partition lineage — the observable contract of
+Vector's checkpointing without replicating leveldb.
+
+At 10^12-row scale each shard is a few thousand parquet files; shard
+count bounds both recovery granularity and scheduler overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class ShardResult:
+    shard_id: int
+    files: list[str]
+    telemetry: dict
+    sink_counts: dict
+    wall_seconds: float
+    skipped: bool = False
+
+
+def shard_files(files: list[str], n_shards: int) -> list[list[str]]:
+    """Deterministic round-robin of the sorted file list."""
+    ordered = sorted(files)
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for i, f in enumerate(ordered):
+        shards[i % n_shards].append(f)
+    return [s for s in shards if s]
+
+
+class CheckpointLog:
+    """One JSON file per committed shard under ``ckpt_dir`` — atomic
+    via write-temp-then-rename (same guarantee class the reference
+    gets from checkpoint file rewrites)."""
+
+    def __init__(self, ckpt_dir: str):
+        self.dir = ckpt_dir
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def done_shards(self) -> set[int]:
+        out = set()
+        for fn in os.listdir(self.dir):
+            if fn.startswith("shard-") and fn.endswith(".json"):
+                out.add(int(fn[len("shard-") : -len(".json")]))
+        return out
+
+    def record(self, res: ShardResult, run_id: str) -> None:
+        path = os.path.join(self.dir, f"shard-{res.shard_id}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "run_id": run_id,
+                    "shard_id": res.shard_id,
+                    "lineage_files": res.files,
+                    "telemetry": res.telemetry,
+                    "sink_counts": res.sink_counts,
+                    "wall_seconds": res.wall_seconds,
+                    "committed_at_unix": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, path)
+
+    def read_all(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.dir)):
+            if fn.startswith("shard-") and fn.endswith(".json"):
+                with open(os.path.join(self.dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+
+def resumable_run(
+    spark: SparkSession,
+    input_path: str,
+    ckpt_dir: str,
+    process: Callable[[DataFrame, int], "object"],
+    n_shards: int = 8,
+    run_id: str | None = None,
+) -> list[ShardResult]:
+    """Process ``input_path`` in N resumable shards.
+
+    ``process(df, shard_id)`` runs the pipeline on one shard's frame
+    and must WRITE its sinks in append mode; it returns an object with
+    ``telemetry`` and ``sink_counts`` attributes (PipelineResult fits).
+    Completed shards (checkpoint present) are skipped on resume.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    files = spark.read.parquet(input_path).inputFiles()
+    shards = shard_files(files, n_shards)
+    log = CheckpointLog(ckpt_dir)
+    done = log.done_shards()
+    results: list[ShardResult] = []
+    for sid, shard in enumerate(shards):
+        if sid in done:
+            results.append(ShardResult(sid, shard, {}, {}, 0.0, skipped=True))
+            continue
+        t0 = time.monotonic()
+        df = spark.read.parquet(*shard)
+        pres = process(df, sid)
+        res = ShardResult(
+            shard_id=sid,
+            files=shard,
+            telemetry=getattr(pres, "telemetry", {}),
+            sink_counts=getattr(pres, "sink_counts", {}),
+            wall_seconds=time.monotonic() - t0,
+        )
+        log.record(res, run_id)
+        results.append(res)
+    return results

@@ -1,0 +1,185 @@
+"""Deduplication at scale: exact, n-gram Jaccard, MinHash/LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact: one hash-groupBy (map-side partial agg), keep min(doc_id).
+- MinHash: per-doc signature = k independent min-hashes over shingles
+  (one explode + groupBy — shuffle bounded by docs×k); LSH banding
+  buckets signatures so the candidate join is an equi-join on
+  (band, band_hash), NEVER an all-pairs cross join.
+- SimHash: bit-majority over token hashes; near-dup = equal simhash
+  (or small hamming distance via band equi-join).
+- n-gram Jaccard: shingle explode + self equi-join on shingle →
+  per-pair intersection counts; |A∪B| from per-doc counts. The join
+  key is the shingle, so common-shingle skew is the hot spot — cap
+  via distinct-shingle filtering (df documents with huge fan-out are
+  near-dups of everything; AQE skew-join handles the residual).
+
+Hashes are md5-hex-string based (portable: identical in Spark and
+DuckDB) rather than xxhash64 — determinism and cross-engine
+verifiability outweigh the few extra bytes per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + collapse whitespace — the canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per exact (normalized) text.
+    Returns (fingerprint, keep_id, dup_count)."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined)."""
+    words = F.split(col, " ")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+def shingle_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the base for Jaccard/MinHash."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    Self equi-join on shingle → intersection counts; union via
+    per-doc set sizes. Output (id_a, id_b, jaccard)."""
+    sh = shingle_frame(df, text_col, id_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Long-format minhash: one row per (id, seed) with the min md5 of
+    ``seed:shingle`` — portable across engines. k seeds via a literal
+    seed array explode (no UDF, no RNG)."""
+    sh = shingle_frame(df, text_col, id_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .groupBy("id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing a
+    (band, band_hash) bucket are candidates. Equi-join on the bucket —
+    the all-pairs comparison never materializes. Output distinct
+    (id_a, id_b) candidate pairs (a < b)."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _hex_char_val(c: Column) -> Column:
+    # portable hex digit -> 0..15 (instr is 1-based, 0 = not found)
+    return F.instr(F.lit(HEX), c) - 1
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over word tokens, md5-derived bits (portable).
+
+    For bit j (0..15): take hex digit j/4 of md5(word), extract bit
+    (3 - j%4); majority vote over words decides the output bit.
+    Output (id, simhash int)."""
+    words = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    base = df.select(F.col(id_col).alias("id"), words)
+    bits = base.select(
+        "id",
+        F.substring(F.md5(F.col("w")), 1, 4).alias("h4"),
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+    ).select(
+        "id",
+        "j",
+        # bit = (hexval >> (3 - j%4)) & 1, written with arithmetic so
+        # the identical expression runs on any SQL engine
+        (
+            F.floor(
+                _hex_char_val(F.substring(F.col("h4"), (F.col("j") / 4).cast("int") + 1, 1))
+                / F.pow(F.lit(2.0), 3 - (F.col("j") % 4))
+            )
+            % 2
+        ).alias("bit"),
+    )
+    maj = bits.groupBy("id", "j").agg(
+        (F.sum(F.col("bit") * 2 - 1) >= 0).cast("int").alias("mbit")
+    )
+    return maj.groupBy("id").agg(
+        F.sum(F.col("mbit") * F.pow(F.lit(2.0), F.col("j")).cast("long")).alias("simhash")
+    )

@@ -1,0 +1,72 @@
+"""Text analysis for training-data curation: language ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (portable to the DuckDB oracle); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.dedup import normalize_text
+
+EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"]
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-space
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def word_count(col: Column) -> Column:
+    return F.size(F.split(normalize_text(col), " "))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] = EN_STOPWORDS) -> Column:
+    words = F.split(normalize_text(col), " ")
+    sw = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    return F.round(sw / F.greatest(F.size(words), F.lit(1)), 6)
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.greatest(F.length(col), F.lit(1))
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.round(punct / total, 6)
+
+
+def lang_id(col: Column, threshold: float = 0.03) -> Column:
+    """n-gram/stopword heuristic: enough English stopwords → 'en'."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] heuristic: length, mean word length sanity, low punct."""
+    words = word_count(col)
+    mean_wlen = F.length(col) / F.greatest(words, F.lit(1))
+    len_ok = F.least(words / F.lit(50.0), F.lit(1.0))
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    return F.round((len_ok + wlen_ok + punct_ok) / 3.0, 6)
+
+
+def token_count(col: Column, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish pre-token count via regexp extraction."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint (md5 of canonical form)."""
+    return F.md5(normalize_text(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        word_count(c).alias("n_words"),
+        token_count(c).alias("n_tokens"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        lang_id(c).alias("lang_guess"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,295 @@
+"""Config-driven pipeline compiler: Vector topology → one Catalyst plan.
+
+Reference lifecycle (SURVEY.md §3.1): config → expand_macros →
+typecheck → build tokio tasks/channels → per-event flow. Here the
+config compiles to a DataFrame DAG: transforms chain projections and
+filters (Catalyst fuses them into one whole-stage-codegen pass),
+``route`` becomes flag columns, and the fan-out to N sinks persists
+the final frame ONCE then issues N filtered writes — the Spark
+analogue of Vector's channel fanout (src/topology/fanout.rs:31-46)
+that reads the input a single time.
+
+Drop-type transforms (filter/sample/dedupe and remap's
+drop_on_error) mark rows instead of filtering so one aggregation pass
+yields Vector's full telemetry (events_in/out, discards per stage,
+errors) — see vector_spark/telemetry.py.
+
+Config schema (TOML-equivalent dict):
+
+    {
+      "transforms": {
+        "<name>": {"type": "...", "inputs": ["<parent>"], ...config},
+        ...
+      },
+      "sinks": {
+        "<name>": {"inputs": ["<transform>" | "<router>.<lane>"],
+                    "path": "...", "format": "parquet",
+                    "partition_by": [...], "mode": "append"},
+      },
+    }
+
+The single source is the DataFrame handed to ``run`` (north rule: one
+Iceberg/parquet table in, N sinks out).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import compile_condition
+from vector_spark.operators import core, parsers, shapers
+from vector_spark.operators import grok as grok_mod
+from vector_spark.operators import metrics as metrics_mod
+from vector_spark.operators.enrich import enrich as enrich_fn
+from vector_spark.operators.reduce import merge_partial, reduce_events
+from vector_spark.operators.remap import remap as remap_fn
+from vector_spark.telemetry import DROPPED_BY, Telemetry, alive_col, live, mark_dropped
+
+ROUTE_PREFIX = core.ROUTE_COL_PREFIX
+
+
+@dataclass
+class PipelineResult:
+    telemetry: dict[str, int]
+    sink_counts: dict[str, int]
+    sink_paths: dict[str, str]
+    wall_seconds: float
+    frame: DataFrame | None = None
+    lanes: dict[str, DataFrame] = field(default_factory=dict)
+
+
+class Pipeline:
+    def __init__(self, config: dict[str, Any], enrich_tables: dict[str, DataFrame] | None = None):
+        self.config = config
+        self.enrich_tables = enrich_tables or {}
+        self.transforms: dict[str, dict] = dict(config.get("transforms", {}))
+        self.sinks: dict[str, dict] = dict(config.get("sinks", {}))
+        self._routes: dict[str, dict[str, Any]] = {}  # router name -> routes
+        self._order = self._toposort()
+
+    # -- DAG ---------------------------------------------------------------
+    def _toposort(self) -> list[str]:
+        order: list[str] = []
+        seen: set[str] = set()
+
+        def visit(name: str, stack: tuple[str, ...] = ()):
+            if name in seen:
+                return
+            if name in stack:
+                raise ValueError(f"cycle at {name}")
+            spec = self.transforms.get(name)
+            if spec is None:
+                raise ValueError(f"unknown transform {name!r}")
+            for inp in spec.get("inputs", []):
+                parent = inp.split(".")[0]
+                if parent != "in" and parent in self.transforms:
+                    visit(parent, stack + (name,))
+            seen.add(name)
+            order.append(name)
+
+        for name in self.transforms:
+            visit(name)
+        return order
+
+    # -- compile + run -----------------------------------------------------
+    def run(
+        self,
+        df: DataFrame,
+        write: bool = True,
+        persist: bool = True,
+        collect_telemetry: bool = True,
+    ) -> PipelineResult:
+        t0 = time.monotonic()
+        telemetry = Telemetry()
+        frames: dict[str, DataFrame] = {"in": df}
+
+        for name in self._order:
+            spec = dict(self.transforms[name])
+            typ = spec.pop("type")
+            inputs = spec.pop("inputs", ["in"])
+            src = self._resolve_input(frames, inputs)
+            frames[name] = self._apply(name, typ, spec, src, telemetry)
+
+        # terminal frame for fan-out: union of all sink parents is the
+        # common frame when they share one lineage (typical). Persist
+        # the LAST transform's frame (all lanes are flag columns on it).
+        terminal_name = self._order[-1] if self._order else "in"
+        terminal = frames[terminal_name]
+        if persist:
+            terminal = terminal.persist()
+            frames[terminal_name] = terminal
+
+        lanes: dict[str, DataFrame] = {}
+        sink_counts: dict[str, int] = {}
+        sink_paths: dict[str, str] = {}
+        for sname, sspec in self.sinks.items():
+            lane_df = self._resolve_input(frames, sspec.get("inputs", [terminal_name]))
+            lane_df = live(lane_df)
+            # plan-internal columns (route flags, miss/error flags) are
+            # stripped at the sink boundary
+            lane_df = lane_df.drop(
+                *[
+                    c
+                    for c in lane_df.columns
+                    if c.startswith(ROUTE_PREFIX)
+                    or c.startswith("_miss_")
+                    or c.startswith("_err_")
+                    or c.startswith("_vs_")
+                ]
+            )
+            lanes[sname] = lane_df
+            if write and "path" in sspec:
+                writer = lane_df.write.mode(sspec.get("mode", "overwrite"))
+                if sspec.get("partition_by"):
+                    writer = writer.partitionBy(*sspec["partition_by"])
+                fmt = sspec.get("format", "parquet")
+                writer.format(fmt).save(sspec["path"])
+                sink_paths[sname] = sspec["path"]
+
+        tele: dict[str, int] = {}
+        if collect_telemetry:
+            tele = telemetry.collect(terminal)
+            for sname in self.sinks:
+                # sink row counts from the persisted frame (cheap second pass)
+                sink_counts[sname] = lanes[sname].count()
+        return PipelineResult(
+            telemetry=tele,
+            sink_counts=sink_counts,
+            sink_paths=sink_paths,
+            wall_seconds=time.monotonic() - t0,
+            frame=terminal,
+            lanes=lanes,
+        )
+
+    def _resolve_input(self, frames: dict[str, DataFrame], inputs: list[str]) -> DataFrame:
+        parts = []
+        for inp in inputs:
+            if "." in inp and inp.split(".")[0] in self._routes:
+                router, lane = inp.split(".", 1)
+                base = frames[router]
+                if lane not in self._routes[router]:
+                    raise ValueError(f"unknown lane {inp!r}")
+                parts.append(base.filter(F.col(ROUTE_PREFIX + lane)))
+            else:
+                if inp not in frames:
+                    raise ValueError(f"unknown input {inp!r}")
+                parts.append(frames[inp])
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    # -- operator dispatch ---------------------------------------------------
+    def _apply(
+        self, name: str, typ: str, spec: dict, df: DataFrame, tele: Telemetry
+    ) -> DataFrame:
+        alive = alive_col(df)
+        # NOTE: discard counters are expressed as `_dropped_by == name`
+        # so they resolve against the TERMINAL frame (flag columns made
+        # by intermediate stages may be pruned before telemetry runs;
+        # _dropped_by survives to the end). First drop wins, matching
+        # Vector's per-event flow order.
+        if typ == "filter":
+            cond = F.coalesce(compile_condition(spec["condition"]), F.lit(False))
+            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name)
+            return mark_dropped(df, ~cond, name)
+        if typ == "route":
+            routes = spec["routes"]
+            self._routes[name] = routes
+            out = core.route_flags(df, routes)
+            no_lane = None
+            for lane in routes:
+                c = F.col(ROUTE_PREFIX + lane)
+                tele.add(f"{name}_{lane}_total", alive & c)
+                no_lane = ~c if no_lane is None else (no_lane & ~c)
+            tele.add(f"{name}_discarded_total", alive & no_lane)
+            return out
+        if typ == "sample":
+            # soft sample: mark non-survivors
+            rate = spec["rate"]
+            key = spec.get("key_field")
+            if key is None:
+                raise ValueError("pipeline sample requires key_field (hash mode) at scale")
+            bucket = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(rate))
+            passed = bucket == 0
+            if spec.get("exclude") is not None:
+                excl = F.coalesce(compile_condition(spec["exclude"]), F.lit(False))
+                keep = excl | passed
+                rate_col = F.when(~excl & passed, F.lit(rate))
+            else:
+                keep = passed
+                rate_col = F.when(passed, F.lit(rate))
+            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name)
+            out = df.withColumn(spec.get("sample_rate_field", "sample_rate"), rate_col)
+            return mark_dropped(out, ~keep, name)
+        if typ == "dedupe":
+            from pyspark.sql import Window
+
+            keys = spec.get("match") or [c for c in df.columns if not c.startswith("_")]
+            order = spec.get("order_by")
+            if order:
+                w = Window.partitionBy(*keys).orderBy(*[F.col(o) for o in order])
+                dup = F.row_number().over(w) > 1
+            else:
+                w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id())
+                dup = F.row_number().over(w) > 1
+            out = df.withColumn("_vs_dup", dup)
+            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name)
+            return mark_dropped(out, F.col("_vs_dup"), name).drop("_vs_dup")
+        if typ == "remap":
+            err_field = None
+            if spec.get("error_when") is not None:
+                err_field = f"_err_{name}"
+                tele.add(
+                    f"{name}_processing_errors_total",
+                    alive & F.coalesce(compile_condition(spec["error_when"]), F.lit(False)),
+                )
+            out = remap_fn(
+                df,
+                spec["assignments"],
+                abort_when=spec.get("abort_when"),
+                error_when=spec.get("error_when"),
+                drop_on_abort=False,
+                drop_on_error=False,
+                error_flag_field=err_field,
+            )
+            if spec.get("drop_on_error") and spec.get("error_when") is not None:
+                out = mark_dropped(out, F.col(err_field), name)
+            return out
+        if typ == "enrich":
+            table = self.enrich_tables[spec["table"]]
+            miss = f"_miss_{name}"
+            out = enrich_fn(
+                df, table, on=spec["on"], prefix=spec.get("prefix"), miss_flag_field=miss
+            )
+            # keep the hidden miss flag through to the terminal frame;
+            # sinks strip underscore-prefixed internals
+            tele.add(f"{name}_lookup_miss_total", alive & F.col(miss))
+            return out
+        # stateless shapers / parsers — pass config straight through
+        simple = {
+            "add_fields": shapers.add_fields,
+            "remove_fields": shapers.remove_fields,
+            "rename_fields": shapers.rename_fields,
+            "concat": shapers.concat_fields,
+            "ansi_stripper": shapers.ansi_stripper,
+            "coercer": shapers.coercer,
+            "regex_parser": parsers.regex_parser,
+            "grok_parser": grok_mod.grok_parser,
+            "json_parser": parsers.json_parser,
+            "key_value_parser": parsers.key_value_parser,
+            "logfmt_parser": parsers.logfmt_parser,
+            "tokenizer": parsers.tokenizer,
+            "split": parsers.split_fields,
+            "log_to_metric": metrics_mod.log_to_metric,
+            "reduce": reduce_events,
+            "merge": merge_partial,
+        }
+        if typ in simple:
+            return simple[typ](df, **spec)
+        raise ValueError(f"unknown transform type {typ!r}")

@@ -1,0 +1,71 @@
+"""Telemetry: Vector's internal events as single-pass conditional
+aggregates.
+
+Reference: src/internal_events/topology.rs:5-38 (events_in_total /
+events_out_total per component) + per-transform discard/error events
+(e.g. RouteEventDiscarded, SampleEventDiscarded,
+ProcessingError counters).
+
+Vector increments atomic counters per event. A faithful translation
+(accumulators / per-stage count() actions) would either be unreliable
+(accumulators re-fire on retries) or rescan the input N times. The
+Spark-first design: drop-type operators MARK rows (``_dropped_by``
+column) instead of filtering mid-plan; ONE aggregation over the final
+frame computes every counter (count + sum(when(flag,1)) fuse into a
+single whole-stage-codegen pass), and sinks filter the marked rows at
+write time. events_in - events_out - discarded - errors = 0 holds
+exactly (FIXTURES.md F7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DROPPED_BY = "_dropped_by"
+
+
+@dataclass
+class Telemetry:
+    """Collects flag-column names registered by pipeline stages; one
+    ``collect()`` action computes all counters."""
+
+    # stage -> list of (counter_name, flag_column_expr)
+    counters: list[tuple[str, Column]] = field(default_factory=list)
+
+    def add(self, name: str, flag: Column) -> None:
+        self.counters.append((name, flag))
+
+    def collect(self, df: DataFrame) -> dict[str, int]:
+        aggs = [F.count(F.lit(1)).alias("events_in_total")]
+        for name, flag in self.counters:
+            aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(name))
+        row = df.agg(*aggs).first()
+        return {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+
+
+def mark_dropped(df: DataFrame, cond: Column, stage: str) -> DataFrame:
+    """Mark rows dropped by ``stage`` (only if not already dropped
+    upstream — first drop wins, matching per-event flow order)."""
+    if DROPPED_BY in df.columns:
+        new = F.when(F.col(DROPPED_BY).isNotNull(), F.col(DROPPED_BY)).otherwise(
+            F.when(cond, F.lit(stage))
+        )
+    else:
+        new = F.when(cond, F.lit(stage))
+    return df.withColumn(DROPPED_BY, new)
+
+
+def live(df: DataFrame) -> DataFrame:
+    """Rows not dropped by any stage (what a sink writes)."""
+    if DROPPED_BY not in df.columns:
+        return df
+    return df.filter(F.col(DROPPED_BY).isNull()).drop(DROPPED_BY)
+
+
+def alive_col(df: DataFrame) -> Column:
+    if DROPPED_BY not in df.columns:
+        return F.lit(True)
+    return F.col(DROPPED_BY).isNull()
