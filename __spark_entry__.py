@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises a vector_spark operator
+(SURVEY.md §2 inventory) through the library's public API, and
+``oracle_sql()`` carries the equivalent ANSI SQL for DuckDB over the
+same parquet tables. Column names/types are aligned on both sides so
+the driver's order-insensitive value-hash matches.
+
+Cross-engine parity rules used throughout:
+- hashes are md5 hex strings (identical in both engines);
+- double aggregations go through decimal(18,2) casts or round(, n);
+- integer division is explicit floor();
+- deterministic tiebreaks on every window/top-k.
 """
 
 from __future__ import annotations
@@ -12,27 +18,757 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship pipeline: parse → enrich → route → aggregate over events
+# ---------------------------------------------------------------------------
+
+_ENRICH_ROWS = [
+    ("click", "interaction", 1),
+    ("view", "interaction", 0),
+    ("signup", "conversion", 5),
+    ("purchase", "conversion", 10),
+    ("error", "fault", -1),
+]
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remap → filter → enrich (broadcast) → route → per-lane counts.
+
+    The whole Vector pipeline shape in one plan: the result is the
+    per-(lane, event_type) aggregate counts + summed value — the
+    'log_to_metric per sink' output of SURVEY.md §7 Phase 1.
+    """
+    from vector_spark.plans import Pipeline
+
+    events = _load(spark, sf_dir, "events").withColumnRenamed("ts", "timestamp")
+    dim = spark.createDataFrame(_ENRICH_ROWS, "event_type string, category string, weight int")
+    cfg = {
+        "transforms": {
+            "derive": {
+                "type": "remap",
+                "inputs": ["in"],
+                "assignments": [
+                    (".vtier", 'if_else(.value < 5.0, "low", if_else(.value < 15.0, "mid", "high"))'),
+                ],
+            },
+            "keep": {"type": "filter", "inputs": ["derive"], "condition": ".value >= 1.0"},
+            "enrich_type": {"type": "enrich", "inputs": ["keep"], "table": "etypes", "on": "event_type"},
+            "router": {
+                "type": "route",
+                "inputs": ["enrich_type"],
+                "routes": {
+                    "faults": '.category == "fault"',
+                    "big": '.vtier == "high"',
+                    "rest": '.category != "fault" && .vtier != "high"',
+                },
+            },
+        },
+        "sinks": {
+            "faults": {"inputs": ["router.faults"]},
+            "big": {"inputs": ["router.big"]},
+            "rest": {"inputs": ["router.rest"]},
+        },
+    }
+    pipe = Pipeline(cfg, enrich_tables={"etypes": dim})
+    res = pipe.run(events, write=False, persist=False, collect_telemetry=False)
+    parts = []
+    for lane, df in res.lanes.items():
+        parts.append(
+            df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            ).select(F.lit(lane).alias("lane"), "event_type", "cnt", "sum_value")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_FLAGSHIP_ORACLE = """
+WITH base AS (
+  SELECT *,
+         CASE WHEN value < 5.0 THEN 'low' WHEN value < 15.0 THEN 'mid' ELSE 'high' END AS vtier,
+         CASE event_type WHEN 'click' THEN 'interaction' WHEN 'view' THEN 'interaction'
+              WHEN 'signup' THEN 'conversion' WHEN 'purchase' THEN 'conversion'
+              WHEN 'error' THEN 'fault' END AS category
+  FROM events WHERE value >= 1.0
+), lanes AS (
+  SELECT 'faults' AS lane, * FROM base WHERE category = 'fault'
+  UNION ALL
+  SELECT 'big' AS lane, * FROM base WHERE vtier = 'high'
+  UNION ALL
+  SELECT 'rest' AS lane, * FROM base WHERE category <> 'fault' AND vtier <> 'high'
+)
+SELECT lane, event_type, count(*) AS cnt,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+FROM lanes GROUP BY lane, event_type
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# per-operator queries (Spark via library ops) + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_filter(spark, sf):
+    from vector_spark.operators import filter_events
+
+    ev = _load(spark, sf, "events")
+    out = filter_events(ev, '.event_type == "error" && .value > 10.0')
+    return out.select("event_id", "event_type", "value")
+
+
+def _q_route(spark, sf):
+    from vector_spark.operators import route_split
+
+    ev = _load(spark, sf, "events")
+    lanes = route_split(
+        ev,
+        {
+            "errors": '.event_type == "error"',
+            "high_value": ".value >= 15.0",
+            "rest": '.event_type != "error" && .value < 15.0',
+        },
+    )
+    parts = [
+        df.select(F.lit(name).alias("lane"), "event_id") for name, df in lanes.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_sample(spark, sf):
+    # md5-hex-prefix sampling: engine-portable determinism (the
+    # engine's native path is xxhash64 — see operators/core.py sample)
+    ev = _load(spark, sf, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    out = ev.filter(F.substring(h, 1, 1).isin("0", "1", "2", "3")).withColumn(
+        "sample_rate", F.lit(4)
+    )
+    return out.select("event_id", "event_type", "sample_rate")
+
+
+def _q_remap(spark, sf):
+    from vector_spark.operators import remap
+
+    ev = _load(spark, sf, "events")
+    out = remap(
+        ev,
+        [
+            (".etype_up", "upcase(.event_type)"),
+            (".value2", "round(.value * 2.0 + 1.0, 2)"),
+            (".vnz", ".value ?? 0.0"),
+        ],
+    )
+    return out.select("event_id", "etype_up", "value2", "vnz")
+
+
+def _q_json_parser(spark, sf):
+    from vector_spark.operators import json_parser
+
+    ev = _load(spark, sf, "events")
+    out = json_parser(ev, field="props", schema="k long", target_field=None, drop_field=False)
+    return out.select("event_id", F.col("k").alias("prop_k"))
+
+
+def _q_grok(spark, sf):
+    from vector_spark.operators import grok_parser
+
+    ev = _load(spark, sf, "events")
+    msg = F.format_string(
+        '10.0.%d.%d - frank [12/Dec/2015:18:32:56 +0100] "GET /api/%d HTTP/1.1" %d %d',
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.pmod(F.col("event_id"), F.lit(256)),
+        F.col("event_id"),
+        F.lit(200) + F.pmod(F.col("event_id"), F.lit(3)) * 100,
+        (F.col("value") * 100).cast("long"),
+    )
+    logs = ev.select("event_id", msg.alias("message"))
+    out = grok_parser(
+        logs, "%{HTTPD_COMMONLOG}", types={"response": "int", "bytes": "int"}
+    )
+    return out.select("event_id", "clientip", "verb", "request", "response", "bytes")
+
+
+def _q_kv_parser(spark, sf):
+    from vector_spark.operators import key_value_parser
+
+    ev = _load(spark, sf, "events")
+    msg = F.format_string(
+        "status=%d time=%d",
+        F.lit(200) + F.pmod(F.col("event_id"), F.lit(5)),
+        (F.col("value") * 10).cast("long"),
+    )
+    logs = ev.select("event_id", msg.alias("message"))
+    out = key_value_parser(
+        logs, fields=["status", "time"], types={"status": "int", "time": "int"}
+    )
+    return out.select("event_id", "status", "time")
+
+
+def _q_logfmt(spark, sf):
+    from vector_spark.operators import logfmt_parser
+
+    ev = _load(spark, sf, "events")
+    msg = F.format_string(
+        'level=info msg="evt %s done" dur=%dms', F.col("event_type"), F.col("user_id")
+    )
+    logs = ev.select("event_id", msg.alias("message"))
+    out = logfmt_parser(logs, fields=["level", "msg", "dur"])
+    return out.select("event_id", "level", "msg", "dur")
+
+
+def _q_tokenizer(spark, sf):
+    from vector_spark.operators import tokenizer
+
+    docs = _load(spark, sf, "documents")
+    out = tokenizer(docs.select("doc_id", F.col("text").alias("message")), ["tok1", "tok2", "tok3"])
+    return out.select("doc_id", "tok1", "tok2", "tok3")
+
+
+def _q_split(spark, sf):
+    from vector_spark.operators import split_fields
+
+    docs = _load(spark, sf, "documents")
+    out = split_fields(
+        docs.select("doc_id", F.col("text").alias("message")), ["w1", "w2"], separator=" "
+    )
+    return out.select("doc_id", "w1", "w2")
+
+
+def _q_coercer(spark, sf):
+    from vector_spark.operators import coercer
+
+    ev = _load(spark, sf, "events").select(
+        "event_id", F.col("value").cast("string").alias("value_s")
+    )
+    out = coercer(ev, {"value_s": "float"})
+    return out.select("event_id", F.col("value_s").alias("value_f"))
+
+
+def _q_shapers(spark, sf):
+    from vector_spark.operators import add_fields, concat_fields, rename_fields
+
+    ev = _load(spark, sf, "events")
+    out = add_fields(ev, {"app": "pipeline", "label": "{{event_type}}-{{user_id}}"})
+    out = concat_fields(out, "etype_head", ["event_type[0..3]"], joiner="")
+    out = rename_fields(out, {"event_type": "etype"})
+    return out.select("event_id", "app", "label", "etype_head", "etype")
+
+
+def _q_dedupe(spark, sf):
+    from vector_spark.operators import dedupe
+
+    ev = _load(spark, sf, "events")
+    out = dedupe(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        match=["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+def _q_reduce(spark, sf):
+    from vector_spark.operators import reduce_events
+
+    ev = _load(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("ord"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("dval"),
+    )
+    out = reduce_events(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={"event_type": "concat", "dval": "sum"},
+        order_by="ord",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("etypes"),
+        F.col("dval").cast("double").alias("sum_value"),
+        F.col("ord").alias("first_ord"),
+    )
+
+
+def _q_reduce_ends_when(spark, sf):
+    from vector_spark.operators import reduce_events
+
+    ev = _load(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("ord"),
+        "event_type",
+    )
+    out = reduce_events(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={"event_type": "concat"},
+        ends_when='.event_type == "error"',
+        order_by="ord",
+    )
+    return out.select(
+        "user_id", F.col("ord").alias("session_start"), F.col("event_type").alias("etypes")
+    )
+
+
+def _q_log_to_metric(spark, sf):
+    from vector_spark.operators import aggregate_metrics, log_to_metric
+
+    ev = _load(spark, sf, "events").withColumnRenamed("ts", "timestamp")
+    metrics = log_to_metric(
+        ev,
+        [
+            {
+                "type": "counter",
+                "field": "event_type",
+                "name": "events_total",
+                "tags": {"type": "{{event_type}}"},
+            }
+        ],
+    )
+    agg = aggregate_metrics(metrics)
+    return agg.select(
+        "name",
+        F.element_at(F.col("tags"), "type").alias("type_tag"),
+        F.col("value").cast("long").alias("cnt"),
+    )
+
+
+def _q_histogram(spark, sf):
+    from vector_spark.operators.metrics import histogram_buckets
+
+    ev = _load(spark, sf, "events").withColumn(
+        "dvalue", F.col("value").cast("decimal(18,2)")
+    )
+    out = histogram_buckets(ev, "value", [5.0, 10.0, 15.0], group_cols=["event_type"])
+    # recompute sum exactly via decimal for parity
+    sums = ev.groupBy("event_type").agg(
+        F.sum("dvalue").cast("double").alias("sum")
+    )
+    return (
+        out.drop("sum")
+        .join(sums, "event_type")
+        .select("event_type", "le_5_0", "le_10_0", "le_15_0", "count", "sum")
+    )
+
+
+def _q_aggregate_window(spark, sf):
+    from vector_spark.operators import aggregate_metrics, log_to_metric
+
+    ev = _load(spark, sf, "events").withColumnRenamed("ts", "timestamp")
+    metrics = log_to_metric(ev, [{"type": "counter", "field": "event_id", "name": "evt"}])
+    agg = aggregate_metrics(metrics, interval="1 hour")
+    return agg.select(
+        F.col("window.start").alias("hour"), F.col("value").cast("long").alias("cnt")
+    )
+
+
+def _q_enrich(spark, sf):
+    from vector_spark.operators import enrich
+
+    ev = _load(spark, sf, "events")
+    dim = spark.createDataFrame(_ENRICH_ROWS, "event_type string, category string, weight int")
+    out = enrich(ev, dim, on="event_type")
+    return out.select("event_id", "event_type", "category", "weight")
+
+
+def _q_tag_cardinality(spark, sf):
+    from vector_spark.operators import tag_cardinality_limit
+
+    ev = _load(spark, sf, "events").select(
+        "event_id",
+        F.struct("ts", "event_id").alias("ord"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
+        "event_type",
+    )
+    # limit per-tag-key distinct values to the first 5 seen (by ts)
+    out = tag_cardinality_limit(ev, value_limit=5, action="drop_event", order_by="ord")
+    return out.select("event_id")
+
+
+def _q_dedup_exact(spark, sf):
+    from vector_spark.dataops.dedup import exact_dedup
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    out = exact_dedup(docs)
+    return out.select("fingerprint", "keep_id", "dup_count")
+
+
+def _q_jaccard(spark, sf):
+    from vector_spark.dataops.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    return ngram_jaccard_pairs(docs, threshold=0.35)
+
+
+def _q_minhash(spark, sf):
+    from vector_spark.dataops.dedup import minhash_signatures
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    return minhash_signatures(docs, k=8).select("id", "seed", "minhash")
+
+
+def _q_minhash_lsh(spark, sf):
+    from vector_spark.dataops.dedup import minhash_lsh_candidates, minhash_signatures
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    sigs = minhash_signatures(docs, k=8)
+    return minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
+
+
+def _q_simhash(spark, sf):
+    from vector_spark.dataops.dedup import simhash16
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    out = simhash16(docs)
+    return out.select("id", F.col("simhash").cast("long").alias("simhash"))
+
+
+def _q_embed_topk(spark, sf):
+    from vector_spark.dataops.similarity import brute_force_topk
+
+    emb = _load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "neighbor_id", "cos")
+
+
+def _q_embed_lsh(spark, sf):
+    from vector_spark.dataops.similarity import sign_lsh_bucket
+
+    emb = _load(spark, sf, "embeddings")
+    return (
+        emb.select(sign_lsh_bucket(F.col("embedding"), 8).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_text_stats(spark, sf):
+    from vector_spark.dataops.textstats import text_stats
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    out = text_stats(docs)
+    return out.select(
+        "doc_id", "n_words", "n_tokens", "stopword_ratio", "lang_guess", "fingerprint"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_pipeline": _flagship,
+        "filter": _q_filter,
+        "route": _q_route,
+        "sample": _q_sample,
+        "remap": _q_remap,
+        "json_parser": _q_json_parser,
+        "grok_parser": _q_grok,
+        "kv_parser": _q_kv_parser,
+        "logfmt_parser": _q_logfmt,
+        "tokenizer": _q_tokenizer,
+        "split": _q_split,
+        "coercer": _q_coercer,
+        "shapers": _q_shapers,
+        "dedupe": _q_dedupe,
+        "reduce": _q_reduce,
+        "reduce_ends_when": _q_reduce_ends_when,
+        "log_to_metric": _q_log_to_metric,
+        "histogram": _q_histogram,
+        "aggregate_window": _q_aggregate_window,
+        "enrich": _q_enrich,
+        "tag_cardinality": _q_tag_cardinality,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_jaccard,
+        "minhash": _q_minhash,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "embed_topk": _q_embed_topk,
+        "embed_lsh_buckets": _q_embed_lsh,
+        "text_stats": _q_text_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# duckdb's range() table function cannot be lateral — generate the
+# shingle index with unnest(generate_series(...)) instead
+_SHINGLES = """
+  SELECT DISTINCT id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id AS id, words,
+           unnest(generate_series(1, greatest(len(words)-2, 0))) AS i
+    FROM (SELECT cast(doc_id AS bigint) AS doc_id, string_split(text, ' ') AS words
+          FROM documents)
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_pipeline": _FLAGSHIP_ORACLE,
+        "filter": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type = 'error' AND value > 10.0
+        """,
+        "route": """
+            SELECT 'errors' AS lane, event_id FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'high_value' AS lane, event_id FROM events WHERE value >= 15.0
+            UNION ALL
+            SELECT 'rest' AS lane, event_id FROM events
+            WHERE event_type <> 'error' AND value < 15.0
+        """,
+        "sample": """
+            SELECT event_id, event_type, 4 AS sample_rate FROM events
+            WHERE substr(md5(cast(event_id AS varchar)), 1, 1) IN ('0','1','2','3')
+        """,
+        "remap": """
+            SELECT event_id, upper(event_type) AS etype_up,
+                   round(value * 2.0 + 1.0, 2) AS value2,
+                   coalesce(value, 0.0) AS vnz
+            FROM events
+        """,
+        "json_parser": """
+            SELECT event_id,
+                   cast(regexp_extract(props, '"k": (\\d+)', 1) AS bigint) AS prop_k
+            FROM events
+        """,
+        "grok_parser": """
+            SELECT event_id,
+                   printf('10.0.%d.%d', user_id % 256, event_id % 256) AS clientip,
+                   'GET' AS verb,
+                   printf('/api/%d', event_id) AS request,
+                   cast(200 + (event_id % 3) * 100 AS bigint) AS response,
+                   cast(trunc(value * 100) AS bigint) AS bytes
+            FROM events
+        """,
+        "kv_parser": """
+            SELECT event_id,
+                   cast(200 + event_id % 5 AS bigint) AS status,
+                   cast(trunc(value * 10) AS bigint) AS time
+            FROM events
+        """,
+        "logfmt_parser": """
+            SELECT event_id, 'info' AS level,
+                   printf('evt %s done', event_type) AS msg,
+                   printf('%dms', user_id) AS dur
+            FROM events
+        """,
+        "tokenizer": """
+            SELECT cast(doc_id AS bigint) AS doc_id,
+                   split_part(text, ' ', 1) AS tok1,
+                   split_part(text, ' ', 2) AS tok2,
+                   split_part(text, ' ', 3) AS tok3
+            FROM documents
+        """,
+        "split": """
+            SELECT cast(doc_id AS bigint) AS doc_id,
+                   split_part(text, ' ', 1) AS w1,
+                   split_part(text, ' ', 2) AS w2
+            FROM documents
+        """,
+        "coercer": """
+            SELECT event_id, cast(cast(value AS varchar) AS double) AS value_f FROM events
+        """,
+        "shapers": """
+            SELECT event_id, 'pipeline' AS app,
+                   event_type || '-' || cast(user_id AS varchar) AS label,
+                   substr(event_type, 1, 3) AS etype_head,
+                   event_type AS etype
+            FROM events
+        """,
+        "dedupe": """
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "reduce": """
+            SELECT user_id,
+                   string_agg(event_type, ' ' ORDER BY event_id) AS etypes,
+                   cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value,
+                   min(event_id) AS first_ord
+            FROM events GROUP BY user_id
+        """,
+        "reduce_ends_when": """
+            WITH s AS (
+              SELECT user_id, event_id AS ord, event_type,
+                     coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sess
+              FROM events
+            )
+            SELECT user_id, min(ord) AS session_start,
+                   string_agg(event_type, ' ' ORDER BY ord) AS etypes
+            FROM s GROUP BY user_id, sess
+        """,
+        "log_to_metric": """
+            SELECT 'events_total' AS name, event_type AS type_tag,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "histogram": """
+            SELECT event_type,
+                   cast(sum(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END) AS bigint) AS le_5_0,
+                   cast(sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS bigint) AS le_10_0,
+                   cast(sum(CASE WHEN value <= 15.0 THEN 1 ELSE 0 END) AS bigint) AS le_15_0,
+                   count(value) AS count,
+                   cast(sum(cast(value AS decimal(18,2))) AS double) AS sum
+            FROM events GROUP BY event_type
+        """,
+        "aggregate_window": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "enrich": """
+            SELECT e.event_id, e.event_type, v.category, v.weight
+            FROM events e
+            LEFT JOIN (VALUES ('click','interaction',1),('view','interaction',0),
+                              ('signup','conversion',5),('purchase','conversion',10),
+                              ('error','fault',-1)) v(event_type, category, weight)
+              ON e.event_type = v.event_type
+        """,
+        "tag_cardinality": """
+            WITH fs AS (
+              SELECT cast(user_id AS varchar) AS uv, min(ts) AS f_ts
+              FROM events GROUP BY 1
+            ), ranked AS (
+              SELECT uv, row_number() OVER (ORDER BY f_ts, uv) AS rk FROM fs
+            )
+            SELECT e.event_id FROM events e
+            JOIN ranked r ON cast(e.user_id AS varchar) = r.uv
+            WHERE r.rk <= 5
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+                   min(cast(doc_id AS bigint)) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.35
+        """,
+        "minhash": f"""
+            WITH sh AS ({_SHINGLES})
+            SELECT id, seed,
+                   min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+            FROM sh, range(0, 8) s(seed)
+            GROUP BY id, seed
+        """,
+        "minhash_lsh": f"""
+            WITH sh AS ({_SHINGLES}),
+            sig AS (
+              SELECT id, seed,
+                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+              FROM sh, range(0, 8) s(seed) GROUP BY id, seed
+            ),
+            banded AS (
+              SELECT id, cast(floor(seed / 2) AS int) AS band,
+                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY id, band
+            )
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+        """,
+        "simhash": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS id,
+                     unnest(string_split({_NORM}, ' ')) AS w
+              FROM documents
+            ),
+            bits AS (
+              SELECT id, j,
+                     cast(floor((strpos('0123456789abcdef',
+                                        substr(md5(w), cast(floor(j/4) AS int) + 1, 1)) - 1)
+                                / pow(2, 3 - (j % 4))) AS bigint) % 2 AS bit
+              FROM words, range(0, 16) t(j)
+            ),
+            maj AS (
+              SELECT id, j, CASE WHEN sum(2*bit - 1) >= 0 THEN 1 ELSE 0 END AS mbit
+              FROM bits GROUP BY id, j
+            )
+            SELECT id, cast(sum(mbit * cast(pow(2, j) AS bigint)) AS bigint) AS simhash
+            FROM maj GROUP BY id
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT cast(0 AS bigint) AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(cast(e.embedding AS double[]),
+                                                  cast(q.embedding AS double[])), 4) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            SELECT query_id, neighbor_id, cos FROM scored
+            ORDER BY cos DESC, neighbor_id LIMIT 5
+        """,
+        "embed_lsh_buckets": """
+            SELECT concat(
+                     cast(cast(embedding[1] > 0 AS int) AS varchar),
+                     cast(cast(embedding[2] > 0 AS int) AS varchar),
+                     cast(cast(embedding[3] > 0 AS int) AS varchar),
+                     cast(cast(embedding[4] > 0 AS int) AS varchar),
+                     cast(cast(embedding[5] > 0 AS int) AS varchar),
+                     cast(cast(embedding[6] > 0 AS int) AS varchar),
+                     cast(cast(embedding[7] > 0 AS int) AS varchar),
+                     cast(cast(embedding[8] > 0 AS int) AS varchar)
+                   ) AS bucket, count(*) AS n
+            FROM embeddings GROUP BY 1
+        """,
+        "text_stats": f"""
+            WITH norm AS (
+              SELECT cast(doc_id AS bigint) AS doc_id, text, {_NORM} AS ntext
+              FROM documents
+            ), base AS (
+              SELECT doc_id, text, ntext,
+                     len(string_split(ntext, ' ')) AS n_words,
+                     len(list_filter(string_split(ntext, ' '),
+                         w -> w IN ('the','a','an','and','of','to','in','is','it','that'))) AS n_sw
+              FROM norm
+            )
+            SELECT doc_id, n_words,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+                   round(n_sw / greatest(n_words, 1), 6) AS stopword_ratio,
+                   CASE WHEN round(n_sw / greatest(n_words, 1), 6) >= 0.03
+                        THEN 'en' ELSE 'unk' END AS lang_guess,
+                   md5(ntext) AS fingerprint
+            FROM base
+        """,
+    }

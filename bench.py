@@ -1,0 +1,261 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: end-to-end parse→enrich→route→aggregate pipeline throughput
+(sequences/sec) over a pre-materialized parquet table of pre-tokenized
+sequences (BASELINE.json metric) at local[$SPARK_GRAFT_CPUS], plus an
+N-vs-4N-cores scaling comparison (sandbox substitute for N vs 4N
+executors) with efficiency = (thr_4N / thr_N) / 4.
+
+Methodology (hard-won on this VM — see BASELINE.md):
+- every phase runs in its OWN subprocess/JVM: shared-JVM JIT/heap
+  state and an idle multi-GB parent heap measurably perturb later runs;
+- each timed leg is preceded by a full-pipeline JIT warmup run and a
+  writeback quiesce (the virtual disk's dirty-page flush throttles
+  successors 5-10×);
+- scaling legs run best-of-2: single-box timings here have
+  multiplicative noise, and max-throughput is the robust statistic;
+- the scaling pair defaults to N=2 vs 4N=8 because parquet array
+  decode saturates this VM's DRAM bandwidth at ~8-10 cores (the same
+  job burns 3.6× the cycles at 32 threads — cache-miss stalls). On a
+  real cluster each executor brings its own memory bus, so executor
+  scaling tracks the 2→8 regime, not 8→32 threads on one socket.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_ROWS, SPARK_GRAFT_SCALE_N (default 2),
+SPARK_GRAFT_BENCH_SCALING=0 to skip scaling legs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+SCALE_4N = SCALE_N * 4
+
+BENCH_QUERIES = [
+    "flagship_pipeline",
+    "grok_parser",
+    "reduce",
+    "aggregate_window",
+    "dedupe",
+    "log_to_metric",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "embed_topk",
+    "text_stats",
+]
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([\d.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def _quiesce_writeback(max_wait: float = 90.0) -> None:
+    """Wait for the kernel to drain dirty pages from the PREVIOUS
+    phase's writes — on this VM the virtual disk's flush throttles
+    subsequent runs 5-10×; every timed phase must start from the same
+    I/O state."""
+    os.sync()
+    deadline = time.monotonic() + max_wait
+    while time.monotonic() < deadline:
+        try:
+            with open("/proc/meminfo") as f:
+                info = dict(
+                    (line.split(":")[0], int(line.split()[1])) for line in f if ":" in line
+                )
+            if info.get("Dirty", 0) + info.get("Writeback", 0) < 51_200:  # <50 MB
+                return
+        except OSError:
+            return
+        time.sleep(1.0)
+
+
+def run_pipeline(spark, input_path: str, out_dir: str):
+    """The flagship sequences pipeline: remap → filter → enrich
+    (broadcast) → route (3 lanes) → single explode-write with
+    piggybacked telemetry. Returns (rows_in, wall_seconds).
+    (Also imported by tools/bench_leg.py.)"""
+    from vector_spark.fixtures import HOT_SOURCE, enrich_sources
+    from vector_spark.plans import Pipeline
+
+    cfg = {
+        "transforms": {
+            "derive": {
+                "type": "remap",
+                "inputs": ["in"],
+                "assignments": [
+                    (
+                        ".size_bucket",
+                        'if_else(.n_tok < 128, "small", if_else(.n_tok < 1024, "medium", "large"))',
+                    ),
+                    (".tok_head", "get(.tokens, 1)"),
+                ],
+            },
+            "keep": {"type": "filter", "inputs": ["derive"], "condition": ".n_tok >= 4"},
+            "enrich_src": {
+                "type": "enrich",
+                "inputs": ["keep"],
+                "table": "sources",
+                "on": "source",
+            },
+            "router": {
+                "type": "route",
+                "inputs": ["enrich_src"],
+                "routes": {
+                    "hot": f'.source == "{HOT_SOURCE}"',
+                    "large": '.size_bucket == "large"',
+                    "rest": f'.source != "{HOT_SOURCE}" && .size_bucket != "large"',
+                },
+            },
+        },
+        "sinks": {
+            "hot": {"inputs": ["router.hot"]},
+            "large": {"inputs": ["router.large"]},
+            "rest": {"inputs": ["router.rest"]},
+        },
+        "fanout": {"strategy": "explode", "root": f"{out_dir}/routed"},
+    }
+    df = spark.read.parquet(input_path)
+    pipe = Pipeline(cfg, enrich_tables={"sources": enrich_sources(spark)})
+    t0 = time.monotonic()
+    res = pipe.run(df, write=True, collect_telemetry=True)
+    wall = time.monotonic() - t0
+    return res.telemetry["events_in_total"], wall
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return max(total, 1)
+
+
+def _run_leg(threads: int, input_path: str, warm_path: str, out_dir: str, mpb: int) -> dict:
+    _quiesce_writeback()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(HERE, "tools", "bench_leg.py"),
+            str(threads),
+            input_path,
+            warm_path,
+            out_dir,
+            str(mpb),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"error": proc.stderr[-300:]}
+
+
+def main() -> None:
+    sf = _sf_of(SF_DIR)
+    n_rows = int(
+        os.environ.get("SPARK_GRAFT_BENCH_ROWS", str(max(100_000, int(8_000_000 * sf))))
+    )
+    scale_rows = max(100_000, n_rows // 4)
+
+    work = tempfile.mkdtemp(prefix="vs_bench_")
+    result: dict = {"sf": sf, "unit": "sec", "queries": {}}
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(HERE, "tools", "bench_gen.py"),
+                work,
+                str(n_rows),
+                str(scale_rows),
+                str(CPUS),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=1800,
+        )
+        mpb = max(4 << 20, _dir_bytes(f"{work}/seq") // (CPUS * 4))
+
+        # ---- headline pipeline at full parallelism (fresh JVM),
+        # best-of-2: single-run timings on this VM carry up to 4×
+        # external (host-tenancy) noise ----
+        big = {}
+        for i in range(2):
+            r = _run_leg(CPUS, f"{work}/seq", f"{work}/warm", f"{work}/leg_big{i}", mpb)
+            if "seq_per_sec" in r and r["seq_per_sec"] > big.get("seq_per_sec", 0.0):
+                big = r
+        result.update(
+            {
+                "metric": "pipeline_parse_enrich_route_aggregate_wall",
+                "value": big.get("wall"),
+                "pipeline_rows": big.get("rows"),
+                "sequences_per_sec": big.get("seq_per_sec"),
+                "headline_cpu_pct": big.get("mean_cpu_pct"),
+            }
+        )
+
+        # ---- operator queries at SF_DIR (own JVM) ----
+        qproc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(HERE, "tools", "bench_queries.py"),
+                SF_DIR,
+                str(CPUS),
+                ",".join(BENCH_QUERIES),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        if qproc.stdout.strip():
+            result["queries"] = json.loads(qproc.stdout.strip().splitlines()[-1])
+
+        # ---- N vs 4N scaling, best-of-2 per leg ----
+        if RUN_SCALING:
+            legs: dict[int, dict] = {}
+            for t in (SCALE_N, SCALE_4N, SCALE_N, SCALE_4N):
+                r = _run_leg(t, f"{work}/seq_scale", f"{work}/warm", f"{work}/leg{t}", mpb)
+                if "seq_per_sec" in r and (
+                    t not in legs or r["seq_per_sec"] > legs[t]["seq_per_sec"]
+                ):
+                    legs[t] = r
+            thr_n = legs.get(SCALE_N, {}).get("seq_per_sec", 0.0)
+            thr_4n = legs.get(SCALE_4N, {}).get("seq_per_sec", 0.0)
+            result["scaling"] = {
+                f"local{SCALE_N}_seq_per_sec": thr_n,
+                f"local{SCALE_4N}_seq_per_sec": thr_4n,
+                "cores_ratio": 4.0,
+                "efficiency": round((thr_4n / thr_n) / 4.0, 3) if thr_n else None,
+                "scale_rows": scale_rows,
+                "cpu_pct": {
+                    str(t): legs.get(t, {}).get("mean_cpu_pct") for t in (SCALE_N, SCALE_4N)
+                },
+            }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

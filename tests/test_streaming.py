@@ -1,0 +1,92 @@
+"""Structured Streaming ops driven synchronously via parquet source +
+memory/foreachBatch sinks (counts pinned, not wall-clock —
+SURVEY.md §2.6 divergence note)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.streaming import (
+    stream_aggregate,
+    stream_dedupe,
+    stream_reduce_sessions,
+    stream_route_writer,
+)
+
+
+@pytest.fixture()
+def stream_input(spark):
+    tmp = tempfile.mkdtemp(prefix="vs_stream_")
+    rows = [
+        (1, "a", 1.0, "2024-01-01 00:00:01"),
+        (2, "a", 2.0, "2024-01-01 00:00:05"),
+        (3, "b", 3.0, "2024-01-01 00:00:07"),
+        (4, "a", 4.0, "2024-01-01 00:05:00"),  # new window/session
+        (5, "b", 3.0, "2024-01-01 00:00:07"),  # dup key (k,ts)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    ).drop("ts_s")
+    df.write.parquet(f"{tmp}/in")
+    schema = spark.read.parquet(f"{tmp}/in").schema
+    stream = spark.readStream.schema(schema).parquet(f"{tmp}/in")
+    yield stream, tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(spark, df, name, mode="append"):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_aggregate_tumbling(spark, stream_input):
+    stream, _ = stream_input
+    agg = stream_aggregate(
+        stream, "ts", "1 minute", ["k"], {"v": "sum", "id": "count"}
+    )
+    # complete mode: append only emits after the watermark passes a
+    # window, which a single static micro-batch never triggers
+    out = _run_to_memory(spark, agg, "agg_out", mode="complete")
+    rows = {(r.k, str(r.window.start)): (r.v_sum, r.id_count) for r in out.collect()}
+    assert rows[("a", "2024-01-01 00:00:00")] == (3.0, 2)
+    assert rows[("b", "2024-01-01 00:00:00")] == (6.0, 2)
+    assert rows[("a", "2024-01-01 00:05:00")] == (4.0, 1)
+
+
+def test_stream_dedupe(spark, stream_input):
+    stream, _ = stream_input
+    out = _run_to_memory(spark, stream_dedupe(stream, ["k", "ts"], "ts"), "dd_out")
+    assert out.count() == 4  # row 5 is a (k, ts) duplicate of row 3
+
+
+def test_stream_reduce_sessions(spark, stream_input):
+    stream, _ = stream_input
+    red = stream_reduce_sessions(
+        stream, "ts", "1 minute", ["k"], {"v": "sum", "id": "count"}
+    )
+    out = _run_to_memory(spark, red, "sess_out", mode="complete")
+    a_sessions = [r for r in out.collect() if r.k == "a"]
+    assert len(a_sessions) == 2  # 00:00 run and 00:05 singleton
+
+
+def test_stream_route_writer(spark, stream_input):
+    stream, tmp = stream_input
+    writer = stream_route_writer(
+        stream,
+        routes={"ka": '.k == "a"', "big": ".v >= 3.0"},
+        sink_paths={"ka": f"{tmp}/ka", "big": f"{tmp}/big"},
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    ka = spark.read.parquet(f"{tmp}/ka")
+    big = spark.read.parquet(f"{tmp}/big")
+    assert {r.id for r in ka.collect()} == {1, 2, 4}
+    assert {r.id for r in big.collect()} == {3, 4, 5}  # non-exclusive lanes

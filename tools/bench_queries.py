@@ -1,0 +1,35 @@
+"""Time the headline operator queries in a dedicated JVM.
+
+argv: sf_dir cpus query1,query2,...
+Prints one JSON line {query: seconds}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf_dir, cpus = sys.argv[1], int(sys.argv[2])
+    names = sys.argv[3].split(",")
+    import __spark_entry__ as entrymod
+    from vector_spark.session import get_spark
+
+    spark = get_spark("bench_queries", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

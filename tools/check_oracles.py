@@ -1,0 +1,93 @@
+"""Local emulation of the driver's correctness gate: run each
+queries() entry on Spark and its oracle_sql() on DuckDB over the same
+parquet; compare row count + sorted-column value multiset.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_sig(pdf):
+    cols = sorted(pdf.columns)
+    rows = sorted(tuple(norm_cell(v) for v in row) for row in pdf[cols].itertuples(index=False))
+    return cols, rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from vector_spark import get_spark
+
+    spark = get_spark("oracle_check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"{name:24s} SPARK-ERROR {str(e)[:160]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name:24s} rows={len(sdf)} (no oracle — rows-only)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name:24s} ORACLE-ERROR {str(e)[:160]}")
+            failures.append(name)
+            continue
+        scols, srows = frame_sig(sdf)
+        ocols, orows = frame_sig(odf)
+        status = []
+        if len(srows) != len(orows):
+            status.append(f"ROWCOUNT spark={len(srows)} oracle={len(orows)}")
+        if scols != ocols:
+            status.append(f"COLS spark={scols} oracle={ocols}")
+        if not status and srows != orows:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            status.append(f"VALUES first-diffs={diff}")
+        if status:
+            print(f"{name:24s} MISMATCH {'; '.join(status)[:400]}")
+            failures.append(name)
+        else:
+            print(f"{name:24s} OK rows={len(srows)}")
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

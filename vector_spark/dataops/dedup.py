@@ -171,7 +171,9 @@ def simhash16(
         # the identical expression runs on any SQL engine
         (
             F.floor(
-                _hex_char_val(F.substring(F.col("h4"), (F.col("j") / 4).cast("int") + 1, 1))
+                _hex_char_val(
+                    F.substring(F.col("h4"), (F.floor(F.col("j") / 4) + 1).cast("int"), 1)
+                )
                 / F.pow(F.lit(2.0), 3 - (F.col("j") % 4))
             )
             % 2

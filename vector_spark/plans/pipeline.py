@@ -104,6 +104,20 @@ class Pipeline:
         persist: bool = True,
         collect_telemetry: bool = True,
     ) -> PipelineResult:
+        """Fan-out strategies (config["fanout"]["strategy"]):
+
+        - "persist" (default): persist the terminal frame once, then
+          one filtered write per sink. Right when sinks differ in
+          format/layout. Memory-bound by the cached frame.
+        - "explode": ONE write — each live row explodes into one copy
+          per matching lane, written ``partitionBy("lane", ...)`` under
+          config["fanout"]["root"]; telemetry rides the same job via
+          the Observation API (zero extra passes). The scale path: a
+          100 TB input is scanned exactly once and never cached.
+        """
+        strategy = (self.config.get("fanout") or {}).get("strategy", "persist")
+        if strategy == "explode" and write:
+            return self._run_explode(df)
         t0 = time.monotonic()
         telemetry = Telemetry()
         frames: dict[str, DataFrame] = {"in": df}
@@ -164,6 +178,86 @@ class Pipeline:
             wall_seconds=time.monotonic() - t0,
             frame=terminal,
             lanes=lanes,
+        )
+
+    def _run_explode(self, df: DataFrame) -> PipelineResult:
+        """Single-scan single-write fan-out with piggybacked telemetry."""
+        from pyspark.sql import Observation
+
+        t0 = time.monotonic()
+        telemetry = Telemetry()
+        frames: dict[str, DataFrame] = {"in": df}
+        for name in self._order:
+            spec = dict(self.transforms[name])
+            typ = spec.pop("type")
+            inputs = spec.pop("inputs", ["in"])
+            src = self._resolve_input(frames, inputs)
+            frames[name] = self._apply(name, typ, spec, src, telemetry)
+        terminal = frames[self._order[-1]] if self._order else df
+
+        fan = self.config["fanout"]
+        root = fan["root"]
+        extra_parts = fan.get("partition_by", [])
+        # sink -> lane mapping comes from sink inputs ("router.lane")
+        sink_lanes: dict[str, Column] = {}
+        for sname, sspec in self.sinks.items():
+            inp = sspec.get("inputs", [None])[0]
+            if inp and "." in inp and inp.split(".")[0] in self._routes:
+                lane = inp.split(".", 1)[1]
+                sink_lanes[sname] = F.col(ROUTE_PREFIX + lane)
+            else:
+                sink_lanes[sname] = F.lit(True)
+
+        live_flag = alive_col(terminal)
+        # one-pass telemetry + per-sink counts via Observation
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("events_in_total")]
+        for cname, flag in telemetry.counters:
+            aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(cname))
+        for sname, flag in sink_lanes.items():
+            aggs.append(
+                F.sum(F.when(live_flag & flag, 1).otherwise(0)).alias(f"__sink_{sname}")
+            )
+        observed = terminal.observe(obs, *aggs)
+
+        lane_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(live_flag & flag, F.lit(sname))
+                    for sname, flag in sink_lanes.items()
+                ]
+            )
+        )
+        internal = [
+            c
+            for c in terminal.columns
+            if c.startswith(ROUTE_PREFIX)
+            or c.startswith("_miss_")
+            or c.startswith("_err_")
+            or c.startswith("_vs_")
+            or c == DROPPED_BY
+        ]
+        out = observed.withColumn("lane", F.explode(lane_arr)).drop(*internal)
+        (
+            out.write.mode(fan.get("mode", "overwrite"))
+            .partitionBy("lane", *extra_parts)
+            .format(fan.get("format", "parquet"))
+            .save(root)
+        )
+        got = obs.get
+        tele = {k: int(v or 0) for k, v in got.items() if not k.startswith("__sink_")}
+        sink_counts = {
+            k[len("__sink_") :]: int(v or 0)
+            for k, v in got.items()
+            if k.startswith("__sink_")
+        }
+        return PipelineResult(
+            telemetry=tele,
+            sink_counts=sink_counts,
+            sink_paths={s: f"{root}/lane={s}" for s in self.sinks},
+            wall_seconds=time.monotonic() - t0,
+            frame=None,
+            lanes={},
         )
 
     def _resolve_input(self, frames: dict[str, DataFrame], inputs: list[str]) -> DataFrame:

@@ -48,9 +48,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        # At 100 TB: bound scan task size so partitions fit executor memory.
-        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        # Scan-split sizing: bounds task size AND floor-parallelism.
+        # Too large packs many small files into few splits and starves
+        # the cores (measured: 256MB packed a 700MB/64-file input into
+        # 3 tasks → 32 cores idle). 128MB (Spark default) for cluster
+        # scale; benches override via env to keep splits ≈ 4×cores.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
     )
+    # allocation-heavy array decode benches sometimes prefer ParallelGC
+    # over G1 (only effective when the JVM hasn't started yet)
+    if os.environ.get("SPARK_GRAFT_GC") == "parallel":
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 

@@ -1,0 +1,6 @@
+from vector_spark.streaming.ops import (  # noqa: F401
+    stream_aggregate,
+    stream_dedupe,
+    stream_reduce_sessions,
+    stream_route_writer,
+)

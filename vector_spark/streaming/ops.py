@@ -1,0 +1,132 @@
+"""Structured Streaming variants of the stateful (Task) transforms.
+
+Vector's streaming semantics are processing-time based (SURVEY.md
+§2.6): aggregate flushes every interval_ms (tumbling), reduce expires
+groups after expire_after_ms of staleness (session), dedupe holds an
+LRU of 5000 keys. Here the event-time equivalents:
+
+| Vector                        | this module                         |
+|-------------------------------|-------------------------------------|
+| aggregate.interval_ms         | tumbling window + watermark         |
+| reduce.expire_after_ms        | session_window(ts, gap)             |
+| dedupe LRU(5000)              | dropDuplicates + watermark (TTL)    |
+| route fan-out to sinks        | foreachBatch multi-write            |
+
+Divergence (documented, SURVEY.md §7): Vector measures staleness in
+processing time; we use event-time + watermark, which is strictly
+better behaved under replay/backfill. Tests pin counts, not wall
+clock.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_spark.conditions import compile_condition
+from vector_spark.operators.core import ROUTE_COL_PREFIX, route_flags
+
+
+def stream_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    interval: str,
+    group_by: list[str],
+    aggs: dict[str, str],
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Tumbling-window aggregate (aggregate.rs:18-130 interval flush).
+
+    ``aggs``: column -> strategy (sum|max|min|count|last). ``last``
+    approximates Absolute-kind last-write via max_by(ts)."""
+    exprs: list[Column] = []
+    for col, how in aggs.items():
+        if how == "sum":
+            exprs.append(F.sum(col).alias(f"{col}_sum"))
+        elif how == "max":
+            exprs.append(F.max(col).alias(f"{col}_max"))
+        elif how == "min":
+            exprs.append(F.min(col).alias(f"{col}_min"))
+        elif how == "count":
+            exprs.append(F.count(col).alias(f"{col}_count"))
+        elif how == "last":
+            exprs.append(F.max_by(col, ts_col).alias(f"{col}_last"))
+        else:
+            raise ValueError(f"unknown agg {how!r}")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, interval).alias("window"), *group_by)
+        .agg(*exprs)
+    )
+
+
+def stream_dedupe(
+    stream: DataFrame, keys: list[str], ts_col: str, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Streaming dedupe (dedupe.rs LRU analogue): exact key dedupe with
+    state TTL bound by the watermark instead of an LRU count bound."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys])
+
+
+def stream_reduce_sessions(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_by: list[str],
+    aggs: dict[str, str],
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Session-window reduce (reduce.rs expire_after_ms): a group's
+    events merge until ``gap`` of event-time silence."""
+    exprs = []
+    for col, how in aggs.items():
+        if how == "sum":
+            exprs.append(F.sum(col).alias(f"{col}_sum"))
+        elif how == "count":
+            exprs.append(F.count(col).alias(f"{col}_count"))
+        elif how == "array":
+            exprs.append(F.collect_list(col).alias(f"{col}_array"))
+        elif how == "concat":
+            exprs.append(F.concat_ws(" ", F.collect_list(col)).alias(f"{col}_concat"))
+        else:
+            raise ValueError(f"unknown agg {how!r}")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), *group_by)
+        .agg(*exprs)
+    )
+
+
+def stream_route_writer(
+    stream: DataFrame,
+    routes: dict[str, Any],
+    sink_paths: dict[str, str],
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+):
+    """Streaming fan-out: ONE stream, foreachBatch writes every lane
+    per micro-batch (the exactly-once multi-sink pattern; Vector's
+    fanout channel, src/topology/fanout.rs). The micro-batch frame is
+    persisted so N lane writes share one upstream evaluation."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        flagged = route_flags(batch_df, routes).persist()
+        try:
+            for lane, path in sink_paths.items():
+                (
+                    flagged.filter(F.col(ROUTE_COL_PREFIX + lane))
+                    .drop(*[ROUTE_COL_PREFIX + r for r in routes])
+                    .write.mode("append")
+                    .format(fmt)
+                    .save(path)
+                )
+        finally:
+            flagged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
