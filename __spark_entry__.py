@@ -473,6 +473,186 @@ def _q_text_stats(spark, sf):
     )
 
 
+def _q_field_filter(spark, sf):
+    from vector_spark.operators.core import field_filter
+
+    ev = _load(spark, sf, "events")
+    return field_filter(ev, "event_type", "purchase").select("event_id", "event_type")
+
+
+def _q_explode_1n(spark, sf):
+    from vector_spark.operators.parsers import json_array_parser
+
+    ev = _load(spark, sf, "events")
+    payload = F.format_string(
+        '[{"rec_id": %d, "body": "%s"}, {"rec_id": %d, "body": "%s-tail"}]',
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("event_id") + 10_000_000,
+        F.col("event_type"),
+    )
+    df = ev.select("event_id", payload.alias("message"))
+    out = json_array_parser(df, field="message", element_schema="rec_id long, body string")
+    return out.select("event_id", "rec_id", "body")
+
+
+def _q_salted_agg(spark, sf):
+    from vector_spark.skew import salted_agg
+
+    ev = _load(spark, sf, "events")
+    out = salted_agg(
+        ev.select("event_type", F.col("value").cast("decimal(18,2)").alias("dv")),
+        ["event_type"],
+        [F.count(F.lit(1)).alias("c"), F.sum("dv").alias("s")],
+        [F.sum("c").alias("cnt"), F.sum("s").cast("double").alias("sum_value")],
+        n_salts=8,
+    )
+    return out.select("event_type", "cnt", "sum_value")
+
+
+def _q_parse_url(spark, sf):
+    from vector_spark.functions.vrl import parse_url
+
+    ev = _load(spark, sf, "events")
+    url = F.format_string(
+        "https://host%d.example.com/api/%s/%d?page=%d",
+        F.pmod(F.col("user_id"), F.lit(10)),
+        F.col("event_type"),
+        F.col("event_id"),
+        F.pmod(F.col("event_id"), F.lit(7)),
+    )
+    u = parse_url(url)
+    return ev.select(
+        "event_id",
+        u["scheme"].alias("scheme"),
+        u["host"].alias("host"),
+        u["path"].alias("path"),
+        u["query"].alias("query"),
+    )
+
+
+def _q_parse_duration(spark, sf):
+    from vector_spark.functions.vrl import parse_duration_seconds
+
+    ev = _load(spark, sf, "events")
+    dur = F.format_string("%dms", (F.col("value") * 10).cast("long"))
+    return ev.select(
+        "event_id",
+        F.round(parse_duration_seconds(dur), 6).alias("dur_s"),
+    )
+
+
+def _q_syslog(spark, sf):
+    from vector_spark.functions.vrl import to_syslog_level, to_syslog_severity
+
+    ev = _load(spark, sf, "events")
+    level = F.element_at(
+        F.array(*[F.lit(x) for x in ("emerg", "alert", "crit", "err", "warning", "notice", "info", "debug")]),
+        (F.pmod(F.col("event_id"), F.lit(8)) + 1).cast("int"),
+    )
+    return ev.select(
+        "event_id",
+        level.alias("level"),
+        to_syslog_severity(level).alias("severity"),
+        to_syslog_level(F.pmod(F.col("event_id"), F.lit(8))).alias("roundtrip"),
+    )
+
+
+def _q_encode_logfmt(spark, sf):
+    from vector_spark.functions.vrl import encode_logfmt
+
+    ev = _load(spark, sf, "events")
+    m = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("msg"), F.format_string("user %d", F.col("user_id")),
+    )
+    return ev.select("event_id", encode_logfmt(m).alias("line"))
+
+
+def _q_metric_to_log(spark, sf):
+    from vector_spark.operators import aggregate_metrics, log_to_metric, metric_to_log
+
+    ev = _load(spark, sf, "events").withColumnRenamed("ts", "timestamp")
+    metrics = log_to_metric(
+        ev,
+        [{"type": "counter", "field": "event_type", "name": "events_total",
+          "tags": {"type": "{{event_type}}"}}],
+    )
+    agg = aggregate_metrics(metrics)
+    logs = metric_to_log(agg)
+    return logs.select("name", "kind", "metric_type", F.col("value").cast("long").alias("cnt"), "tags_json")
+
+
+def _q_embed_lsh_topk(spark, sf):
+    from vector_spark.dataops.similarity import lsh_topk
+
+    emb = _load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = lsh_topk(emb, q, k=5, dims=8)
+    return out.select("query_id", "neighbor_id", "cos")
+
+
+def _q_merge_partial(spark, sf):
+    from vector_spark.operators import merge_partial
+
+    ev = _load(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("ord"),
+        "event_type",
+        (F.pmod(F.col("event_id"), F.lit(3)) != 0).alias("_partial"),
+    )
+    out = merge_partial(
+        ev, fields=["event_type"], discriminant=["user_id"], order_by="ord", joiner=" "
+    )
+    return out.select("user_id", F.col("ord").alias("closed_at"), F.col("event_type").alias("merged"))
+
+
+def _q_ansi_stripper(spark, sf):
+    from vector_spark.operators import ansi_stripper
+
+    ev = _load(spark, sf, "events")
+    msg = F.concat(
+        F.lit("\x1b[31m"), F.col("event_type"), F.lit("\x1b[0m"), F.lit(" done")
+    )
+    df = ev.select("event_id", msg.alias("message"))
+    return ansi_stripper(df).select("event_id", F.col("message").alias("clean"))
+
+
+def _q_stream_aggregate(spark, sf):
+    """Structured Streaming tumbling aggregate driven to completion
+    over the events parquet (complete mode == batch counts)."""
+    import uuid
+
+    from vector_spark.streaming import stream_aggregate
+
+    schema = _load(spark, sf, "events").schema
+    # streaming file source needs a DIRECTORY: point at sf_dir and
+    # glob-filter to the events table file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    # parquet reads NTZ; watermarks require TIMESTAMP (LTZ, session=UTC)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = stream_aggregate(stream, "ts", "1 hour", ["event_type"], {"event_id": "count"})
+    name = f"vs_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql(f"select * from {name}")
+    return out.select(
+        F.col("window.start").alias("hour"),
+        "event_type",
+        F.col("event_id_count").alias("cnt"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -504,6 +684,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": _q_embed_topk,
         "embed_lsh_buckets": _q_embed_lsh,
         "text_stats": _q_text_stats,
+        "field_filter": _q_field_filter,
+        "explode_1n": _q_explode_1n,
+        "salted_agg": _q_salted_agg,
+        "parse_url": _q_parse_url,
+        "parse_duration": _q_parse_duration,
+        "syslog": _q_syslog,
+        "encode_logfmt": _q_encode_logfmt,
+        "metric_to_log": _q_metric_to_log,
+        "embed_lsh_topk": _q_embed_lsh_topk,
+        "merge_partial": _q_merge_partial,
+        "ansi_stripper": _q_ansi_stripper,
+        "stream_aggregate": _q_stream_aggregate,
     }
 
 
@@ -751,6 +943,104 @@ def oracle_sql() -> dict[str, str]:
                      cast(cast(embedding[8] > 0 AS int) AS varchar)
                    ) AS bucket, count(*) AS n
             FROM embeddings GROUP BY 1
+        """,
+        "field_filter": """
+            SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+        """,
+        "explode_1n": """
+            SELECT event_id, event_id AS rec_id, event_type AS body FROM events
+            UNION ALL
+            SELECT event_id, event_id + 10000000 AS rec_id,
+                   event_type || '-tail' AS body
+            FROM events
+        """,
+        "salted_agg": """
+            SELECT event_type, count(*) AS cnt,
+                   cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "parse_url": """
+            SELECT event_id,
+                   'https' AS scheme,
+                   printf('host%d.example.com', user_id % 10) AS host,
+                   printf('/api/%s/%d', event_type, event_id) AS path,
+                   printf('page=%d', event_id % 7) AS query
+            FROM events
+        """,
+        "parse_duration": """
+            SELECT event_id,
+                   round(cast(trunc(value * 10) AS bigint) * 0.001, 6) AS dur_s
+            FROM events
+        """,
+        "syslog": """
+            WITH lv AS (
+              SELECT event_id,
+                     ['emerg','alert','crit','err','warning','notice','info','debug']
+                       [cast(event_id % 8 AS int) + 1] AS level
+              FROM events
+            )
+            SELECT event_id, level,
+                   CASE level WHEN 'emerg' THEN 0 WHEN 'alert' THEN 1 WHEN 'crit' THEN 2
+                        WHEN 'err' THEN 3 WHEN 'warning' THEN 4 WHEN 'notice' THEN 5
+                        WHEN 'info' THEN 6 WHEN 'debug' THEN 7 END AS severity,
+                   level AS roundtrip
+            FROM lv
+        """,
+        "encode_logfmt": """
+            SELECT event_id,
+                   printf('etype=%s msg="user %d"', event_type, user_id) AS line
+            FROM events
+        """,
+        "metric_to_log": """
+            SELECT 'events_total' AS name, 'incremental' AS kind,
+                   'counter' AS metric_type, count(*) AS cnt,
+                   printf('{"type":"%s"}', event_type) AS tags_json
+            FROM events GROUP BY event_type
+        """,
+        "embed_lsh_topk": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     concat(
+                       cast(cast(embedding[1] > 0 AS int) AS varchar),
+                       cast(cast(embedding[2] > 0 AS int) AS varchar),
+                       cast(cast(embedding[3] > 0 AS int) AS varchar),
+                       cast(cast(embedding[4] > 0 AS int) AS varchar),
+                       cast(cast(embedding[5] > 0 AS int) AS varchar),
+                       cast(cast(embedding[6] > 0 AS int) AS varchar),
+                       cast(cast(embedding[7] > 0 AS int) AS varchar),
+                       cast(cast(embedding[8] > 0 AS int) AS varchar)) AS bucket
+              FROM embeddings
+            ), q AS (SELECT * FROM b WHERE vec_id = 0),
+            scored AS (
+              SELECT cast(0 AS bigint) AS query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(cast(e.embedding AS double[]),
+                                                  cast(q.embedding AS double[])), 4) AS cos
+              FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, cos FROM scored
+            ORDER BY cos DESC, neighbor_id LIMIT 5
+        """,
+        "ansi_stripper": """
+            SELECT event_id, event_type || ' done' AS clean FROM events
+        """,
+        "stream_aggregate": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "merge_partial": """
+            WITH marked AS (
+              SELECT user_id, event_id AS ord, event_type,
+                     CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS np
+              FROM events
+            ), grouped AS (
+              SELECT *, sum(np) OVER (PARTITION BY user_id ORDER BY ord
+                                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS grp
+              FROM marked
+            )
+            SELECT user_id, max(ord) AS closed_at,
+                   string_agg(event_type, ' ' ORDER BY ord) AS merged
+            FROM grouped WHERE grp > 0
+            GROUP BY user_id, grp
         """,
         "text_stats": f"""
             WITH norm AS (

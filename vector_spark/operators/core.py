@@ -156,3 +156,10 @@ def dedupe(
         .filter(F.col("_dd_rn") == 1)
         .drop("_dd_rn")
     )
+
+
+def field_filter(df: DataFrame, field: str, value) -> DataFrame:
+    """Deprecated `field_filter` transform (field_filter.rs:10-90):
+    keep events where field == value (string equality in the
+    reference; typed equality here)."""
+    return df.filter(F.col(field) == F.lit(value))

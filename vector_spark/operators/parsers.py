@@ -295,3 +295,25 @@ def split_fields(
     if drop_field and field not in field_names:
         out = out.drop(field)
     return out
+
+
+def json_array_parser(
+    df: DataFrame,
+    field: str = "message",
+    element_schema: str = "message string",
+    drop_field: bool = True,
+) -> DataFrame:
+    """1→N subscription-style parse: the field holds a JSON ARRAY of
+    records; each element becomes one output event with the parent's
+    other columns carried along.
+
+    Reference: aws_cloudwatch_logs_subscription_parser.rs:19-120 (one
+    event per contained log record) — from_json + explode."""
+    parsed = F.from_json(F.col(field).cast("string"), f"array<struct<{element_schema}>>")
+    out = df.withColumn("_vs_rec", F.explode(parsed))
+    rec_fields = out.select("_vs_rec.*").columns
+    keep = [c for c in out.columns if c not in ("_vs_rec",) and c not in rec_fields]
+    out = out.select(*keep, *[F.col(f"_vs_rec.{c}").alias(c) for c in rec_fields])
+    if drop_field and field in out.columns and field not in rec_fields:
+        out = out.drop(field)
+    return out
