@@ -653,6 +653,27 @@ def _q_stream_aggregate(spark, sf):
     )
 
 
+def _q_multimodal(spark, sf):
+    """Arrow-batched feature extraction over binary media columns —
+    no SQL oracle (pandas-UDF stage); driver records rows-only."""
+    from vector_spark.dataops.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 300)
+    out = extract_features(media)
+    return out.select("media_id", "kind", "n_bytes", "sha", "decode_ok")
+
+
+def _q_ivf_topk(spark, sf):
+    """IVF ANN (driver-trained coarse quantizer + pandas-UDF cell
+    assignment) — no SQL oracle; rows-only check."""
+    from vector_spark.dataops.similarity import ivf_centroids, ivf_topk
+
+    emb = _load(spark, sf, "embeddings")
+    cents = ivf_centroids(emb, n_cells=8, sample_rows=512)
+    q = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(emb, q, cents, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -696,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_partial": _q_merge_partial,
         "ansi_stripper": _q_ansi_stripper,
         "stream_aggregate": _q_stream_aggregate,
+        "multimodal_features": _q_multimodal,
+        "ivf_topk": _q_ivf_topk,
     }
 
 

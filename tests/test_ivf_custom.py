@@ -1,0 +1,69 @@
+"""IVF ANN variant + custom mapInPandas stage (lua/wasm analogue)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+)
+from vector_spark.operators.remap import custom_stage
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    c1 = ivf_centroids(emb, n_cells=4, sample_rows=256)
+    c2 = ivf_centroids(emb, n_cells=4, sample_rows=256)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == len(emb.first().embedding)
+
+
+def test_ivf_assign_covers_all_cells(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_cells=4, sample_rows=256)
+    assigned = ivf_assign(emb, cents)
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells.issubset(set(range(4))) and len(cells) >= 2
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = ivf_centroids(emb, n_cells=4, sample_rows=256)
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = [r.neighbor_id for r in brute_force_topk(emb, q, k=5).collect()]
+    approx = ivf_topk(emb, q, cents, k=5)
+    got = [r.neighbor_id for r in approx.collect()]
+    # nprobe=1 recall: at least one of the true top-5 in the probed cell
+    assert len(got) >= 1
+    assert len(set(got) & set(exact)) >= 1
+    # every returned neighbor shares the query's cell
+    assigned = ivf_assign(emb, cents)
+    qcell = assigned.filter("vec_id = 0").first().cell
+    cell_of = {r.vec_id: r.cell for r in assigned.collect()}
+    assert all(cell_of[n] == qcell for n in got)
+
+
+def test_custom_stage_stateful_batches(spark):
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+    def stage(batches):
+        # per-partition init (hooks.init analogue)
+        seen = 0
+        for pdf in batches:
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v3": pdf["v"] * 3, "running": seen}
+            )
+
+    out = custom_stage(df, stage, "id long, v3 long, running long")
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r.v3 == r.id * 6 for r in rows)

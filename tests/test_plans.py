@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the plans Catalyst produces must be the
+plans we'd want at 100 TB — pushdown to the scan, column pruning,
+broadcast joins, map-side partial aggregation, no extra shuffles.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_spark.fixtures import enrich_sources
+from vector_spark.operators import filter_events, log_to_metric, route_flags
+from vector_spark.operators.enrich import enrich
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events_pq(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_filter_pushes_to_parquet_scan(events_pq):
+    out = filter_events(events_pq, '.event_type == "error"').select("event_id")
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(events_pq):
+    out = events_pq.select("event_id", "event_type").filter("event_id > 10")
+    plan = _plan(out)
+    # ReadSchema must not include unused columns like props/value
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_route_flags_single_scan_no_shuffle(events_pq):
+    flagged = route_flags(
+        events_pq, {"a": '.event_type == "error"', "b": ".value > 10.0"}
+    )
+    plan = _plan(flagged)
+    assert "Exchange" not in plan  # narrow op: no shuffle
+
+
+def test_enrich_is_broadcast_not_shuffle(spark, events_pq):
+    dim = spark.createDataFrame(
+        [("error", "fault")], "event_type string, category string"
+    )
+    out = enrich(events_pq, dim, on="event_type")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_log_to_metric_aggregate_has_partial_agg(spark, events_pq):
+    metrics = log_to_metric(
+        events_pq.withColumnRenamed("ts", "timestamp"),
+        [{"type": "counter", "field": "event_type", "name": "n"}],
+    )
+    from vector_spark.operators import aggregate_metrics
+
+    agg = aggregate_metrics(metrics)
+    plan = _plan(agg)
+    # map-side combine: partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_parsers(spark):
+    from vector_spark.operators import regex_parser
+
+    df = spark.range(100).select(F.format_string("status=%d", F.col("id")).alias("message"))
+    out = regex_parser(df, [r"status=(?P<status>\d+)"], types={"status": "int"})
+    plan = _plan(out)
+    # "*(n)" prefixes mark WholeStageCodegen stages in the compact form
+    assert "*(1)" in plan
+
+
+def test_explode_fanout_single_exchange_free_plan(spark, events_pq):
+    # the explode fan-out write path is shuffle-free up to the write
+    from vector_spark.operators.core import ROUTE_COL_PREFIX
+
+    flagged = route_flags(events_pq, {"x": ".value > 10.0", "y": ".value <= 10.0"})
+    lanes = F.array_compact(
+        F.array(
+            F.when(F.col(ROUTE_COL_PREFIX + "x"), F.lit("x")),
+            F.when(F.col(ROUTE_COL_PREFIX + "y"), F.lit("y")),
+        )
+    )
+    out = flagged.withColumn("lane", F.explode(lanes))
+    assert "Exchange" not in _plan(out)

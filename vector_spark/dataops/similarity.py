@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,6 +116,110 @@ def lsh_topk(
         sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
     )
     scored = corpus.join(F.broadcast(q), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantization via driver-side k-means
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train coarse centroids on a driver-side sample (numpy k-means,
+    deterministic: evenly-spaced seed points, fixed iterations). The
+    sample is bounded (default 2048 rows) — the 100 TB corpus never
+    moves; only the centroid list (n_cells × d floats) ships back as
+    plan literals / broadcast.
+    """
+    import numpy as np
+
+    rows = (
+        df.orderBy(id_col).limit(sample_rows).select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    n = len(x)
+    cents = x[np.linspace(0, n - 1, n_cells).astype(int)].copy()
+    for _ in range(iters):
+        d = x @ cents.T  # cosine-ish assignment on normalized-ish data
+        norm_x = np.linalg.norm(x, axis=1, keepdims=True)
+        norm_c = np.linalg.norm(cents, axis=1, keepdims=True).T
+        sim = d / (norm_x * norm_c + 1e-12)
+        assign = sim.argmax(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [c.tolist() for c in cents]
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell — vectorized
+    pandas UDF (Arrow batches; numpy matmul per batch, no per-row
+    Python)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cents = np.array(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        sim = (x @ cents.T) / (
+            np.linalg.norm(x, axis=1, keepdims=True) * cnorm[None, :] + 1e-12
+        )
+        return pd.Series(sim.argmax(axis=1).astype("int32"))
+
+    return df.withColumn("cell", cell_of(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    centroids,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN probe: score only corpus vectors in the query's IVF cell
+    (nprobe=1). Equi-join on cell — candidate generation is a hash
+    join keyed by the coarse quantizer, never a cross join."""
+    from pyspark.sql import Window
+
+    corpus = ivf_assign(
+        df.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cvec"),
+        ).withColumn("embedding", F.col("_cvec")),
+        centroids,
+    ).drop("embedding")
+    q = ivf_assign(
+        query_df.select(
+            F.col(id_col).alias("query_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
+        ).withColumn("embedding", F.col("_qvec")),
+        centroids,
+    ).drop("embedding")
+    scored = corpus.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = scored.select(

@@ -9,6 +9,7 @@ the user had written one query.
 
 from vector_spark.operators.core import (  # noqa: F401
     dedupe,
+    field_filter,
     filter_events,
     route_flags,
     route_split,
@@ -23,6 +24,7 @@ from vector_spark.operators.shapers import (  # noqa: F401
     rename_fields,
 )
 from vector_spark.operators.parsers import (  # noqa: F401
+    json_array_parser,
     json_parser,
     key_value_parser,
     logfmt_parser,

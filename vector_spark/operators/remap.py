@@ -90,3 +90,15 @@ def explode_events(df: DataFrame, array_field: str, target: str | None = None) -
     target = target or array_field
     out = df.withColumn(target, F.explode(F.col(array_field)))
     return out
+
+
+def custom_stage(df: DataFrame, fn, schema: str) -> DataFrame:
+    """Escape hatch for logic neither Column exprs nor the VRL-lite
+    subset can express — the lua/wasm extension point of the reference
+    (src/transforms/lua/v2/mod.rs:15-834, wasm.rs:24-345).
+
+    ``fn(iterator[pandas.DataFrame]) -> iterator[pandas.DataFrame]``
+    runs per Arrow batch (mapInPandas): one Python crossing per batch,
+    never per row. State (the Lua ``hooks.init`` analogue) lives in
+    the closure, initialized once per partition."""
+    return df.mapInPandas(fn, schema=schema)

@@ -376,6 +376,8 @@ class Pipeline:
             "regex_parser": parsers.regex_parser,
             "grok_parser": grok_mod.grok_parser,
             "json_parser": parsers.json_parser,
+            "json_array_parser": parsers.json_array_parser,
+            "field_filter": core.field_filter,
             "key_value_parser": parsers.key_value_parser,
             "logfmt_parser": parsers.logfmt_parser,
             "tokenizer": parsers.tokenizer,
