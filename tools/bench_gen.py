@@ -23,9 +23,10 @@ def main():
 
     spark = get_spark("bench_gen", master=f"local[{cpus}]", shuffle_partitions=cpus)
     sequences(spark, n_rows, num_partitions=cpus * 2).write.parquet(f"{work}/seq")
-    sequences(spark, scale_rows, seed=3, num_partitions=cpus * 2).write.parquet(
-        f"{work}/seq_scale"
-    )
+    if scale_rows != n_rows:
+        sequences(spark, scale_rows, seed=3, num_partitions=cpus * 2).write.parquet(
+            f"{work}/seq_scale"
+        )
     sequences(spark, 40_000, seed=7, num_partitions=cpus).write.parquet(f"{work}/warm")
     spark.stop()
     print("ok")

@@ -57,6 +57,14 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
         )
+        # lz4+dictionary writes token-array parquet 2× faster than the
+        # snappy default at equal file size (measured 4.0s vs 8.2s for
+        # 333MB). zstd is ~20% smaller but 2.6× slower — use it for
+        # cold archival sinks via the sink-level compression option.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "lz4"),
+        )
     )
     # allocation-heavy array decode benches sometimes prefer ParallelGC
     # over G1 (only effective when the JVM hasn't started yet)
