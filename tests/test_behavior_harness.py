@@ -1,0 +1,165 @@
+"""Config-driven behavior tests — the port of `vector test`
+(src/config/unit_test.rs, tests/behavior/transforms/*.toml shapes).
+The TOML below is OUR corpus written in the reference's format (lane
+membership, downstream composition, no_outputs_from), not copied data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_spark.plans.config import load_pipeline, load_pipeline_config, parse_remap_source
+from vector_spark.testing import run_behavior_file, run_behavior_test
+
+ROUTE_BEHAVIOR_TOML = '''
+[transforms.stamp]
+type = "add_fields"
+inputs = ["in"]
+[transforms.stamp.fields]
+app = "behavior"
+
+[transforms.router]
+type = "route"
+inputs = ["stamp"]
+[transforms.router.route]
+first = '.message == "test swimlane 1"'
+second = '.message == "test swimlane 2"'
+starts = 'starts_with(.message, "test")'
+
+[transforms.tag_first]
+type = "add_fields"
+inputs = ["router.first"]
+[transforms.tag_first.fields]
+lane = "first"
+
+[[tests]]
+name = "lane membership and downstream composition"
+input_schema = "message string"
+[[tests.input_rows]]
+message = "test swimlane 1"
+[[tests.input_rows]]
+message = "test swimlane 2"
+[[tests.input_rows]]
+message = "other"
+
+[[tests.outputs]]
+extract_from = "router.first"
+expect_rows = 1
+conditions = ['.message == "test swimlane 1"', '.app == "behavior"']
+
+[[tests.outputs]]
+extract_from = "router.starts"
+expect_rows = 2
+
+[[tests.outputs]]
+extract_from = "tag_first"
+expect_rows = 1
+conditions = ['.lane == "first"']
+
+[[tests]]
+name = "no outputs from unmatched lane"
+input_schema = "message string"
+[[tests.input_rows]]
+message = "nothing matches me"
+no_outputs_from = ["router.first", "router.second", "router.starts"]
+'''
+
+
+def test_route_behavior_file(spark):
+    results = run_behavior_file(spark, ROUTE_BEHAVIOR_TOML)
+    assert len(results) == 2
+    for r in results:
+        assert r.passed, r.failures
+
+
+PARSE_PIPELINE_TOML = '''
+[transforms.parse]
+type = "remap"
+inputs = ["in"]
+source = """
+# derive fields with VRL-lite
+.loud = upcase(.message)
+.n2 = .n * 2
+"""
+
+[transforms.keep]
+type = "filter"
+inputs = ["parse"]
+condition = ".n2 >= 4"
+
+[sinks.out]
+inputs = ["keep"]
+'''
+
+
+def test_toml_remap_filter_pipeline(spark):
+    pipe = load_pipeline(PARSE_PIPELINE_TOML)
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "message string, n int")
+    res = pipe.run(df, write=False)
+    rows = {(r.message, r.loud, r.n2) for r in res.lanes["out"].collect()}
+    assert rows == {("b", "B", 4), ("c", "C", 6)}
+    assert res.telemetry["keep_discarded_total"] == 1
+    res.frame.unpersist()
+
+
+def test_parse_remap_source():
+    assigns = parse_remap_source(
+        """
+        # comment
+        .a = upcase(.x)
+        .b = .n + 1
+        """
+    )
+    assert assigns == [(".a", "upcase(.x)"), (".b", ".n + 1")]
+
+
+def test_check_fields_condition_in_config(spark):
+    cfg = load_pipeline_config(
+        '''
+[transforms.keep]
+type = "filter"
+inputs = ["in"]
+[transforms.keep.condition]
+type = "check_fields"
+"message.prefix" = "test"
+"code.eq" = 200
+
+[sinks.out]
+inputs = ["keep"]
+'''
+    )
+    test = {
+        "name": "check_fields filter",
+        "input_schema": "message string, code int",
+        "input_rows": [
+            {"message": "test ok", "code": 200},
+            {"message": "test bad", "code": 500},
+            {"message": "other", "code": 200},
+        ],
+        "outputs": [
+            {"extract_from": "keep", "expect_rows": 1, "conditions": ['.message == "test ok"']}
+        ],
+    }
+    r = run_behavior_test(spark, cfg, test)
+    assert r.passed, r.failures
+
+
+def test_swimlanes_alias(spark):
+    cfg = load_pipeline_config(
+        '''
+[transforms.lanes]
+type = "swimlanes"
+inputs = ["in"]
+[transforms.lanes.lanes]
+errors = '.level == "error"'
+
+[sinks.out]
+inputs = ["lanes.errors"]
+'''
+    )
+    test = {
+        "input_schema": "level string",
+        "input_rows": [{"level": "error"}, {"level": "info"}],
+        "outputs": [{"extract_from": "lanes.errors", "expect_rows": 1}],
+    }
+    assert run_behavior_test(spark, cfg, test).passed

@@ -30,8 +30,18 @@ def named_groups(pattern: str) -> list[str]:
 
 
 def to_java_regex(pattern: str) -> str:
-    """Python/Rust ``(?P<name>...)`` → Java ``(?<name>...)``."""
-    return pattern.replace("(?P<", "(?<")
+    """Python/Rust ``(?P<name>...)`` → Java named groups.
+
+    Java group names allow only [A-Za-z0-9] — and extraction uses
+    group INDICES, so the in-pattern names are just placeholders:
+    rewrite each to a sanitized unique name."""
+    counter = [0]
+
+    def sub(m: re.Match) -> str:
+        counter[0] += 1
+        return f"(?<g{counter[0]}x>"
+
+    return _NAMED_GROUP_RE.sub(sub, pattern)
 
 
 def _group_index(pattern: str, name: str) -> int:

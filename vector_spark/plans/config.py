@@ -1,0 +1,104 @@
+"""TOML config loader: Vector-style pipeline configs → Pipeline.
+
+Reference: src/config/loading.rs (TOML → ConfigBuilder) +
+src/config/compiler.rs:4-43 (expand_macros, typecheck). A useful
+subset of the real surface so a Vector user's muscle memory carries
+over:
+
+    [transforms.parse]
+    type = "remap"
+    inputs = ["in"]
+    source = '''
+    .size_bucket = if_else(.n_tok < 128, "small", "large")
+    .tok_head = get(.tokens, 1)
+    '''
+
+    [transforms.keep]
+    type = "filter"
+    inputs = ["parse"]
+    condition = ".n_tok >= 4"
+
+    [transforms.router]
+    type = "route"
+    inputs = ["keep"]
+    [transforms.router.route]
+    hot = '.source == "web-frontend"'
+    rest = '.source != "web-frontend"'
+
+    [sinks.hot_out]
+    type = "file"
+    inputs = ["router.hot"]
+    path = "/data/out/hot"
+
+Differences from the reference, by design:
+- ``remap.source`` is the VRL-lite subset: one ``.path = expr`` per
+  line (comments with #), not full VRL;
+- conditions are VRL-lite strings or ``check_fields`` tables
+  (``condition.type = "check_fields"`` + predicate keys);
+- sources are not declared in the config — the input DataFrame is
+  handed to ``Pipeline.run`` (north rule: one table in).
+"""
+
+from __future__ import annotations
+
+import re
+import tomllib
+from typing import Any
+
+from vector_spark.plans.pipeline import Pipeline
+
+_ASSIGN_RE = re.compile(r"^\s*(\.[A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$")
+
+
+def parse_remap_source(source: str) -> list[tuple[str, str]]:
+    """``.target = expr`` lines → ordered assignment list."""
+    assignments: list[tuple[str, str]] = []
+    for line in source.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _ASSIGN_RE.match(line)
+        if not m:
+            raise ValueError(f"remap source line not an assignment: {line!r}")
+        assignments.append((m.group(1), m.group(2)))
+    return assignments
+
+
+def _convert_transform(name: str, spec: dict[str, Any]) -> dict[str, Any]:
+    out = dict(spec)
+    typ = out.get("type")
+    if typ == "remap" and "source" in out:
+        out["assignments"] = parse_remap_source(out.pop("source"))
+    if typ == "route":
+        # vector uses [transforms.X.route]; we accept route/routes
+        routes = out.pop("route", None) or out.pop("routes", None)
+        if not routes:
+            raise ValueError(f"route transform {name!r} needs a [route] table")
+        out["routes"] = routes
+    # swimlanes alias (route.rs: alias "swimlanes", lanes table)
+    if typ == "swimlanes":
+        out["type"] = "route"
+        out["routes"] = out.pop("lanes")
+    return out
+
+
+def load_pipeline_config(toml_text: str) -> dict[str, Any]:
+    """TOML → Pipeline config dict (transforms + sinks + fanout)."""
+    raw = tomllib.loads(toml_text)
+    transforms = {
+        name: _convert_transform(name, spec)
+        for name, spec in (raw.get("transforms") or {}).items()
+    }
+    sinks = {}
+    for name, spec in (raw.get("sinks") or {}).items():
+        s = dict(spec)
+        s.pop("type", None)  # file/parquet implied; console etc. via sinks module
+        sinks[name] = s
+    cfg: dict[str, Any] = {"transforms": transforms, "sinks": sinks}
+    if "fanout" in raw:
+        cfg["fanout"] = raw["fanout"]
+    return cfg
+
+
+def load_pipeline(toml_text: str, enrich_tables=None) -> Pipeline:
+    return Pipeline(load_pipeline_config(toml_text), enrich_tables=enrich_tables)
