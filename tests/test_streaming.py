@@ -90,3 +90,31 @@ def test_stream_route_writer(spark, stream_input):
     big = spark.read.parquet(f"{tmp}/big")
     assert {r.id for r in ka.collect()} == {1, 2, 4}
     assert {r.id for r in big.collect()} == {3, 4, 5}  # non-exclusive lanes
+
+
+def test_stream_reduce_ends_when_stateful(spark, stream_input):
+    """applyInPandasWithState: closing event flushes the group;
+    unclosed groups stay buffered (reduce.rs ends_when semantics)."""
+    from vector_spark.streaming.ops import stream_reduce_ends_when
+
+    stream, tmp = stream_input
+    # rows: k=a ids 1,2(v=2.0),4 ; k=b ids 3,5. Close when v >= 2.0.
+    out = stream_reduce_ends_when(
+        stream,
+        group_by=["k"],
+        ends_when=".v >= 2.0",
+        concat_field="id",
+        order_col="id",
+        joiner=",",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("srew").outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.k, r.merged): r.n_events for r in spark.sql("select * from srew").collect()}
+    # a: 1 then 2 (v=2.0 closes) -> "1,2"; 4 (v=4 closes) -> "4"
+    assert rows[("a", "1,2")] == 2
+    assert rows[("a", "4")] == 1
+    # b: 3 (v=3 closes) -> "3"; 5 (v=3 closes) -> "5"
+    assert ("b", "3") in rows and ("b", "5") in rows

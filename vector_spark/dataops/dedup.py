@@ -72,12 +72,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    reuse_shingles: bool = True,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
 
     Self equi-join on shingle → intersection counts; union via
-    per-doc set sizes. Output (id_a, id_b, jaccard)."""
+    per-doc set sizes. Output (id_a, id_b, jaccard).
+
+    ``reuse_shingles`` persists the (id, shingle) frame: without it
+    Catalyst re-derives the scan+explode+distinct FOUR times (both
+    join sides + both size lookups — measured 10 exchanges → 4). At
+    100 TB prefer materializing the shingle frame to a parquet/Iceberg
+    staging table instead of memory persist (O(total tokens) rows).
+    """
     sh = shingle_frame(df, text_col, id_col, n)
+    if reuse_shingles:
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -120,17 +130,21 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, reuse: bool = True
 ) -> DataFrame:
     """LSH banding: hash each band of the signature; docs sharing a
     (band, band_hash) bucket are candidates. Equi-join on the bucket —
     the all-pairs comparison never materializes. Output distinct
-    (id_a, id_b) candidate pairs (a < b)."""
+    (id_a, id_b) candidate pairs (a < b). ``reuse`` persists the
+    banded frame so the self-join doesn't recompute the signature
+    pipeline twice."""
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
     )
+    if reuse:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -130,3 +130,57 @@ def stream_route_writer(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def stream_reduce_ends_when(
+    stream: DataFrame,
+    group_by: list[str],
+    ends_when: Any,
+    concat_field: str = "message",
+    order_col: str | None = None,
+    joiner: str = " ",
+):
+    """Custom stateful reduce with ends_when — the reference's exact
+    semantics (reduce/mod.rs:178-200: a matching event CLOSES and
+    flushes its group), via ``applyInPandasWithState``.
+
+    Faithful in a way the batch/session-window variants are not:
+    state accumulates in ARRIVAL order across micro-batches
+    (processing-time, like Vector), a closing event emits exactly one
+    merged row, and unclosed groups stay buffered. ``order_col``
+    sorts within each micro-batch for determinism.
+
+    Returns a grouped-state DataFrame: (group_by..., merged string,
+    n_events long).
+    """
+    import pandas as pd
+
+    cond = compile_condition(ends_when)
+    work = stream.withColumn("_vs_ends", F.coalesce(cond, F.lit(False)))
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in group_by) + ", merged string, n_events long"
+    )
+    state_schema = "acc string, n long"
+
+    def fn(key, pdfs, state):
+        acc, n = state.get() if state.exists else ("", 0)
+        emitted = []
+        for pdf in pdfs:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col)
+            for val, ends in zip(pdf[concat_field].astype(str), pdf["_vs_ends"]):
+                acc = val if not acc else acc + joiner + val
+                n += 1
+                if bool(ends):
+                    emitted.append((*key, acc, n))
+                    acc, n = "", 0
+        state.update((acc, n))
+        if emitted:
+            yield pd.DataFrame(
+                emitted, columns=[*group_by, "merged", "n_events"]
+            )
+
+    return work.groupBy(*group_by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
