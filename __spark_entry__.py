@@ -653,6 +653,24 @@ def _q_stream_aggregate(spark, sf):
     )
 
 
+def _q_reduce_expire_gap(spark, sf):
+    from vector_spark.operators import reduce_events
+
+    ev = _load(spark, sf, "events").select(
+        "user_id", F.col("event_id").alias("ord"), "event_type"
+    )
+    out = reduce_events(
+        ev,
+        group_by=["user_id"],
+        merge_strategies={"event_type": "concat"},
+        order_by="ord",
+        expire_gap=500,
+    )
+    return out.select(
+        "user_id", F.col("ord").alias("session_start"), F.col("event_type").alias("etypes")
+    )
+
+
 def _q_multimodal(spark, sf):
     """Arrow-batched feature extraction over binary media columns —
     no SQL oracle (pandas-UDF stage); driver records rows-only."""
@@ -719,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_aggregate": _q_stream_aggregate,
         "multimodal_features": _q_multimodal,
         "ivf_topk": _q_ivf_topk,
+        "reduce_expire_gap": _q_reduce_expire_gap,
     }
 
 
@@ -1049,6 +1068,23 @@ def oracle_sql() -> dict[str, str]:
         "stream_aggregate": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "reduce_expire_gap": """
+            WITH s AS (
+              SELECT user_id, event_id AS ord, event_type,
+                     CASE WHEN lag(event_id) OVER w IS NULL
+                               OR event_id - lag(event_id) OVER w > 500
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), g AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ord
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+              FROM s
+            )
+            SELECT user_id, min(ord) AS session_start,
+                   string_agg(event_type, ' ' ORDER BY ord) AS etypes
+            FROM g GROUP BY user_id, sess
         """,
         "merge_partial": """
             WITH marked AS (

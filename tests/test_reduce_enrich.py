@@ -98,3 +98,22 @@ def test_enrich_prefix(spark):
     df = spark.createDataFrame([("web-frontend",)], "source string")
     out = enrich(df, dim, on="source", prefix="src_")
     assert "src_team" in out.columns
+
+
+def test_reduce_expire_gap_sessions(spark):
+    # staleness sessionization: gap > expire_gap opens a new session
+    rows = [
+        ("u", 100, "a"),
+        ("u", 105, "b"),
+        ("u", 200, "c"),   # gap 95 > 30 -> new session
+        ("u", 210, "d"),
+        ("v", 100, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts int, message string")
+    from vector_spark.operators import reduce_events
+
+    out = reduce_events(
+        df, ["k"], {"message": "concat"}, order_by="ts", expire_gap=30
+    )
+    got = {(r.k, r.ts): r.message for r in out.collect()}
+    assert got == {("u", 100): "a b", ("u", 200): "c d", ("v", 100): "x"}

@@ -40,6 +40,7 @@ def reduce_events(
     ends_when: Any | None = None,
     starts_when: Any | None = None,
     order_by: str = "ts",
+    expire_gap: float | None = None,
 ) -> DataFrame:
     """Collapse event runs per group (reduce/mod.rs:26-270).
 
@@ -58,11 +59,21 @@ def reduce_events(
     merge_strategies = merge_strategies or {}
     sess: Column | None = None
     w = Window.partitionBy(*group_by).orderBy(F.col(order_by))
+    if expire_gap is not None:
+        # staleness sessionization (reduce.expire_after_ms analogue):
+        # a gap > expire_gap between consecutive events opens a new
+        # session. order_by must be numeric/timestamp-difference-able.
+        prev = F.lag(F.col(order_by)).over(w)
+        new_sess = F.when(
+            prev.isNull() | ((F.col(order_by) - prev) > expire_gap), F.lit(1)
+        ).otherwise(F.lit(0))
+        sess = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
     if ends_when is not None:
         end_flag = F.coalesce(compile_condition(ends_when), F.lit(False)).cast("long")
-        sess = F.coalesce(
+        end_sess = F.coalesce(
             F.sum(end_flag).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
         )
+        sess = end_sess if sess is None else (sess * 1_000_000 + end_sess)
     if starts_when is not None:
         start_flag = F.coalesce(compile_condition(starts_when), F.lit(False)).cast("long")
         s2 = F.coalesce(
