@@ -163,3 +163,124 @@ inputs = ["lanes.errors"]
         "outputs": [{"extract_from": "lanes.errors", "expect_rows": 1}],
     }
     assert run_behavior_test(spark, cfg, test).passed
+
+
+SAMPLE_BEHAVIOR_TOML = '''
+[transforms.sampler]
+type = "sample"
+inputs = ["in"]
+rate = 2
+key_field = "message"
+exclude = 'contains(.message, "keep")'
+
+[sinks.out]
+inputs = ["sampler"]
+
+[[tests]]
+name = "exclude bypasses sampling"
+input_schema = "message string"
+[[tests.input_rows]]
+message = "keep me always 1"
+[[tests.input_rows]]
+message = "keep me always 2"
+[[tests.outputs]]
+extract_from = "sampler"
+expect_rows = 2
+conditions = ['contains(.message, "keep")']
+'''
+
+
+def test_sample_behavior(spark):
+    results = run_behavior_file(spark, SAMPLE_BEHAVIOR_TOML)
+    assert all(r.passed for r in results), [r.failures for r in results]
+
+
+PARSER_CHAIN_TOML = '''
+[transforms.parse]
+type = "grok_parser"
+inputs = ["in"]
+pattern = "%{WORD:verb} %{NOTSPACE:path} %{NUMBER:code}"
+[transforms.parse.types]
+code = "int"
+
+[transforms.enrich_status]
+type = "remap"
+inputs = ["parse"]
+source = """
+.ok = .code < 400
+"""
+
+[transforms.only_errors]
+type = "filter"
+inputs = ["enrich_status"]
+condition = ".ok == false"
+
+[sinks.out]
+inputs = ["only_errors"]
+
+[[tests]]
+name = "grok -> remap -> filter chain"
+input_schema = "message string"
+[[tests.input_rows]]
+message = "GET /ok 200"
+[[tests.input_rows]]
+message = "POST /broken 503"
+[[tests.outputs]]
+extract_from = "only_errors"
+expect_rows = 1
+conditions = ['.path == "/broken"', '.code == 503', '.verb == "POST"']
+'''
+
+
+def test_parser_chain_behavior(spark):
+    results = run_behavior_file(spark, PARSER_CHAIN_TOML)
+    assert all(r.passed for r in results), [r.failures for r in results]
+
+
+DEDUPE_REDUCE_TOML = '''
+[transforms.dd]
+type = "dedupe"
+inputs = ["in"]
+match = ["k"]
+order_by = ["ord"]
+
+[transforms.collapse]
+type = "reduce"
+inputs = ["dd"]
+group_by = ["grp"]
+order_by = "ord"
+[transforms.collapse.merge_strategies]
+n = "sum"
+k = "concat"
+
+[sinks.out]
+inputs = ["collapse"]
+
+[[tests]]
+name = "dedupe then reduce"
+input_schema = "grp string, k string, n int, ord int"
+[[tests.input_rows]]
+grp = "g"
+k = "a"
+n = 1
+ord = 1
+[[tests.input_rows]]
+grp = "g"
+k = "a"
+n = 100
+ord = 2
+[[tests.input_rows]]
+grp = "g"
+k = "b"
+n = 2
+ord = 3
+[[tests.outputs]]
+extract_from = "collapse"
+expect_rows = 1
+conditions = ['.n == 3', '.k == "a b"']
+'''
+
+
+def test_dedupe_reduce_behavior(spark):
+    results = run_behavior_file(spark, DEDUPE_REDUCE_TOML)
+    assert all(r.passed for r in results), [r.failures for r in results]

@@ -366,6 +366,11 @@ class Pipeline:
             tele.add(f"{name}_lookup_miss_total", alive & F.col(miss))
             return out
         # stateless shapers / parsers — pass config straight through
+        # Aggregating (Task) transforms change row identity — rows
+        # soft-dropped upstream must be materialized OUT before the
+        # aggregation, or a deduped/filtered row would still count.
+        if typ in ("log_to_metric", "reduce", "merge"):
+            df = live(df)
         simple = {
             "add_fields": shapers.add_fields,
             "remove_fields": shapers.remove_fields,
