@@ -671,6 +671,13 @@ def _q_reduce_expire_gap(spark, sf):
     )
 
 
+def _q_embed_near_dups(spark, sf):
+    from vector_spark.dataops.dedup import embedding_near_dups
+
+    emb = _load(spark, sf, "embeddings")
+    return embedding_near_dups(emb, threshold=0.2, dims=8)
+
+
 def _q_multimodal(spark, sf):
     """Arrow-batched feature extraction over binary media columns —
     no SQL oracle (pandas-UDF stage); driver records rows-only."""
@@ -738,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal,
         "ivf_topk": _q_ivf_topk,
         "reduce_expire_gap": _q_reduce_expire_gap,
+        "embed_near_dups": _q_embed_near_dups,
     }
 
 
@@ -1068,6 +1076,25 @@ def oracle_sql() -> dict[str, str]:
         "stream_aggregate": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "embed_near_dups": """
+            WITH b AS (
+              SELECT vec_id AS id, cast(embedding AS double[]) AS vec,
+                     concat(
+                       cast(cast(embedding[1] > 0 AS int) AS varchar),
+                       cast(cast(embedding[2] > 0 AS int) AS varchar),
+                       cast(cast(embedding[3] > 0 AS int) AS varchar),
+                       cast(cast(embedding[4] > 0 AS int) AS varchar),
+                       cast(cast(embedding[5] > 0 AS int) AS varchar),
+                       cast(cast(embedding[6] > 0 AS int) AS varchar),
+                       cast(cast(embedding[7] > 0 AS int) AS varchar),
+                       cast(cast(embedding[8] > 0 AS int) AS varchar)) AS bucket
+              FROM embeddings
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(list_cosine_similarity(a.vec, b.vec), 4) AS cos
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.id < b.id
+            WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.2
         """,
         "reduce_expire_gap": """
             WITH s AS (

@@ -199,3 +199,36 @@ def simhash16(
     return maj.groupBy("id").agg(
         F.sum(F.col("mbit") * F.pow(F.lit(2.0), F.col("j")).cast("long")).alias("simhash")
     )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket the
+    corpus, compare pairs only WITHIN a bucket (equi-join — never an
+    all-pairs cross join), keep cosine >= threshold.
+
+    Recall note: true near-dups (cos→1) almost surely share sign
+    buckets; at lower thresholds add band rotations. Output
+    (id_a, id_b, cos)."""
+    from vector_spark.dataops.similarity import cosine, sign_lsh_bucket
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)
