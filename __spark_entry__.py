@@ -15,7 +15,12 @@ Cross-engine parity rules used throughout:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make vector_spark importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
