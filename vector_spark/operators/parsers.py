@@ -164,9 +164,10 @@ def json_parser(
 _KV_PAIR_TMPL = r'(%s)%s("(?:[^"\\]|\\.)*"|[^%s\s"]+)'
 
 
-def _kv_map(src: Column, field_split: str, separator_class: str) -> Column:
+def _kv_map(src: Column, field_split: str) -> Column:
     """Generic quoted-value-aware k=v extraction → map<string,string>,
-    JVM-side via regexp_extract_all + map_from_arrays."""
+    JVM-side via regexp_extract_all + map_from_arrays. Pairs are
+    separated by whitespace (the reference's default separator)."""
     key_pat = rf"[^\s{re.escape(field_split)}]+"
     pair = _KV_PAIR_TMPL % (key_pat, re.escape(field_split), re.escape(field_split))
     keys = F.regexp_extract_all(src, F.lit(pair), F.lit(1))
@@ -193,7 +194,11 @@ def key_value_parser(
     materializes listed keys as typed columns (fixed-schema stage);
     otherwise the map lands at ``target_field``/``kv``."""
     src = F.col(field).cast("string")
-    m = _kv_map(src, field_split, separator)
+    if separator.strip() != "":
+        raise NotImplementedError(
+            "only whitespace pair separators are supported (reference default)"
+        )
+    m = _kv_map(src, field_split)
     if trim_key:
         m = F.map_from_arrays(
             F.transform(F.map_keys(m), lambda k: F.btrim(k, F.lit(trim_key))),

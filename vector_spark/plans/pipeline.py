@@ -198,15 +198,27 @@ class Pipeline:
         fan = self.config["fanout"]
         root = fan["root"]
         extra_parts = fan.get("partition_by", [])
-        # sink -> lane mapping comes from sink inputs ("router.lane")
+        # sink -> lane mapping comes from sink inputs ("router.lane");
+        # a bare transform-name input must be the TERMINAL transform
+        # (full-stream sink) — explode mode writes one frame, so a
+        # mid-pipeline tap would silently get terminal-stage rows.
+        terminal_name = self._order[-1] if self._order else "in"
         sink_lanes: dict[str, Column] = {}
         for sname, sspec in self.sinks.items():
-            inp = sspec.get("inputs", [None])[0]
+            inp = sspec.get("inputs", [terminal_name])[0]
             if inp and "." in inp and inp.split(".")[0] in self._routes:
                 lane = inp.split(".", 1)[1]
+                if lane not in self._routes[inp.split(".")[0]]:
+                    raise ValueError(f"unknown lane {inp!r} for sink {sname!r}")
                 sink_lanes[sname] = F.col(ROUTE_PREFIX + lane)
-            else:
+            elif inp in (terminal_name, "in"):
                 sink_lanes[sname] = F.lit(True)
+            else:
+                raise ValueError(
+                    f"explode fan-out only supports route-lane or terminal sink "
+                    f"inputs; sink {sname!r} taps {inp!r} (use the 'persist' "
+                    f"strategy for mid-pipeline sinks)"
+                )
 
         live_flag = alive_col(terminal)
         # one-pass telemetry + per-sink counts via Observation
