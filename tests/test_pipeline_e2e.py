@@ -190,3 +190,17 @@ def test_shard_files_deterministic():
     a = shard_files(list(reversed(files)), 3)
     b = shard_files(files, 3)
     assert a == b and sum(len(s) for s in a) == 10
+
+
+def test_telemetry_prometheus_export(spark, seq_df):
+    from vector_spark.telemetry import prometheus_text, telemetry_frame
+
+    pipe = Pipeline(flagship_config(), enrich_tables={"sources": enrich_sources(spark)})
+    res = pipe.run(seq_df, write=False)
+    tf = telemetry_frame(spark, res.telemetry, labels={"job": "flagship"})
+    rows = {r.name: r.value for r in tf.collect()}
+    assert rows["events_in_total"] == 4000.0
+    text = prometheus_text(res.telemetry, labels={"job": "flagship"})
+    assert '# TYPE events_in_total counter' in text
+    assert 'events_in_total{job="flagship"} 4000.0' in text
+    res.frame.unpersist()

@@ -69,3 +69,35 @@ def alive_col(df: DataFrame) -> Column:
     if DROPPED_BY not in df.columns:
         return F.lit(True)
     return F.col(DROPPED_BY).isNull()
+
+
+def telemetry_frame(spark, counters: dict[str, int], labels: dict[str, str] | None = None):
+    """Expose collected counters as a DataFrame — the analogue of
+    Vector's ``internal_metrics`` source (src/sources/internal_metrics)
+    feeding any sink. Schema matches the metrics frame family:
+    (name, value, labels map)."""
+    from pyspark.sql import functions as F
+
+    rows = [(k, float(v)) for k, v in sorted(counters.items())]
+    df = spark.createDataFrame(rows, "name string, value double")
+    lbl = labels or {}
+    if lbl:
+        m = F.create_map(*[x for kv in sorted(lbl.items()) for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    else:
+        m = F.lit(None).cast("map<string,string>")
+    return df.withColumn("labels", m)
+
+
+def prometheus_text(counters: dict[str, int], labels: dict[str, str] | None = None) -> str:
+    """Render counters in the Prometheus exposition text format
+    (the prometheus_exporter sink analogue, src/sinks/prometheus/)."""
+    lbl = ""
+    if labels:
+        inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+        lbl = "{" + inner + "}"
+    lines = []
+    for name, value in sorted(counters.items()):
+        safe = name.replace("-", "_")
+        lines.append(f"# TYPE {safe} counter")
+        lines.append(f"{safe}{lbl} {float(value)}")
+    return "\n".join(lines) + "\n"
