@@ -204,3 +204,34 @@ def test_telemetry_prometheus_export(spark, seq_df):
     assert '# TYPE events_in_total counter' in text
     assert 'events_in_total{job="flagship"} 4000.0' in text
     res.frame.unpersist()
+
+
+def test_pipeline_terminal_aggregation_with_error_counter(spark):
+    """A pipeline ENDING in log_to_metric: schema changes at the
+    terminal, so upstream counters bind to their own frames; missing
+    metric fields increment processing_errors (log_to_metric.rs
+    missing-field semantics, FIXTURES.md F4)."""
+    rows = [
+        ("a", "200", 1),
+        ("b", None, 2),     # missing field -> processing error
+        ("a", "500", 3),
+    ]
+    df = spark.createDataFrame(rows, "source string, status string, ord int")
+    cfg = {
+        "transforms": {
+            "keep": {"type": "filter", "inputs": ["in"], "condition": ".ord >= 1"},
+            "to_metric": {
+                "type": "log_to_metric",
+                "inputs": ["keep"],
+                "metrics": [{"type": "counter", "field": "status", "name": "status_total"}],
+            },
+        },
+        "sinks": {"metrics": {"inputs": ["to_metric"]}},
+    }
+    pipe = Pipeline(cfg)
+    res = pipe.run(df, write=False)
+    assert res.telemetry["to_metric_processing_errors_total"] == 1
+    assert res.telemetry["keep_discarded_total"] == 0
+    # metric rows: 2 events had the field
+    assert res.sink_counts["metrics"] == 2
+    res.frame.unpersist()

@@ -224,8 +224,12 @@ class Pipeline:
         # one-pass telemetry + per-sink counts via Observation
         obs = Observation()
         aggs = [F.count(F.lit(1)).alias("events_in_total")]
-        for cname, flag in telemetry.counters:
-            aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(cname))
+        bound: list[tuple] = []
+        for cname, flag, frame in telemetry.counters:
+            if frame is None:
+                aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(cname))
+            else:
+                bound.append((cname, flag, frame))
         for sname, flag in sink_lanes.items():
             aggs.append(
                 F.sum(F.when(live_flag & flag, 1).otherwise(0)).alias(f"__sink_{sname}")
@@ -258,6 +262,11 @@ class Pipeline:
         )
         got = obs.get
         tele = {k: int(v or 0) for k, v in got.items() if not k.startswith("__sink_")}
+        # frame-bound counters (rare: pre-aggregation error counts)
+        # need their own agg — the observed write can't see them
+        for cname, flag, frame in bound:
+            v = frame.agg(F.sum(F.when(flag, 1).otherwise(0)).alias("v")).first().v
+            tele[cname] = int(v or 0)
         sink_counts = {
             k[len("__sink_") :]: int(v or 0)
             for k, v in got.items()
@@ -382,6 +391,19 @@ class Pipeline:
         # soft-dropped upstream must be materialized OUT before the
         # aggregation, or a deduped/filtered row would still count.
         if typ in ("log_to_metric", "reduce", "merge"):
+            # flags/markers vanish at the aggregation boundary — bind
+            # every pending counter (and events_in) to this frame
+            tele.bind_unbound(df)
+            if typ == "log_to_metric":
+                # missing/null metric field emits no metric AND counts
+                # as a processing error (log_to_metric.rs:370-400);
+                # bound to THIS frame — the aggregation changes schema
+                for m in spec.get("metrics", []):
+                    tele.add(
+                        f"{name}_processing_errors_total",
+                        alive & F.col(m["field"]).isNull(),
+                        frame=df,
+                    )
             df = live(df)
         simple = {
             "add_fields": shapers.add_fields,

@@ -29,21 +29,69 @@ DROPPED_BY = "_dropped_by"
 
 @dataclass
 class Telemetry:
-    """Collects flag-column names registered by pipeline stages; one
-    ``collect()`` action computes all counters."""
+    """Collects flag expressions registered by pipeline stages; one
+    ``collect()`` action per distinct bound frame computes all
+    counters (normally a single pass over the terminal frame).
 
-    # stage -> list of (counter_name, flag_column_expr)
-    counters: list[tuple[str, Column]] = field(default_factory=list)
+    A counter may be BOUND to the frame it was registered on
+    (``frame=``): needed when a downstream aggregation (log_to_metric
+    / reduce) changes the schema so the flag's columns no longer exist
+    at the terminal. Unbound counters evaluate on the terminal frame.
+    """
 
-    def add(self, name: str, flag: Column) -> None:
-        self.counters.append((name, flag))
+    counters: list[tuple[str, Column, DataFrame | None]] = field(default_factory=list)
+    events_in_frame: DataFrame | None = None
+
+    def add(self, name: str, flag: Column, frame: DataFrame | None = None) -> None:
+        self.counters.append((name, flag, frame))
+
+    def bind_unbound(self, frame: DataFrame) -> None:
+        """Snapshot: bind every still-unbound counter to ``frame``.
+        Called by the pipeline right before a schema-changing
+        aggregation (log_to_metric/reduce/merge) — the flags' columns
+        won't exist afterwards. Also pins events_in to this frame."""
+        self.counters = [
+            (n, f, frame if fr is None else fr) for n, f, fr in self.counters
+        ]
+        if self.events_in_frame is None:
+            self.events_in_frame = frame
 
     def collect(self, df: DataFrame) -> dict[str, int]:
-        aggs = [F.count(F.lit(1)).alias("events_in_total")]
-        for name, flag in self.counters:
-            aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(name))
-        row = df.agg(*aggs).first()
-        return {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+        out: dict[str, int] = {}
+        # group: terminal-evaluable counters in one agg; bound counters
+        # per distinct frame
+        groups: dict[int, tuple[DataFrame, list[tuple[str, Column]]]] = {}
+        terminal: list[tuple[str, Column]] = []
+        for name, flag, frame in self.counters:
+            if frame is None:
+                terminal.append((name, flag))
+            else:
+                groups.setdefault(id(frame), (frame, []))[1].append((name, flag))
+        in_frame = self.events_in_frame if self.events_in_frame is not None else df
+        if in_frame is df:
+            aggs = [F.count(F.lit(1)).alias("events_in_total")]
+            aggs += [F.sum(F.when(flag, 1).otherwise(0)).alias(n) for n, flag in terminal]
+            row = df.agg(*aggs).first()
+            out.update(
+                {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+            )
+        else:
+            out["events_in_total"] = int(
+                in_frame.agg(F.count(F.lit(1)).alias("c")).first().c
+            )
+            if terminal:
+                row = df.agg(
+                    *[F.sum(F.when(flag, 1).otherwise(0)).alias(n) for n, flag in terminal]
+                ).first()
+                out.update(
+                    {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
+                )
+        for frame, items in groups.values():
+            row = frame.agg(
+                *[F.sum(F.when(flag, 1).otherwise(0)).alias(n) for n, flag in items]
+            ).first()
+            out.update({k: (int(v) if v is not None else 0) for k, v in row.asDict().items()})
+        return out
 
 
 def mark_dropped(df: DataFrame, cond: Column, stage: str) -> DataFrame:
