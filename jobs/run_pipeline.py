@@ -81,14 +81,18 @@ def main() -> None:
         .getOrCreate()
     )
 
-    from vector_spark.checkpoint import resumable_run
+    from vector_spark.checkpoint import resumable_run, shard_output_path
     from vector_spark.fixtures import enrich_sources
     from vector_spark.plans import Pipeline
 
-    cfg = build_config(args.output)
     dim = enrich_sources(spark)
 
     def process(df, shard_id):
+        # shard-scoped OVERWRITE: a replayed shard (crash between sink
+        # write and checkpoint commit) overwrites its own partial
+        # output — exactly-once without a cleanup hook
+        cfg = build_config(shard_output_path(args.output, shard_id))
+        cfg["fanout"]["mode"] = "overwrite"
         return Pipeline(cfg, enrich_tables={"sources": dim}).run(df, write=True)
 
     results = resumable_run(

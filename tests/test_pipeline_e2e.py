@@ -235,3 +235,116 @@ def test_pipeline_terminal_aggregation_with_error_counter(spark):
     # metric rows: 2 events had the field
     assert res.sink_counts["metrics"] == 2
     res.frame.unpersist()
+
+
+def test_forked_dag_counters_bind_to_their_branch(spark, seq_df):
+    """ADVICE r1: a stage that is NOT an ancestor of the terminal
+    transform must still report correct discard counts — its marks
+    never reach the terminal frame, so an unbound counter evaluated
+    there silently reads 0."""
+    cfg = {
+        "transforms": {
+            # main lineage (terminal)
+            "keep_big": {
+                "type": "filter",
+                "inputs": ["in"],
+                "condition": ".n_tok >= 4",
+            },
+            "tag": {
+                "type": "add_fields",
+                "inputs": ["keep_big"],
+                "fields": {"pipeline": "main"},
+            },
+            # forked side branch — not an ancestor of "tag"
+            "side_drop": {
+                "type": "filter",
+                "inputs": ["in"],
+                "condition": ".n_tok < 4",
+            },
+        },
+        "sinks": {
+            "main": {"inputs": ["tag"]},
+            "side": {"inputs": ["side_drop"]},
+        },
+    }
+    pipe = Pipeline(cfg)
+    res = pipe.run(seq_df, write=False)
+    total = seq_df.count()
+    small = seq_df.filter(F.col("n_tok") < 4).count()
+    assert res.telemetry["keep_big_discarded_total"] == small
+    # the forked branch drops the complement — must NOT read 0
+    assert res.telemetry["side_drop_discarded_total"] == total - small
+    assert res.sink_counts["main"] == total - small
+    assert res.sink_counts["side"] == small
+    res.frame.unpersist()
+
+
+def test_resume_reprocesses_on_lineage_mismatch(spark):
+    """ADVICE r1: a committed checkpoint is honored only when its
+    lineage matches the current shard's file list — changed inputs or
+    n_shards must reprocess, never silently skip."""
+    tmp = tempfile.mkdtemp(prefix="vs_ckpt_lin_")
+    try:
+        sequences(spark, 600, num_partitions=6).write.parquet(f"{tmp}/input")
+        calls = []
+
+        def process(df, sid):
+            pipe = Pipeline(
+                flagship_config(), enrich_tables={"sources": enrich_sources(spark)}
+            )
+            res = pipe.run(df, write=False)
+            res.frame.unpersist()
+            calls.append(sid)
+            return res
+
+        resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=3)
+        assert sorted(calls) == [0, 1, 2]
+        # change the input set: add more files
+        sequences(spark, 200, num_partitions=2).write.mode("append").parquet(
+            f"{tmp}/input"
+        )
+        calls.clear()
+        r2 = resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=3)
+        # every shard's file list changed → all reprocess, none skipped
+        assert sorted(calls) == [0, 1, 2] and not any(s.skipped for s in r2)
+        total_in = sum(s.telemetry["events_in_total"] for s in r2)
+        assert total_in == 800
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_crash_replay_is_idempotent_with_shard_overwrite(spark):
+    """Crash AFTER the sink write but BEFORE the checkpoint commit:
+    the replay overwrites the shard-scoped output — row count is
+    exact, no duplication (module-docstring contract)."""
+    from vector_spark.checkpoint import shard_output_path
+
+    tmp = tempfile.mkdtemp(prefix="vs_ckpt_crash_")
+    try:
+        sequences(spark, 600, num_partitions=6).write.parquet(f"{tmp}/input")
+        crash = {"armed": True}
+
+        def process(df, sid):
+            out = shard_output_path(f"{tmp}/out", sid)
+            df.write.mode("overwrite").parquet(out)
+            if sid == 1 and crash["armed"]:
+                raise RuntimeError("simulated crash before checkpoint commit")
+
+            class R:
+                telemetry = {"events_in_total": df.count()}
+                sink_counts = {}
+
+            return R()
+
+        try:
+            resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=3)
+        except RuntimeError:
+            pass
+        crash["armed"] = False
+        r2 = resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=3)
+        # shard 0 committed → skipped; shards 1,2 reprocessed
+        assert [s.skipped for s in r2] == [True, False, False]
+        got = spark.read.parquet(f"{tmp}/out").count()
+        assert got == 600  # exactly once — the replayed shard did not duplicate
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -56,6 +56,45 @@ def _py_eval(expr: str, row: dict):
     return eval(py)  # noqa: S307 - test-only reference evaluator
 
 
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+
+
+def _py_eval_checked(expr: str, row: dict):
+    """Reference evaluator with VRL checked-arithmetic semantics:
+    any intermediate i64 overflow (or div/mod by zero) is a runtime
+    error → the compiled plan yields NULL (try_add/try_multiply/...).
+    Mirrors lib/vrl/compiler checked ops; None models the error."""
+    import ast
+
+    for k, v in row.items():
+        expr = expr.replace(f".{k}", str(v))
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            v = ev(node.operand)
+            return None if v is None else -v
+        if isinstance(node, ast.BinOp):
+            a, b = ev(node.left), ev(node.right)
+            if a is None or b is None:
+                return None
+            if isinstance(node.op, ast.Add):
+                v = a + b
+            elif isinstance(node.op, ast.Sub):
+                v = a - b
+            elif isinstance(node.op, ast.Mult):
+                v = a * b
+            else:
+                raise AssertionError(f"unexpected op {node.op}")
+            return v if _I64_MIN <= v <= _I64_MAX else None
+        raise AssertionError(f"unexpected node {node}")
+
+    return ev(ast.parse(expr, mode="eval"))
+
+
 ROWS = [{"a": 3, "b": 7, "c": 0}, {"a": 100, "b": 2, "c": 55}]
 
 
@@ -78,8 +117,36 @@ def test_boolean_semantics_match_python(spark, frame, expr):
 def test_arithmetic_semantics_match_python(spark, frame, expr):
     col = compile_vrl_lite(expr)
     got = [r.x for r in frame.select(col.alias("x")).collect()]
-    want = [_py_eval(expr, row) for row in ROWS]
+    want = [_py_eval_checked(expr, row) for row in ROWS]
     assert got == want, expr
+
+
+def test_overflow_is_error_value_not_job_abort(spark, frame):
+    """VRL checked arithmetic: i64 overflow is a per-event runtime
+    error (NULL here), never a whole-job ARITHMETIC_OVERFLOW abort —
+    one hot row must not kill a 100 TB job (remap.rs:77-127)."""
+    big = str(_I64_MAX)
+    col = compile_vrl_lite(f"({big} + {big})")
+    got = [r.x for r in frame.select(col.alias("x")).collect()]
+    assert got == [None, None]
+    # ...and the ?? error-coalescing operator catches it, VRL-style
+    col2 = compile_vrl_lite(f"({big} * 2) ?? -1")
+    got2 = [r.x for r in frame.select(col2.alias("x")).collect()]
+    assert got2 == [-1, -1]
+
+
+def test_division_and_mod_by_zero_yield_null(spark, frame):
+    """row c=0: .b / .c and .b % .c are errors → NULL, not an ANSI
+    DIVIDE_BY_ZERO job abort."""
+    got = [
+        (r.d, r.m)
+        for r in frame.select(
+            compile_vrl_lite(".b / .c").alias("d"),
+            compile_vrl_lite(".b % .c").alias("m"),
+        ).collect()
+    ]
+    assert got[0] == (None, None)  # c == 0
+    assert got[1] == (2 / 55, 2 % 55)  # c == 55: defined
 
 
 @settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))

@@ -8,12 +8,29 @@ WAL events (lib/vector-core/buffers/src/disk/mod.rs).
 Spark translation: the unit of resumability is an input FILE GROUP
 (shard). The driver lists the input's parquet files (public
 ``DataFrame.inputFiles()``), deterministically round-robins them into
-N shards, and processes each shard as an independent job appending to
-the sinks. After a shard commits, a small JSON checkpoint record is
-written (shard id, file list = lineage, per-stage telemetry,
-events_in/out). A resumed run skips completed shards — no loss, no
-duplication, per-partition lineage — the observable contract of
-Vector's checkpointing without replicating leveldb.
+N shards, and processes each shard as an independent job. After a
+shard commits, a small JSON checkpoint record is written (shard id,
+file list = lineage, per-stage telemetry, events_in/out). A resumed
+run skips completed shards — no loss, no duplication, per-partition
+lineage — the observable contract of Vector's checkpointing without
+replicating leveldb.
+
+Exactly-once guarantees (both failure modes are covered, not prose):
+
+- **No duplication on crash-between-write-and-checkpoint**: shard
+  output must be IDEMPOTENT. ``shard_output_path(root, sid)`` gives a
+  shard-scoped directory; ``process`` writes it with
+  ``mode("overwrite")`` so a replayed shard overwrites its own partial
+  output instead of appending a second copy. A ``shard-<id>.inprogress``
+  marker brackets each attempt; on resume, a marker without a matching
+  committed checkpoint identifies a crashed attempt and the optional
+  ``cleanup(shard_id)`` hook runs before reprocessing (for sinks that
+  cannot overwrite, e.g. message queues).
+- **No loss on input/shard-count drift**: a committed checkpoint is
+  honored only if its recorded ``lineage_files`` EXACTLY match the
+  current shard's file list; any mismatch (files added/removed,
+  ``n_shards`` changed) reprocesses the shard instead of silently
+  skipping unprocessed files.
 
 At 10^12-row scale each shard is a few thousand parquet files; shard
 count bounds both recovery granularity and scheduler overhead.
@@ -66,6 +83,36 @@ class CheckpointLog:
                 out.add(int(fn[len("shard-") : -len(".json")]))
         return out
 
+    def committed_lineage(self, shard_id: int) -> list[str] | None:
+        """Recorded lineage for a committed shard, or None."""
+        path = os.path.join(self.dir, f"shard-{shard_id}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f).get("lineage_files")
+
+    # -- in-progress markers: bracket each attempt so a crash between
+    # the sink write and the checkpoint commit is detectable on resume
+    def _marker(self, shard_id: int) -> str:
+        return os.path.join(self.dir, f"shard-{shard_id}.inprogress")
+
+    def mark_inprogress(self, shard_id: int, run_id: str, files: list[str]) -> None:
+        tmp = self._marker(shard_id) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"run_id": run_id, "shard_id": shard_id, "lineage_files": files}, f
+            )
+        os.replace(tmp, self._marker(shard_id))
+
+    def crashed_attempt(self, shard_id: int) -> bool:
+        return os.path.exists(self._marker(shard_id))
+
+    def clear_inprogress(self, shard_id: int) -> None:
+        try:
+            os.remove(self._marker(shard_id))
+        except FileNotFoundError:
+            pass
+
     def record(self, res: ShardResult, run_id: str) -> None:
         path = os.path.join(self.dir, f"shard-{res.shard_id}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -93,6 +140,14 @@ class CheckpointLog:
         return out
 
 
+def shard_output_path(root: str, shard_id: int) -> str:
+    """Shard-scoped sink directory. Writing it with ``mode("overwrite")``
+    makes shard replays idempotent — a crashed attempt's partial output
+    is overwritten, never duplicated. Readers take ``root`` and see the
+    union (hive-style ``shard=`` partition directory)."""
+    return os.path.join(root, f"shard={shard_id}")
+
+
 def resumable_run(
     spark: SparkSession,
     input_path: str,
@@ -100,24 +155,35 @@ def resumable_run(
     process: Callable[[DataFrame, int], "object"],
     n_shards: int = 8,
     run_id: str | None = None,
+    cleanup: Callable[[int], None] | None = None,
 ) -> list[ShardResult]:
     """Process ``input_path`` in N resumable shards.
 
     ``process(df, shard_id)`` runs the pipeline on one shard's frame
-    and must WRITE its sinks in append mode; it returns an object with
-    ``telemetry`` and ``sink_counts`` attributes (PipelineResult fits).
-    Completed shards (checkpoint present) are skipped on resume.
+    and must write its sinks IDEMPOTENTLY — shard-scoped overwrite via
+    ``shard_output_path(root, shard_id)`` (see module docstring); it
+    returns an object with ``telemetry`` and ``sink_counts`` attributes
+    (PipelineResult fits).
+
+    A shard is skipped only when its committed checkpoint's lineage
+    EXACTLY matches the current shard's file list; changed inputs or
+    ``n_shards`` reprocess. A crashed attempt (in-progress marker, no
+    commit) triggers ``cleanup(shard_id)`` if given, then reprocesses.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     files = spark.read.parquet(input_path).inputFiles()
     shards = shard_files(files, n_shards)
     log = CheckpointLog(ckpt_dir)
-    done = log.done_shards()
     results: list[ShardResult] = []
     for sid, shard in enumerate(shards):
-        if sid in done:
+        committed = log.committed_lineage(sid)
+        if committed is not None and sorted(committed) == sorted(shard):
+            log.clear_inprogress(sid)
             results.append(ShardResult(sid, shard, {}, {}, 0.0, skipped=True))
             continue
+        if log.crashed_attempt(sid) and cleanup is not None:
+            cleanup(sid)
+        log.mark_inprogress(sid, run_id, shard)
         t0 = time.monotonic()
         df = spark.read.parquet(*shard)
         pres = process(df, sid)
@@ -129,5 +195,6 @@ def resumable_run(
             wall_seconds=time.monotonic() - t0,
         )
         log.record(res, run_id)
+        log.clear_inprogress(sid)
         results.append(res)
     return results

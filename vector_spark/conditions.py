@@ -120,7 +120,12 @@ def compile_check_fields(spec: dict[str, Any]) -> Column:
             c = _cf_one(field, pred, a)
             disjunct = c if disjunct is None else (disjunct | c)
         if negate:
-            disjunct = ~disjunct
+            # check_fields.rs: a missing/null field makes the inner
+            # predicate FALSE, so its negation is TRUE (the event is
+            # kept). Spark's three-valued logic would give NULL → the
+            # filter coalesces to false and drops the event — coalesce
+            # the inner predicate to false BEFORE negating to match.
+            disjunct = ~F.coalesce(disjunct, F.lit(False))
         conjuncts.append(disjunct)
     out = None
     for c in conjuncts:
@@ -288,12 +293,20 @@ class _Parser:
             }[v](left, right)
         return left
 
+    # Arithmetic compiles to try_* functions: VRL's checked arithmetic
+    # turns overflow / divide-by-zero into a runtime *error* that leaves
+    # the event unmodified (src/transforms/remap.rs:77-127,
+    # lib/vrl/compiler/src/type_def.rs:38-49). Under Spark ANSI mode the
+    # plain operators would abort the whole job on one hot row — the
+    # worst possible scale behavior. try_add/try_multiply/... yield NULL
+    # instead, which feeds the existing ``??`` / error_when / drop_on_error
+    # machinery exactly like a VRL error value.
     def parse_add(self):
         left = self.parse_mul()
         while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
             _, v = self.next()
             right = self.parse_mul()
-            left = (left + right) if v == "+" else (left - right)
+            left = F.try_add(left, right) if v == "+" else F.try_subtract(left, right)
         return left
 
     def parse_mul(self):
@@ -302,11 +315,11 @@ class _Parser:
             _, v = self.next()
             right = self.parse_unary()
             if v == "*":
-                left = left * right
+                left = F.try_multiply(left, right)
             elif v == "/":
-                left = left / right
+                left = F.try_divide(left, right)
             else:
-                left = left % right
+                left = F.try_mod(left, right)
         return left
 
     def parse_unary(self):
@@ -322,7 +335,8 @@ class _Parser:
     def parse_primary(self):
         k, v = self.next()
         if k == "op" and v == "(":
-            e = self.parse_or()
+            # full-precedence recursion so ``??`` works inside parens
+            e = self.parse_coalesce()
             self.expect(")")
             return e
         if k == "str":
@@ -347,10 +361,10 @@ class _Parser:
                 self.next()
                 args = []
                 if self.peek()[1] != ")":
-                    args.append(self.parse_or())
+                    args.append(self.parse_coalesce())
                     while self.peek()[1] == ",":
                         self.next()
-                        args.append(self.parse_or())
+                        args.append(self.parse_coalesce())
                 self.expect(")")
                 if v not in _FUNCS:
                     raise ValueError(f"VRL-lite: unknown function {v}()")

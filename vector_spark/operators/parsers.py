@@ -45,13 +45,51 @@ def to_java_regex(pattern: str) -> str:
 
 
 def _group_index(pattern: str, name: str) -> int:
-    """1-based index of a named group among ALL capture groups."""
-    idx = 0
-    for m in re.finditer(r"\((?!\?:)(?!\?=)(?!\?!)(\?P?<[A-Za-z][A-Za-z0-9_]*>)?", pattern):
-        idx += 1
-        g = m.group(1)
-        if g and g.strip("?P<>") == name:
-            return idx
+    """1-based index of a named group among ALL capture groups.
+
+    Authoritative source: Python's own regex compiler (``groupindex``)
+    — a hand scan miscounts escaped ``\\(`` literals and non-capturing
+    ``(?<=`` / ``(?<!`` / ``(?i)`` / ``(?>`` constructs, shifting every
+    index after them. Java-style ``(?<name>`` is normalized to
+    ``(?P<name>`` first; a char-scanner fallback covers Java-only
+    syntax Python cannot compile (possessive quantifiers, ``(?>``)."""
+    normalized = re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", pattern)
+    try:
+        compiled = re.compile(normalized)
+    except re.error:
+        compiled = None
+    if compiled is not None:
+        idx = compiled.groupindex.get(name)
+        if idx is None:
+            raise ValueError(f"group {name!r} not in pattern")
+        return idx
+    # fallback scanner: skip escapes and char classes; '(' opens a
+    # capture group iff not followed by '?', except '(?P<name>'
+    i, idx, in_class = 0, 0, False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = ch != "]"
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            m = re.match(r"\(\?P?<(?P<nm>[A-Za-z][A-Za-z0-9_]*)>", pattern[i:])
+            if m:
+                idx += 1
+                if m.group("nm") == name:
+                    return idx
+                i += m.end()
+                continue
+            if not (i + 1 < len(pattern) and pattern[i + 1] == "?"):
+                idx += 1
+        i += 1
     raise ValueError(f"group {name!r} not in pattern")
 
 

@@ -96,6 +96,20 @@ class Pipeline:
             visit(name)
         return order
 
+    def _ancestors(self, name: str) -> set[str]:
+        """``name`` plus every transform reachable upstream of it."""
+        out: set[str] = set()
+
+        def walk(n: str) -> None:
+            if n in out or n not in self.transforms:
+                return
+            out.add(n)
+            for inp in self.transforms[n].get("inputs", []):
+                walk(inp.split(".")[0])
+
+        walk(name)
+        return out
+
     # -- compile + run -----------------------------------------------------
     def run(
         self,
@@ -134,6 +148,10 @@ class Pipeline:
         # the LAST transform's frame (all lanes are flag columns on it).
         terminal_name = self._order[-1] if self._order else "in"
         terminal = frames[terminal_name]
+        # forked DAG: counters from stages off the terminal lineage
+        # must evaluate on their own branch's frame (their marks never
+        # reach the terminal — an unbound eval there silently reads 0)
+        telemetry.bind_off_lineage(frames, self._ancestors(terminal_name))
         if persist:
             terminal = terminal.persist()
             frames[terminal_name] = terminal
@@ -141,6 +159,29 @@ class Pipeline:
         lanes: dict[str, DataFrame] = {}
         sink_counts: dict[str, int] = {}
         sink_paths: dict[str, str] = {}
+        # sink counts fold into the single telemetry aggregation when
+        # the sink's lanes are flag columns on the terminal frame — no
+        # extra .count() job per sink. Unions of K lanes contribute K
+        # addends (a row in two lanes is written twice). Mid-pipeline
+        # taps fall back to a per-sink count.
+        sink_count_keys: dict[str, list[str] | None] = {}
+        alive = alive_col(terminal)
+        for si, (sname, sspec) in enumerate(self.sinks.items()):
+            inputs = sspec.get("inputs", [terminal_name])
+            keys: list[str] = []
+            for i, inp in enumerate(inputs):
+                router = inp.split(".")[0]
+                key = f"__sink_{si}_{i}"
+                if "." in inp and router in self._routes:
+                    lane = inp.split(".", 1)[1]
+                    flag_col = ROUTE_PREFIX + lane
+                    if flag_col in terminal.columns:
+                        telemetry.add(key, alive & F.col(flag_col))
+                        keys.append(key)
+                elif inp == terminal_name:
+                    telemetry.add(key, alive)
+                    keys.append(key)
+            sink_count_keys[sname] = keys if len(keys) == len(inputs) else None
         for sname, sspec in self.sinks.items():
             lane_df = self._resolve_input(frames, sspec.get("inputs", [terminal_name]))
             lane_df = live(lane_df)
@@ -169,8 +210,13 @@ class Pipeline:
         if collect_telemetry:
             tele = telemetry.collect(terminal)
             for sname in self.sinks:
-                # sink row counts from the persisted frame (cheap second pass)
-                sink_counts[sname] = lanes[sname].count()
+                keys = sink_count_keys.get(sname)
+                if keys is not None:
+                    sink_counts[sname] = sum(tele[k] for k in keys)
+                else:
+                    # mid-pipeline tap: count on its own (persisted) frame
+                    sink_counts[sname] = lanes[sname].count()
+            tele = {k: v for k, v in tele.items() if not k.startswith("__sink_")}
         return PipelineResult(
             telemetry=tele,
             sink_counts=sink_counts,
@@ -221,11 +267,14 @@ class Pipeline:
                 )
 
         live_flag = alive_col(terminal)
+        # off-lineage branch counters can't ride the observed write —
+        # bind them to their own frame so they aggregate separately
+        telemetry.bind_off_lineage(frames, self._ancestors(terminal_name))
         # one-pass telemetry + per-sink counts via Observation
         obs = Observation()
         aggs = [F.count(F.lit(1)).alias("events_in_total")]
         bound: list[tuple] = []
-        for cname, flag, frame in telemetry.counters:
+        for cname, flag, frame, _stage in telemetry.counters:
             if frame is None:
                 aggs.append(F.sum(F.when(flag, 1).otherwise(0)).alias(cname))
             else:
@@ -262,11 +311,17 @@ class Pipeline:
         )
         got = obs.get
         tele = {k: int(v or 0) for k, v in got.items() if not k.startswith("__sink_")}
-        # frame-bound counters (rare: pre-aggregation error counts)
-        # need their own agg — the observed write can't see them
+        # frame-bound counters (pre-aggregation error counts, forked
+        # branches) need their own agg — the observed write can't see
+        # them. One agg action per DISTINCT frame, not per counter.
+        by_frame: dict[int, tuple] = {}
         for cname, flag, frame in bound:
-            v = frame.agg(F.sum(F.when(flag, 1).otherwise(0)).alias("v")).first().v
-            tele[cname] = int(v or 0)
+            by_frame.setdefault(id(frame), (frame, []))[1].append((cname, flag))
+        for frame, items in by_frame.values():
+            row = frame.agg(
+                *[F.sum(F.when(flag, 1).otherwise(0)).alias(n) for n, flag in items]
+            ).first()
+            tele.update({k: int(v or 0) for k, v in row.asDict().items()})
         sink_counts = {
             k[len("__sink_") :]: int(v or 0)
             for k, v in got.items()
@@ -311,7 +366,7 @@ class Pipeline:
         # Vector's per-event flow order.
         if typ == "filter":
             cond = F.coalesce(compile_condition(spec["condition"]), F.lit(False))
-            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name)
+            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name, stage=name)
             return mark_dropped(df, ~cond, name)
         if typ == "route":
             routes = spec["routes"]
@@ -320,9 +375,9 @@ class Pipeline:
             no_lane = None
             for lane in routes:
                 c = F.col(ROUTE_PREFIX + lane)
-                tele.add(f"{name}_{lane}_total", alive & c)
+                tele.add(f"{name}_{lane}_total", alive & c, stage=name)
                 no_lane = ~c if no_lane is None else (no_lane & ~c)
-            tele.add(f"{name}_discarded_total", alive & no_lane)
+            tele.add(f"{name}_discarded_total", alive & no_lane, stage=name)
             return out
         if typ == "sample":
             # soft sample: mark non-survivors
@@ -339,7 +394,7 @@ class Pipeline:
             else:
                 keep = passed
                 rate_col = F.when(passed, F.lit(rate))
-            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name)
+            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name, stage=name)
             out = df.withColumn(spec.get("sample_rate_field", "sample_rate"), rate_col)
             return mark_dropped(out, ~keep, name)
         if typ == "dedupe":
@@ -354,7 +409,7 @@ class Pipeline:
                 w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id())
                 dup = F.row_number().over(w) > 1
             out = df.withColumn("_vs_dup", dup)
-            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name)
+            tele.add(f"{name}_discarded_total", F.col(DROPPED_BY) == name, stage=name)
             return mark_dropped(out, F.col("_vs_dup"), name).drop("_vs_dup")
         if typ == "remap":
             err_field = None
@@ -363,6 +418,7 @@ class Pipeline:
                 tele.add(
                     f"{name}_processing_errors_total",
                     alive & F.coalesce(compile_condition(spec["error_when"]), F.lit(False)),
+                    stage=name,
                 )
             out = remap_fn(
                 df,
@@ -384,7 +440,7 @@ class Pipeline:
             )
             # keep the hidden miss flag through to the terminal frame;
             # sinks strip underscore-prefixed internals
-            tele.add(f"{name}_lookup_miss_total", alive & F.col(miss))
+            tele.add(f"{name}_lookup_miss_total", alive & F.col(miss), stage=name)
             return out
         # stateless shapers / parsers — pass config straight through
         # Aggregating (Task) transforms change row identity — rows

@@ -61,30 +61,16 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*final_aggs)
 
 
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    on: str,
-    n_salts: int = 16,
-    how: str = "left",
-) -> DataFrame:
-    """Skew-safe equi-join: salt the big side, replicate the small side
-    across all salts, join on (key, salt). Use when the small side is
-    too large to broadcast but the big side's key is skewed."""
-    big_s = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(on)), F.lit(n_salts)))
-    # replicating by key-hash keeps determinism: row r joins salt
-    # bucket hash(key)%n — only ONE replica needed per small row
-    small_s = small.withColumn("_salt", F.pmod(F.xxhash64(F.col(on)), F.lit(n_salts)))
-    out = big_s.join(small_s, [on, "_salt"], how)
-    return out.drop("_salt")
-
-
 def explode_salted_join(
     big: DataFrame, small: DataFrame, on: str, n_salts: int = 16, how: str = "left"
 ) -> DataFrame:
     """True salted join: big side gets a RANDOM-ish (row-hash) salt and
     the small side is exploded n_salts× so every (key, salt) pair
-    exists. Spreads a single hot key over n_salts reducers."""
+    exists. Spreads a single hot key over n_salts reducers.
+
+    (A key-hash salt on both sides would give every row of a hot key
+    the SAME salt — zero mitigation. The salt must be derived from the
+    whole row so the hot key's rows scatter across salts.)"""
     big_cols = big.columns
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big_cols]), F.lit(n_salts))
@@ -93,3 +79,9 @@ def explode_salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return big_s.join(small_s, [on, "_salt"], how).drop("_salt")
+
+
+# The only correct manual salted-join shape is the explode variant —
+# the former key-hash-salt implementation was a no-op shuffle-widener
+# and is gone. Kept as the canonical name.
+salted_join = explode_salted_join

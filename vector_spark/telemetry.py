@@ -37,13 +37,26 @@ class Telemetry:
     (``frame=``): needed when a downstream aggregation (log_to_metric
     / reduce) changes the schema so the flag's columns no longer exist
     at the terminal. Unbound counters evaluate on the terminal frame.
+
+    Each counter records the ``stage`` that registered it so the
+    pipeline can re-bind counters whose stage is NOT an ancestor of
+    the terminal transform (forked DAG): their marks don't exist on
+    the terminal frame and would silently read 0 there.
     """
 
-    counters: list[tuple[str, Column, DataFrame | None]] = field(default_factory=list)
+    counters: list[tuple[str, Column, DataFrame | None, str | None]] = field(
+        default_factory=list
+    )
     events_in_frame: DataFrame | None = None
 
-    def add(self, name: str, flag: Column, frame: DataFrame | None = None) -> None:
-        self.counters.append((name, flag, frame))
+    def add(
+        self,
+        name: str,
+        flag: Column,
+        frame: DataFrame | None = None,
+        stage: str | None = None,
+    ) -> None:
+        self.counters.append((name, flag, frame, stage))
 
     def bind_unbound(self, frame: DataFrame) -> None:
         """Snapshot: bind every still-unbound counter to ``frame``.
@@ -51,10 +64,27 @@ class Telemetry:
         aggregation (log_to_metric/reduce/merge) — the flags' columns
         won't exist afterwards. Also pins events_in to this frame."""
         self.counters = [
-            (n, f, frame if fr is None else fr) for n, f, fr in self.counters
+            (n, f, frame if fr is None else fr, st) for n, f, fr, st in self.counters
         ]
         if self.events_in_frame is None:
             self.events_in_frame = frame
+
+    def bind_off_lineage(
+        self, frames: dict[str, DataFrame], lineage: set[str]
+    ) -> None:
+        """Bind every unbound counter whose stage is NOT an ancestor of
+        the terminal transform to that stage's own output frame — on a
+        forked DAG the terminal frame never saw the branch's marks, so
+        evaluating there would silently report 0."""
+        self.counters = [
+            (
+                n,
+                f,
+                frames[st] if fr is None and st is not None and st not in lineage else fr,
+                st,
+            )
+            for n, f, fr, st in self.counters
+        ]
 
     def collect(self, df: DataFrame) -> dict[str, int]:
         out: dict[str, int] = {}
@@ -62,7 +92,7 @@ class Telemetry:
         # per distinct frame
         groups: dict[int, tuple[DataFrame, list[tuple[str, Column]]]] = {}
         terminal: list[tuple[str, Column]] = []
-        for name, flag, frame in self.counters:
+        for name, flag, frame, _stage in self.counters:
             if frame is None:
                 terminal.append((name, flag))
             else:
