@@ -419,10 +419,13 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_jaccard(spark, sf):
+    """Jaccard pairs WITH stop-shingle pruning active (max_shingle_df):
+    the hot-shingle anti-join is part of the verified plan, and the
+    oracle mirrors the pruning with a HAVING clause."""
     from vector_spark.dataops.dedup import ngram_jaccard_pairs
 
     docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
-    return ngram_jaccard_pairs(docs, threshold=0.35)
+    return ngram_jaccard_pairs(docs, threshold=0.35, max_shingle_df=50)
 
 
 def _q_minhash(spark, sf):
@@ -684,8 +687,9 @@ def _q_embed_near_dups(spark, sf):
 
 
 def _q_multimodal(spark, sf):
-    """Arrow-batched feature extraction over binary media columns —
-    no SQL oracle (pandas-UDF stage); driver records rows-only."""
+    """Arrow-batched feature extraction over binary media columns.
+    Oracle: pure-Python recomputation of the deterministic synthetic
+    payloads (see _multimodal_oracle_sql)."""
     from vector_spark.dataops.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 300)
@@ -693,15 +697,232 @@ def _q_multimodal(spark, sf):
     return out.select("media_id", "kind", "n_bytes", "sha", "decode_ok")
 
 
+def _ivf_gate_centroids() -> list[list[float]]:
+    """Fixed seeded coarse quantizer for the GATE query — shared
+    verbatim (rounded literals) between the Spark plan and the DuckDB
+    oracle so both engines quantize identically at every sf. The
+    production path trains centroids with ivf_centroids (driver-side
+    k-means, tests/test_ivf_custom.py); the gate pins the PROBE
+    machinery: pandas-UDF cell assignment + cell equi-join + top-k."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cents = rng.standard_normal((8, 64))
+    return [[round(float(v), 6) for v in row] for row in cents]
+
+
 def _q_ivf_topk(spark, sf):
-    """IVF ANN (driver-trained coarse quantizer + pandas-UDF cell
-    assignment) — no SQL oracle; rows-only check."""
-    from vector_spark.dataops.similarity import ivf_centroids, ivf_topk
+    """IVF ANN probe: fixed coarse quantizer (gate) + pandas-UDF cell
+    assignment + cell-restricted scoring."""
+    from vector_spark.dataops.similarity import ivf_topk
 
     emb = _load(spark, sf, "embeddings")
-    cents = ivf_centroids(emb, n_cells=8, sample_rows=512)
     q = emb.filter(F.col("vec_id") == 0)
-    return ivf_topk(emb, q, cents, k=5)
+    return ivf_topk(emb, q, _ivf_gate_centroids(), k=5)
+
+
+def _ivf_oracle_sql() -> str:
+    """IVF probe reimplemented in SQL over the same centroid literals:
+    assignment = argmax cosine vs centroids (first-max tie-break like
+    numpy argmax), probe = cell equi-join, top-5 by rounded cosine."""
+    cents = _ivf_gate_centroids()
+    rows = ",\n              ".join(
+        f"({i}, {c}::DOUBLE[])" for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, cvec) AS (VALUES
+              {rows}),
+        sims AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 list_cosine_similarity(cast(e.embedding AS double[]), c.cvec) AS sim
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+            FROM sims) WHERE rn = 1
+        ),
+        q AS (SELECT * FROM assign WHERE vec_id = 0),
+        scored AS (
+          SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(cast(a.embedding AS double[]),
+                                              cast(q.embedding AS double[])), 4) AS cos
+          FROM assign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.vec_id
+        )
+        SELECT query_id, neighbor_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          FROM scored) WHERE rk <= 5
+    """
+
+
+def _multimodal_oracle_sql(n_rows: int = 300, seed: int = 42) -> str:
+    """Independent pure-Python recomputation of the deterministic
+    synthetic media features (payload = md5-digest bytes x 64) emitted
+    as a VALUES table — DuckDB cannot sha256 BLOBs, so the hash is
+    precomputed rather than recomputed in SQL."""
+    import hashlib
+
+    kinds = ("image", "audio", "video")
+    vals = []
+    for i in range(n_rows):
+        payload = bytes.fromhex(hashlib.md5((str(seed) + str(i)).encode()).hexdigest()) * 64
+        kind = kinds[i % 3]
+        vals.append(
+            f"('media-{i:08d}', '{kind}', {len(payload)}::BIGINT, "
+            f"'{hashlib.sha256(payload).hexdigest()}', {str(kind != 'video').upper()})"
+        )
+    body = ",\n              ".join(vals)
+    return f"""
+        SELECT * FROM (VALUES
+              {body}) AS t(media_id, kind, n_bytes, sha, decode_ok)
+    """
+
+
+
+
+# ---------------------------------------------------------------------------
+# VRL stdlib round-2 additions: parse_csv, percent encoding, match_any,
+# AWS formats, ruby hash, encode_key_value, IP family conversions
+# ---------------------------------------------------------------------------
+
+
+def _q_parse_csv(spark, sf):
+    """parse_csv over a synthesized CSV line with a quoted+comma field
+    (lib/vrl/stdlib/src/parse_csv.rs)."""
+    from vector_spark.functions.vrl import parse_csv
+
+    ev = _load(spark, sf, "events")
+    msg = F.format_string('%s,%d,"%s, Inc."', F.col("event_type"), F.col("event_id"), F.col("event_type"))
+    fields = parse_csv(msg)
+    return ev.select(
+        "event_id",
+        F.element_at(fields, 1).alias("f1"),
+        F.element_at(fields, 2).alias("f2"),
+        F.element_at(fields, 3).alias("f3"),
+    )
+
+
+def _q_encode_percent(spark, sf):
+    """encode_percent / decode_percent round trip (encode_percent.rs)."""
+    from vector_spark.functions.vrl import decode_percent, encode_percent
+
+    ev = _load(spark, sf, "events")
+    raw = F.concat(F.col("event_type"), F.lit(" x y"))
+    return ev.select(
+        "event_id",
+        encode_percent(raw).alias("enc"),
+        decode_percent(encode_percent(raw)).alias("dec"),
+    )
+
+
+def _q_match_any(spark, sf):
+    """match_any RegexSet membership over document text (match_any.rs)."""
+    from vector_spark.functions.vrl import match_any
+
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        match_any(F.col("text"), ["data", "the "]).alias("hit"),
+    )
+
+
+def _q_parse_aws_alb_log(spark, sf):
+    """parse_aws_alb_log over synthesized ALB lines
+    (parse_aws_alb_log.rs test shape)."""
+    from vector_spark.functions.logformats import parse_aws_alb_log
+
+    ev = _load(spark, sf, "events")
+    line = F.format_string(
+        'http 2018-11-30T22:23:00.%06dZ app/lb/%d 192.168.131.%d:2817 - '
+        '0.000 0.001 0.000 %d 200 %d 366 "GET http://example.com/%s HTTP/1.1" '
+        '"agent/%d" - - arn:tg/%d "Root=1-%d" "-" "-" 0 '
+        '2018-11-30T22:22:48.364000Z "forward" "-" "-" "-" "-" "-" "-"',
+        F.pmod(F.col("event_id"), F.lit(1000000)),
+        F.col("event_id"),
+        F.pmod(F.col("event_id"), F.lit(250)),
+        F.lit(200) + F.pmod(F.col("event_id"), F.lit(3)) * 100,
+        (F.col("value") * 100).cast("long"),
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("event_id"),
+        F.col("event_id"),
+    )
+    out = parse_aws_alb_log(ev.select("event_id", line.alias("message")))
+    return out.select(
+        "event_id",
+        F.col("type").alias("rtype_out"),
+        "elb",
+        "client_host",
+        "target_host",
+        "request_processing_time",
+        "target_processing_time",
+        "elb_status_code",
+        "received_bytes",
+        "request_method",
+        "request_url",
+        "user_agent",
+        "trace_id",
+        "actions_executed",
+        "error_reason",
+    )
+
+
+def _q_parse_vpc_flow_log(spark, sf):
+    """parse_aws_vpc_flow_log default format with '-' nulls
+    (parse_aws_vpc_flow_log.rs)."""
+    from vector_spark.functions.logformats import parse_aws_vpc_flow_log
+
+    ev = _load(spark, sf, "events")
+    line = F.format_string(
+        "2 %d eni-%d 10.0.0.%d - %d - 6 %d - %d %d ACCEPT OK",
+        F.col("user_id"),
+        F.col("event_id"),
+        F.pmod(F.col("event_id"), F.lit(250)),
+        F.lit(1000) + F.pmod(F.col("event_id"), F.lit(64000)),
+        (F.col("value") * 10).cast("long"),
+        F.col("event_id") + F.lit(1431280000),
+        F.col("event_id") + F.lit(1431280060),
+    )
+    out = parse_aws_vpc_flow_log(ev.select("event_id", line.alias("message")))
+    return out.select(
+        "event_id", "version", "account_id", "interface_id", "srcaddr",
+        "dstaddr", "srcport", "dstport", "protocol", "packets", "bytes",
+        "start", "end", "action", "log_status",
+    )
+
+
+def _q_ruby_hash_and_ip(spark, sf):
+    """parse_ruby_hash + encode_key_value + IP family conversions in
+    one projection (parse_ruby_hash.rs, encode_key_value.rs,
+    ip_to_ipv6.rs, ipv6_to_ipv4.rs)."""
+    from vector_spark.functions.vrl import (
+        encode_key_value,
+        ip_to_ipv6,
+        ipv6_to_ipv4,
+        parse_ruby_hash,
+    )
+
+    ev = _load(spark, sf, "events")
+    rh = F.format_string(
+        '{ "etype" => "%s", "n" => %d, "x" => nil }', F.col("event_type"), F.col("event_id")
+    )
+    parsed = parse_ruby_hash(rh)
+    ip = F.format_string(
+        "10.%d.%d.%d",
+        F.pmod(F.col("event_id"), F.lit(250)),
+        F.pmod(F.col("user_id"), F.lit(250)),
+        F.pmod(F.col("event_id") * 7, F.lit(250)),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(parsed, "etype").alias("etype"),
+        F.element_at(parsed, "n").alias("n"),
+        encode_key_value(
+            F.create_map(F.lit("lvl"), F.col("event_type"), F.lit("id"), F.col("event_id").cast("string"))
+        ).alias("kv"),
+        ip_to_ipv6(ip).alias("v6"),
+        ipv6_to_ipv4(ip_to_ipv6(ip)).alias("v4_back"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -749,6 +970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_aggregate": _q_stream_aggregate,
         "multimodal_features": _q_multimodal,
         "ivf_topk": _q_ivf_topk,
+        "vrl_parse_csv": _q_parse_csv,
+        "vrl_percent": _q_encode_percent,
+        "vrl_match_any": _q_match_any,
+        "parse_aws_alb_log": _q_parse_aws_alb_log,
+        "parse_aws_vpc_flow_log": _q_parse_vpc_flow_log,
+        "vrl_ruby_hash_ip": _q_ruby_hash_and_ip,
         "reduce_expire_gap": _q_reduce_expire_gap,
         "embed_near_dups": _q_embed_near_dups,
     }
@@ -918,7 +1145,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "ngram_jaccard": f"""
-            WITH sh AS ({_SHINGLES}),
+            WITH sh_all AS ({_SHINGLES}),
+            sh AS (
+              -- stop-shingle pruning mirror: drop shingles whose
+              -- document frequency exceeds the cap (50)
+              SELECT * FROM sh_all
+              WHERE shingle IN (
+                SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50
+              )
+            ),
             sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
             inter AS (
               SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
@@ -1133,6 +1368,72 @@ def oracle_sql() -> dict[str, str]:
             FROM grouped WHERE grp > 0
             GROUP BY user_id, grp
         """,
+        "ivf_topk": _ivf_oracle_sql(),
+        "vrl_parse_csv": """
+            SELECT event_id, event_type AS f1,
+                   cast(event_id AS varchar) AS f2,
+                   event_type || ', Inc.' AS f3
+            FROM events
+        """,
+        "vrl_percent": """
+            SELECT event_id,
+                   event_type || '%20x%20y' AS enc,
+                   event_type || ' x y' AS dec
+            FROM events
+        """,
+        "vrl_match_any": """
+            SELECT cast(doc_id AS bigint) AS doc_id,
+                   (regexp_matches(text, 'data') OR regexp_matches(text, 'the ')) AS hit
+            FROM documents
+        """,
+        "parse_aws_alb_log": """
+            SELECT event_id,
+                   'http' AS rtype_out,
+                   printf('app/lb/%d', event_id) AS elb,
+                   printf('192.168.131.%d:2817', event_id % 250) AS client_host,
+                   CAST(NULL AS VARCHAR) AS target_host,
+                   0.0 AS request_processing_time,
+                   0.001 AS target_processing_time,
+                   cast(200 + (event_id % 3) * 100 AS varchar) AS elb_status_code,
+                   cast(trunc(value * 100) AS bigint) AS received_bytes,
+                   'GET' AS request_method,
+                   printf('http://example.com/%s', event_type) AS request_url,
+                   printf('agent/%d', user_id) AS user_agent,
+                   printf('Root=1-%d', event_id) AS trace_id,
+                   'forward' AS actions_executed,
+                   CAST(NULL AS VARCHAR) AS error_reason
+            FROM events
+        """,
+        "parse_aws_vpc_flow_log": """
+            SELECT event_id,
+                   cast(2 AS bigint) AS version,
+                   cast(user_id AS bigint) AS account_id,
+                   printf('eni-%d', event_id) AS interface_id,
+                   printf('10.0.0.%d', event_id % 250) AS srcaddr,
+                   CAST(NULL AS VARCHAR) AS dstaddr,
+                   cast(1000 + event_id % 64000 AS bigint) AS srcport,
+                   NULL AS dstport,
+                   cast(6 AS bigint) AS protocol,
+                   cast(trunc(value * 10) AS bigint) AS packets,
+                   NULL AS bytes,
+                   cast(event_id + 1431280000 AS bigint) AS start,
+                   cast(event_id + 1431280060 AS bigint) AS "end",
+                   'ACCEPT' AS action,
+                   'OK' AS log_status
+            FROM events
+        """,
+        "vrl_ruby_hash_ip": """
+            SELECT event_id,
+                   event_type AS etype,
+                   cast(event_id AS varchar) AS n,
+                   printf('id=%d lvl=%s', event_id, event_type) AS kv,
+                   printf('::ffff:10.%d.%d.%d', event_id % 250, user_id % 250,
+                          (event_id * 7) % 250) AS v6,
+                   printf('10.%d.%d.%d', event_id % 250, user_id % 250,
+                          (event_id * 7) % 250) AS v4_back
+            FROM events
+        """,
+        "multimodal_features": _multimodal_oracle_sql(),
         "text_stats": f"""
             WITH norm AS (
               SELECT cast(doc_id AS bigint) AS doc_id, text, {_NORM} AS ntext

@@ -123,3 +123,55 @@ def test_multimodal_features(spark):
     # determinism
     again = {r.media_id: r.sha for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.sha for r in rows)
+
+
+def test_stop_shingle_pruning_hot_shingle_removed(spark):
+    """A shingle present in EVERY doc (k² candidate fan-out) must be
+    pruned by max_shingle_df before the self-join — and the pruning
+    stage must be a broadcast anti-join (the hot key never shuffles)."""
+    from vector_spark.dataops.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"common stop shingle unique{i} word{i} tail{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # without pruning: 'common stop shingle' is in all 10 docs → pairs exist
+    dense = ngram_jaccard_pairs(docs, threshold=0.1, reuse_shingles=False)
+    assert dense.count() > 0
+    # with a cap of 5 the only shared shingle is gone → no pairs at all
+    pruned = ngram_jaccard_pairs(
+        docs, threshold=0.1, reuse_shingles=False, max_shingle_df=5
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert pruned.count() == 0
+
+
+def test_jaccard_staging_path_materializes_shingles(spark, tmp_path):
+    """staging_path replaces the memory persist with a parquet staging
+    table (the 100 TB path: the shingle frame is O(total tokens))."""
+    import os
+
+    from vector_spark.dataops.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    stage = str(tmp_path / "shingles")
+    out = ngram_jaccard_pairs(docs, threshold=0.3, staging_path=stage)
+    assert out.count() == 1
+    assert any(f.endswith(".parquet") for f in os.listdir(stage))
+
+
+def test_simhash_single_shuffle_no_bit_explode(spark):
+    """The 16 bit-majorities are aggregate columns, not a 16× row
+    explode: exactly ONE generator (the word explode) and exactly ONE
+    exchange (the id groupBy) in the plan."""
+    from vector_spark.dataops.dedup import simhash16
+
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    out = simhash16(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") <= 2  # partial→final agg pair shares one shuffle
+    # value sanity: deterministic for fixed input
+    a = out.first().simhash
+    assert a == simhash16(docs).first().simhash

@@ -1,0 +1,169 @@
+"""New VRL stdlib surface: parse_csv, percent encoding, match_any /
+match_array, sha3, IP family conversions, ruby hash, encode_key_value,
+parse_aws_alb_log, parse_aws_vpc_flow_log.
+
+Expected values come from the reference's own test vectors
+(lib/vrl/stdlib/src/<fn>.rs tests and the commented blocks in
+tests/behavior/transforms/remap.toml).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.functions.logformats import parse_aws_alb_log, parse_aws_vpc_flow_log
+from vector_spark.functions.vrl import (
+    decode_percent,
+    encode_key_value,
+    encode_percent,
+    get_env_var,
+    get_hostname,
+    ip_to_ipv6,
+    ipv6_to_ipv4,
+    match_any,
+    match_array,
+    parse_csv,
+    parse_ruby_hash,
+    sha3,
+)
+
+ALB_LINE = (
+    'http 2018-11-30T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+    '192.168.131.39:2817 - 0.000 0.001 0.000 200 200 34 366 '
+    '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+    'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+    '"Root=1-58337364-23a8c76965a2ef7629b185e3" "-" "-" 0 '
+    '2018-11-30T22:22:48.364000Z "forward" "-" "-" "-" "-" "-" "-"'
+)
+
+
+def test_parse_aws_alb_log_reference_vector(spark):
+    df = spark.createDataFrame([(ALB_LINE,)], "message string")
+    r = parse_aws_alb_log(df).first()
+    assert r.type == "http"
+    assert r.timestamp == "2018-11-30T22:23:00.186641Z"
+    assert r.elb == "app/my-loadbalancer/50dc6c495c0c9188"
+    assert r.client_host == "192.168.131.39:2817"
+    assert r.target_host is None
+    assert r.request_processing_time == 0.0
+    assert r.target_processing_time == 0.001
+    assert r.response_processing_time == 0.0
+    assert r.elb_status_code == "200" and r.target_status_code == "200"
+    assert r.received_bytes == 34 and r.sent_bytes == 366
+    assert r.request_method == "GET"
+    assert r.request_url == "http://www.example.com:80/"
+    assert r.request_protocol == "HTTP/1.1"
+    assert r.user_agent == "curl/7.46.0"
+    assert r.ssl_cipher is None and r.ssl_protocol is None
+    assert r.trace_id == "Root=1-58337364-23a8c76965a2ef7629b185e3"
+    assert r.domain_name is None and r.chosen_cert_arn is None
+    assert r.matched_rule_priority == "0"
+    assert r.request_creation_time == "2018-11-30T22:22:48.364000Z"
+    assert r.actions_executed == "forward"
+    assert r.redirect_url is None and r.error_reason is None
+
+
+def test_parse_aws_vpc_flow_log_reference_vectors(spark):
+    df = spark.createDataFrame(
+        [("2 123456789010 eni-1235b8ca123456789 - - - - - - - 1431280876 1431280934 - NODATA",)],
+        "message string",
+    )
+    r = parse_aws_vpc_flow_log(df).first()
+    assert r.version == 2 and r.account_id == 123456789010
+    assert r.interface_id == "eni-1235b8ca123456789"
+    assert r.srcaddr is None and r.protocol is None and r.action is None
+    assert r.start == 1431280876 and r.end == 1431280934
+    assert r.log_status == "NODATA"
+
+    df2 = spark.createDataFrame(
+        [("- eni-1235b8ca123456789 10.0.1.5 10.0.0.220 10.0.1.5 203.0.113.5",)],
+        "message string",
+    )
+    r2 = parse_aws_vpc_flow_log(
+        df2, format="instance_id interface_id srcaddr dstaddr pkt_srcaddr pkt_dstaddr"
+    ).first()
+    assert r2.instance_id is None
+    assert r2.interface_id == "eni-1235b8ca123456789"
+    assert r2.srcaddr == "10.0.1.5" and r2.dstaddr == "10.0.0.220"
+    assert r2.pkt_srcaddr == "10.0.1.5" and r2.pkt_dstaddr == "203.0.113.5"
+
+
+def test_parse_csv(spark):
+    df = spark.createDataFrame(
+        [('foo,"b,ar",baz,"say ""hi""",',)], "message string"
+    )
+    got = df.select(parse_csv(F.col("message")).alias("f")).first().f
+    assert got == ["foo", "b,ar", "baz", 'say "hi"', ""]
+
+
+def test_percent_encoding_roundtrip(spark):
+    df = spark.createDataFrame([("foo bar?baz+qux/100%",)], "s string")
+    enc = df.select(encode_percent(F.col("s")).alias("e")).first().e
+    assert " " not in enc and "%20" in enc and "+" not in enc.replace("%2B", "")
+    dec = df.select(
+        decode_percent(encode_percent(F.col("s"))).alias("d")
+    ).first().d
+    assert dec == "foo bar?baz+qux/100%"
+
+
+def test_match_any_and_match_array(spark):
+    df = spark.createDataFrame([("error in module",)], "s string")
+    assert df.select(match_any(F.col("s"), ["^warn", "err.r"]).alias("m")).first().m
+    assert not df.select(match_any(F.col("s"), ["^warn", "^fatal"]).alias("m")).first().m
+    df2 = spark.createDataFrame([(["foo", "bar123"],)], "a array<string>")
+    assert df2.select(match_array(F.col("a"), r"\d+").alias("m")).first().m
+    assert not df2.select(
+        match_array(F.col("a"), r"\d+", all_items=True).alias("m")
+    ).first().m
+
+
+def test_sha3_reference_vector(spark):
+    # sha3("foo") default SHA3-512 — remap.toml remap_function_sha3
+    df = spark.createDataFrame([("foo",)], "s string")
+    got = df.select(sha3(F.col("s")).alias("h")).first().h
+    assert got == (
+        "4bca2b137edc580fe50a88983ef860ebaca36c857b1f492839d6d7392452a63c"
+        "82cbebc68e3b70a2a1480b4bb5d437a7cba6ecf9d89f9ff3ccd14cd6146ea7e7"
+    )
+
+
+def test_ip_family_conversions(spark):
+    # remap.toml remap_function_ip_to_ipv6 / ipv6_to_ipv4 vectors
+    df = spark.createDataFrame([("192.168.10.2", "::ffff:192.168.10.2", "2001:db8::1")],
+                               "v4 string, mapped string, v6 string")
+    r = df.select(
+        ip_to_ipv6(F.col("v4")).alias("a"),
+        ipv6_to_ipv4(F.col("mapped")).alias("b"),
+        ipv6_to_ipv4(F.col("v4")).alias("c"),
+        ipv6_to_ipv4(F.col("v6")).alias("d"),
+    ).first()
+    assert r.a == "::ffff:192.168.10.2"
+    assert r.b == "192.168.10.2"
+    assert r.c == "192.168.10.2"
+    assert r.d is None
+
+
+def test_parse_ruby_hash(spark):
+    df = spark.createDataFrame(
+        [('{ "test" => "value", "number" => 1, :sym => nil }',)], "s string"
+    )
+    got = df.select(parse_ruby_hash(F.col("s")).alias("m")).first().m
+    assert got["test"] == "value" and got["number"] == "1"
+    assert "sym" in got and got["sym"] is None
+
+
+def test_encode_key_value(spark):
+    df = spark.createDataFrame([({"lvl": "info", "app": "vector"},)], "m map<string,string>")
+    got = df.select(encode_key_value(F.col("m")).alias("s")).first().s
+    assert got == "app=vector lvl=info"  # sorted keys
+
+
+def test_env_and_hostname_literals(spark):
+    import socket
+
+    r = spark.range(1).select(
+        get_hostname().alias("h"), get_env_var("PATH").alias("p"),
+        get_env_var("VS_NOT_SET_XYZ", "dflt").alias("d"),
+    ).first()
+    assert r.h == socket.gethostname()
+    assert r.p and r.d == "dflt"

@@ -157,7 +157,7 @@ _FUNCS = {
     "contains": lambda a, b: a.contains(b),
     "starts_with": lambda a, b: a.startswith(b),
     "ends_with": lambda a, b: a.endswith(b),
-    "match": lambda a, b: a.rlike(b),
+    "match": lambda a, b: a.rlike(_as_py_val(b)),
     "exists": lambda a: a.isNotNull(),
     "is_null": lambda a: a.isNull(),
     "is_nullish": lambda a: a.isNull() | (a.cast("string") == "") | (a.cast("string") == "-"),
@@ -174,17 +174,19 @@ _FUNCS = {
     "replace": lambda a, p, r: F.regexp_replace(a, p, r),
     "strip_whitespace": lambda a: F.trim(a),
     "strip_ansi_escape_codes": lambda a: F.regexp_replace(
-        a, r"\x1b\[[0-9;]*[A-Za-z]|\x1b\][^\x07]*\x07|\x1b[@-Z\\-_]", ""
+        # \r included: strip-ansi-escapes' vte parser eats carriage
+        # returns (see operators/shapers.py _ANSI_RE)
+        a, r"\x1b\[[0-9;]*[A-Za-z]|\x1b\][^\x07]*\x07|\x1b[@-Z\\-_]|\r", ""
     ),
-    "split": lambda a, sep: F.split(a, sep),
-    "join": lambda a, sep: F.array_join(a, sep),
+    "split": lambda a, sep: F.split(a, _as_py_val(sep)),
+    "join": lambda a, sep: F.array_join(a, _as_py_val(sep)),
     "to_string": lambda a: a.cast("string"),
     "to_int": lambda a: a.cast("double").cast("long"),
     "to_float": lambda a: a.cast("double"),
     "to_bool": lambda a: a.cast("boolean"),
     "to_timestamp": lambda a: F.to_timestamp(a.cast("string")),
     "to_unix_timestamp": lambda a: F.unix_timestamp(a),
-    "format_timestamp": lambda a, fmt: F.date_format(a, fmt),
+    "format_timestamp": lambda a, fmt: F.date_format(a, _as_py_val(fmt)),
     "now": lambda: F.current_timestamp(),
     "md5": lambda a: F.md5(a.cast("string")),
     "sha1": lambda a: F.sha1(a.cast("string")),
@@ -207,6 +209,18 @@ _FUNCS = {
     "coalesce": lambda *a: F.coalesce(*a),
     "if_else": lambda c, t, f: F.when(c, t).otherwise(f),
 }
+
+
+def _as_py_val(col_or_val):
+    """Literal argument (string/number) for PySpark APIs that do not
+    accept a Column (rlike, array_join separator, date_format pattern).
+    The parser tags literal Columns with ``_vs_pyval``."""
+    if isinstance(col_or_val, (str, int, float)):
+        return col_or_val
+    v = getattr(col_or_val, "_vs_pyval", None)
+    if v is None:
+        raise ValueError("expected a literal (non-column) argument")
+    return v
 
 
 def _as_py_int(col_or_int) -> int:
@@ -374,9 +388,25 @@ class _Parser:
         raise ValueError(f"VRL-lite: unexpected token {v!r}")
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
+
+
 def _unescape(s: str) -> str:
+    """VRL string literal unescape: \\n/\\t/\\r/quotes/backslash;
+    unknown escapes (e.g. regex \\d) pass through verbatim."""
     body = s[1:-1]
-    return body.replace('\\"', '"').replace("\\'", "'").replace("\\\\", "\\")
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            out.append(_ESCAPES.get(nxt, "\\" + nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def compile_vrl_lite(expr: str) -> Column:

@@ -73,20 +73,45 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     reuse_shingles: bool = True,
+    max_shingle_df: int | None = None,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-set Jaccard >= threshold.
 
     Self equi-join on shingle → intersection counts; union via
     per-doc set sizes. Output (id_a, id_b, jaccard).
 
+    Scale controls (the two 100 TB levers, both CODE not advice):
+
+    - ``max_shingle_df``: STOP-SHINGLE PRUNING. A shingle appearing in
+      more than this many documents is removed from the universe
+      before the self-join (both intersection AND per-doc sizes — the
+      Jaccard is over the reduced universe). The hot-shingle set is
+      tiny by construction (few shingles exceed the cap), so it ships
+      as a broadcast LEFT ANTI join — the skewed join key never
+      reaches the shuffle. A shingle in k docs generates k² candidate
+      rows; capping k bounds the worst key's fan-out.
+    - ``staging_path``: materialize the (id, shingle) frame to parquet
+      instead of memory ``persist()`` — the shingle frame is O(total
+      tokens) rows and will not fit in cluster memory at 100 TB.
+
     ``reuse_shingles`` persists the (id, shingle) frame: without it
     Catalyst re-derives the scan+explode+distinct FOUR times (both
-    join sides + both size lookups — measured 10 exchanges → 4). At
-    100 TB prefer materializing the shingle frame to a parquet/Iceberg
-    staging table instead of memory persist (O(total tokens) rows).
+    join sides + both size lookups — measured 10 exchanges → 4).
     """
     sh = shingle_frame(df, text_col, id_col, n)
-    if reuse_shingles:
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    if staging_path is not None:
+        sh.write.mode("overwrite").parquet(staging_path)
+        sh = df.sparkSession.read.parquet(staging_path)
+    elif reuse_shingles:
         sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
@@ -171,34 +196,35 @@ def simhash16(
 
     For bit j (0..15): take hex digit j/4 of md5(word), extract bit
     (3 - j%4); majority vote over words decides the output bit.
-    Output (id, simhash int)."""
+    Output (id, simhash int).
+
+    Scale shape: all 16 bit-majorities are SIXTEEN AGGREGATE COLUMNS
+    over the word rows — one shuffle of the word frame. (The previous
+    version exploded a j=0..15 sequence per word, multiplying the
+    shuffled row count 16×.) The bit formula is plain arithmetic so
+    the identical expression runs on any SQL engine (oracle parity).
+    """
     words = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
-    base = df.select(F.col(id_col).alias("id"), words)
-    bits = base.select(
-        "id",
-        F.substring(F.md5(F.col("w")), 1, 4).alias("h4"),
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-    ).select(
-        "id",
-        "j",
-        # bit = (hexval >> (3 - j%4)) & 1, written with arithmetic so
-        # the identical expression runs on any SQL engine
-        (
-            F.floor(
-                _hex_char_val(
-                    F.substring(F.col("h4"), (F.floor(F.col("j") / 4) + 1).cast("int"), 1)
-                )
-                / F.pow(F.lit(2.0), 3 - (F.col("j") % 4))
-            )
-            % 2
-        ).alias("bit"),
+    base = df.select(F.col(id_col).alias("id"), words).select(
+        "id", F.substring(F.md5(F.col("w")), 1, 4).alias("h4")
     )
-    maj = bits.groupBy("id", "j").agg(
-        (F.sum(F.col("bit") * 2 - 1) >= 0).cast("int").alias("mbit")
+
+    def bit(j: int) -> Column:
+        # bit j of the 16-bit prefix: hex digit j//4, bit (3 - j%4)
+        hexval = _hex_char_val(F.substring(F.col("h4"), j // 4 + 1, 1))
+        return F.floor(hexval / F.lit(float(2 ** (3 - j % 4)))) % 2
+
+    maj = base.groupBy("id").agg(
+        *[
+            (F.sum(bit(j) * 2 - 1) >= 0).cast("long").alias(f"_b{j}")
+            for j in range(16)
+        ]
     )
-    return maj.groupBy("id").agg(
-        F.sum(F.col("mbit") * F.pow(F.lit(2.0), F.col("j")).cast("long")).alias("simhash")
-    )
+    simhash = None
+    for j in range(16):
+        term = F.col(f"_b{j}") * F.lit(1 << j).cast("long")
+        simhash = term if simhash is None else (simhash + term)
+    return maj.select("id", simhash.alias("simhash"))
 
 
 def embedding_near_dups(

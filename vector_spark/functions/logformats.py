@@ -71,3 +71,127 @@ def parse_nginx_log(df: DataFrame, field: str = "message", drop_field: bool = Tr
     return grok_parser(
         df, "%{HTTPD_COMBINEDLOG}", field=field, types=_HTTPD_TYPES, drop_field=drop_field
     )
+
+
+# -- AWS formats (parse_aws_alb_log.rs, parse_aws_vpc_flow_log.rs) -----------
+
+# ALB access log: 29 space-separated fields, quoted request/UA/actions.
+# Field list per parse_aws_alb_log.rs:16-80 (type, timestamp, elb,
+# client:port, target:port, 3 processing times, 2 status codes, bytes,
+# "request", "user_agent", ssl_cipher, ssl_protocol, target_group_arn,
+# "trace_id", "domain", "cert_arn", matched_rule_priority,
+# request_creation_time, "actions", "redirect", "error", ...).
+_ALB_RE = (
+    r'^(?P<rtype>\S+) (?P<timestamp>\S+) (?P<elb>\S+) '
+    r'(?P<clienthost>\S+) (?P<targethost>\S+) '
+    r'(?P<requestprocessingtime>[\d.-]+) (?P<targetprocessingtime>[\d.-]+) '
+    r'(?P<responseprocessingtime>[\d.-]+) '
+    r'(?P<elbstatuscode>\S+) (?P<targetstatuscode>\S+) '
+    r'(?P<receivedbytes>\d+) (?P<sentbytes>\d+) '
+    r'"(?P<requestmethod>\S+) (?P<requesturl>\S+) (?P<requestprotocol>[^"]*)" '
+    r'"(?P<useragent>[^"]*)" (?P<sslcipher>\S+) (?P<sslprotocol>\S+) '
+    r'(?P<targetgrouparn>\S+) "(?P<traceid>[^"]*)" "(?P<domainname>[^"]*)" '
+    r'"(?P<chosencertarn>[^"]*)" (?P<matchedrulepriority>\S+) '
+    r'(?P<requestcreationtime>\S+) "(?P<actionsexecuted>[^"]*)" '
+    r'"(?P<redirecturl>[^"]*)"(?: "(?P<errorreason>[^"]*)")?.*$'
+)
+
+# regex group name -> output field name (Java named groups allow only
+# [A-Za-z0-9]; extraction is by index so names are placeholders)
+_ALB_FIELDS = {
+    "rtype": "type",
+    "timestamp": "timestamp",
+    "elb": "elb",
+    "clienthost": "client_host",
+    "targethost": "target_host",
+    "requestprocessingtime": "request_processing_time",
+    "targetprocessingtime": "target_processing_time",
+    "responseprocessingtime": "response_processing_time",
+    "elbstatuscode": "elb_status_code",
+    "targetstatuscode": "target_status_code",
+    "receivedbytes": "received_bytes",
+    "sentbytes": "sent_bytes",
+    "requestmethod": "request_method",
+    "requesturl": "request_url",
+    "requestprotocol": "request_protocol",
+    "useragent": "user_agent",
+    "sslcipher": "ssl_cipher",
+    "sslprotocol": "ssl_protocol",
+    "targetgrouparn": "target_group_arn",
+    "traceid": "trace_id",
+    "domainname": "domain_name",
+    "chosencertarn": "chosen_cert_arn",
+    "matchedrulepriority": "matched_rule_priority",
+    "requestcreationtime": "request_creation_time",
+    "actionsexecuted": "actions_executed",
+    "redirecturl": "redirect_url",
+    "errorreason": "error_reason",
+}
+
+_ALB_INT = {"received_bytes", "sent_bytes"}
+_ALB_FLOAT = {
+    "request_processing_time",
+    "target_processing_time",
+    "response_processing_time",
+}
+
+
+def parse_aws_alb_log(df: DataFrame, field: str = "message", drop_field: bool = True) -> DataFrame:
+    """parse_aws_alb_log.rs — one regex pass; '-' fields → null;
+    processing times FLOAT, byte counts BIGINT (reference type table)."""
+    from pyspark.sql import functions as F
+
+    out = regex_parser(df, [_ALB_RE], field=field, drop_field=drop_field)
+    cols = {}
+    for grp, name in _ALB_FIELDS.items():
+        c = F.col(grp)
+        c = F.when(c == "-", F.lit(None)).otherwise(c)
+        if name in _ALB_INT:
+            c = c.cast("long")
+        elif name in _ALB_FLOAT:
+            c = c.cast("double")
+        cols[name] = c
+    return out.withColumns(cols).drop(*[g for g in _ALB_FIELDS if g not in _ALB_FIELDS.values()])
+
+
+_VPC_DEFAULT_FORMAT = (
+    "version account_id interface_id srcaddr dstaddr srcport dstport "
+    "protocol packets bytes start end action log_status"
+)
+
+_VPC_INT_FIELDS = {
+    "version",
+    "account_id",
+    "srcport",
+    "dstport",
+    "protocol",
+    "packets",
+    "bytes",
+    "start",
+    "end",
+}
+
+
+def parse_aws_vpc_flow_log(
+    df: DataFrame,
+    field: str = "message",
+    format: str | None = None,
+    drop_field: bool = True,
+) -> DataFrame:
+    """parse_aws_vpc_flow_log.rs — positional space-split per the
+    (configurable) format string; '-' → null; numeric fields BIGINT."""
+    from pyspark.sql import functions as F
+
+    names = (format or _VPC_DEFAULT_FORMAT).split()
+    parts = F.split(F.trim(F.col(field).cast("string")), r"\s+")
+    cols = {}
+    for i, name in enumerate(names):
+        c = F.element_at(parts, i + 1)
+        c = F.when(c == "-", F.lit(None)).otherwise(c)
+        if name in _VPC_INT_FIELDS:
+            c = c.cast("long")
+        cols[name] = c
+    out = df.withColumns(cols)
+    if drop_field and field not in cols:
+        out = out.drop(field)
+    return out

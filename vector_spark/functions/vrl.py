@@ -8,6 +8,7 @@ direct DataFrame use, still 100% JVM-side expressions.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -160,3 +161,154 @@ def to_unix_timestamp(col: Column, unit: str = "seconds") -> Column:
     if unit == "milliseconds":
         return (s * 1000 + F.date_format(col, "SSS").cast("long")).cast("long")
     raise ValueError(f"unknown unit {unit!r}")
+
+
+# -- parse_csv (lib/vrl/stdlib/src/parse_csv.rs) ----------------------------
+
+# one CSV field: quoted (with "" escapes) or bare; leading , or ^ anchor
+_CSV_FIELD = r'(?:"(?:[^"]|"")*"|[^,]*)'
+
+
+def parse_csv(col: Column) -> Column:
+    """CSV line → array<string> of fields (RFC-4180-ish: double-quoted
+    fields may contain commas; "" unescapes to "). JVM-side
+    regexp_extract_all + transform — no UDF."""
+    fields = F.regexp_extract_all(
+        col.cast("string"), F.lit(f"(?:^|,)({_CSV_FIELD})"), F.lit(1)
+    )
+    return F.transform(
+        fields,
+        lambda x: F.when(
+            x.rlike('^".*"$'),
+            F.regexp_replace(F.regexp_replace(x, '^"|"$', ""), '""', '"'),
+        ).otherwise(x),
+    )
+
+
+# -- percent encoding (encode_percent.rs / decode_percent.rs) ----------------
+
+
+def encode_percent(col: Column) -> Column:
+    """Percent-encode (space → %20, NOT the form-encoding '+')."""
+    return F.replace(F.url_encode(col.cast("string")), F.lit("+"), F.lit("%20"))
+
+
+def decode_percent(col: Column) -> Column:
+    """Inverse of encode_percent; literal '+' stays '+' (VRL decodes
+    percent sequences only, unlike form decoding)."""
+    return F.url_decode(
+        F.replace(col.cast("string"), F.lit("+"), F.lit("%2B"))
+    )
+
+
+# -- match_any / match_array (match_any.rs / match_array.rs) -----------------
+
+
+def match_any(col: Column, patterns: list[str]) -> Column:
+    """True if ANY regex matches (the reference compiles a RegexSet)."""
+    out = None
+    for p in patterns:
+        c = col.rlike(p)
+        out = c if out is None else (out | c)
+    if out is None:
+        raise ValueError("match_any needs at least one pattern")
+    return out
+
+
+def match_array(arr: Column, pattern: str, all_items: bool = False) -> Column:
+    """True if any (or all, with ``all_items``) array element matches."""
+    if all_items:
+        return F.forall(arr, lambda x: x.rlike(pattern))
+    return F.exists(arr, lambda x: x.rlike(pattern))
+
+
+# -- sha3 (sha3.rs; default variant SHA3-512) --------------------------------
+
+
+def sha3(col: Column, variant: str = "SHA3-512") -> Column:
+    """SHA-3 digest hex. No JVM builtin — Arrow-batched pandas UDF
+    (the one slow-path member of this module, clearly labeled)."""
+    import hashlib
+
+    algo = {
+        "SHA3-224": hashlib.sha3_224,
+        "SHA3-256": hashlib.sha3_256,
+        "SHA3-384": hashlib.sha3_384,
+        "SHA3-512": hashlib.sha3_512,
+    }[variant]
+
+    @F.pandas_udf("string")
+    def _sha3(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: algo(str(v).encode()).hexdigest() if v is not None else None)
+
+    return _sha3(col.cast("string"))
+
+
+# -- IP family conversions (ip_to_ipv6.rs / ipv6_to_ipv4.rs) -----------------
+
+
+def ip_to_ipv6(col: Column) -> Column:
+    """IPv4 → IPv4-mapped IPv6 ("::ffff:a.b.c.d"); IPv6 passes through."""
+    return F.when(col.contains(":"), col).otherwise(F.concat(F.lit("::ffff:"), col))
+
+
+def ipv6_to_ipv4(col: Column) -> Column:
+    """IPv4-mapped IPv6 → dotted quad; plain IPv4 passes through; other
+    IPv6 → null (the reference errors — error value is null here)."""
+    return (
+        F.when(~col.contains(":"), col)
+        .when(F.lower(col).startswith("::ffff:"), F.substring(col, 8, 64))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+# -- environment introspection (get_env_var.rs / get_hostname.rs) ------------
+
+
+def get_hostname() -> Column:
+    """Driver hostname as a plan-time literal. Divergence note: the
+    reference reads the hostname on each host at runtime; in a Spark
+    plan a per-executor value would be non-deterministic under retry,
+    so the driver's name is pinned at compile time."""
+    import socket
+
+    return F.lit(socket.gethostname())
+
+
+def get_env_var(name: str, default: str | None = None) -> Column:
+    """Driver-side environment variable as a plan-time literal."""
+    import os
+
+    return F.lit(os.environ.get(name, default))
+
+
+# -- parse_ruby_hash (parse_ruby_hash.rs) -------------------------------------
+
+
+def parse_ruby_hash(col: Column) -> Column:
+    """Ruby hash literal ({"k" => "v", :sym => nil}) → map<string,string>.
+    Rewrites `=>` to `:`, symbol keys to strings, nil to null, then
+    from_json — JVM-side."""
+    s = col.cast("string")
+    s = F.regexp_replace(s, r":(\w+)\s*=>", r'"$1":')  # :sym => v
+    s = F.regexp_replace(s, r"=>", ":")
+    s = F.regexp_replace(s, r"\bnil\b", "null")
+    return F.from_json(s, "map<string,string>")
+
+
+# -- encode_key_value (encode_key_value.rs) -----------------------------------
+
+
+def encode_key_value(
+    m: Column, field_delimiter: str = " ", key_value_delimiter: str = "="
+) -> Column:
+    """map → "k=v k2=v2" with keys sorted (deterministic field order;
+    the reference sorts unless fields_ordering is given)."""
+    entries = F.array_sort(F.map_entries(m))
+    return F.array_join(
+        F.transform(
+            entries,
+            lambda e: F.concat(e["key"], F.lit(key_value_delimiter), e["value"]),
+        ),
+        field_delimiter,
+    )

@@ -239,6 +239,14 @@ def tag_cardinality_limit(
     (key, value); ranking is a window over the (key) partition —
     skew-safe because tag keys are few and the ranked frame is only
     (key, value, rank), not the events.
+
+    Scale/retry design: the allowed set (bounded by keys ×
+    value_limit) is aggregated into a SINGLE ``map<key, array<value>>``
+    row and broadcast-cross-joined; each event rebuilds its tags with
+    ``map_filter`` against it. The event frame is never shuffled and
+    no synthetic row id exists — the previous implementation's
+    ``monotonically_increasing_id`` join-back was not stable under
+    task retry (a re-run stage can re-assign ids → wrong-row join).
     """
     entry = F.explode(F.col(tags_col))
     exploded = df.select(F.col(order_by).alias("_ord"), entry.alias("_k", "_v"))
@@ -248,31 +256,31 @@ def tag_cardinality_limit(
         first_seen.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= value_limit)
         .select("_k", "_v")
-        .withColumn("_ok", F.lit(True))
     )
-    # rebuild tags per row: join each row's exploded tags against the
-    # allowed set (broadcast — bounded by keys × value_limit)
-    id_cols = id_cols or []
-    row = df.withColumn("_rid", F.monotonically_increasing_id())
-    ex = row.select("_rid", F.explode(F.col(tags_col)).alias("_k", "_v"))
-    flagged = ex.join(F.broadcast(allowed), ["_k", "_v"], "left")
-    if action == "drop_event":
-        bad = flagged.filter(F.col("_ok").isNull()).select("_rid").distinct()
-        return row.join(bad, "_rid", "left_anti").drop("_rid")
-    kept = (
-        flagged.filter(F.col("_ok").isNotNull())
-        .groupBy("_rid")
+    # one row: map<tag key, array of admitted values>
+    allowed_map = (
+        allowed.groupBy("_k")
+        .agg(F.sort_array(F.collect_list("_v")).alias("_vs"))
         .agg(
             F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct(F.col("_k"), F.col("_v"))))
-            ).alias("_new_tags")
+                F.sort_array(F.collect_list(F.struct(F.col("_k"), F.col("_vs"))))
+            ).alias("_allowed")
         )
     )
-    return (
-        row.join(kept, "_rid", "left")
-        .withColumn(tags_col, F.coalesce(F.col("_new_tags"), F.lit(None).cast("map<string,string>")))
-        .drop("_rid", "_new_tags")
+    joined = df.crossJoin(F.broadcast(allowed_map))
+    is_ok = lambda k, v: F.array_contains(  # noqa: E731
+        F.coalesce(F.element_at(F.col("_allowed"), k), F.array().cast("array<string>")), v
     )
+    if action == "drop_event":
+        all_ok = F.forall(
+            F.map_entries(F.col(tags_col)), lambda e: is_ok(e["key"], e["value"])
+        )
+        return joined.filter(F.coalesce(all_ok, F.lit(True))).drop("_allowed")
+    new_tags = F.map_filter(F.col(tags_col), is_ok)
+    # empty → null keeps parity with the previous join-based shape
+    return joined.withColumn(
+        tags_col, F.when(F.size(new_tags) > 0, new_tags)
+    ).drop("_allowed")
 
 
 def metric_to_log(metrics_df: DataFrame, host_tag: str | None = None) -> DataFrame:

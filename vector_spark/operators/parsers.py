@@ -127,16 +127,26 @@ def regex_parser(
         c = src.rlike(to_java_regex(p))
         matched = c if matched is None else (matched | c)
 
+    # FIRST-MATCH index (regex_parser.rs:242-260 RegexSet semantics):
+    # only the first matching pattern's captures apply — a field that
+    # exists solely in a later pattern stays null even if that later
+    # pattern also matches the line. Catalyst's common-subexpression
+    # elimination evaluates each rlike once in codegen.
+    first_idx: Column | None = None
+    for i, p in enumerate(patterns):
+        cond = src.rlike(to_java_regex(p))
+        first_idx = F.when(cond, i) if first_idx is None else first_idx.when(cond, i)
+    assert first_idx is not None
+
     cols = {}
     for name in all_fields:
         expr: Column | None = None
-        chain = F
-        for p in patterns:
+        for i, p in enumerate(patterns):
             if name not in named_groups(p):
                 continue
             jp = to_java_regex(p)
             extracted = F.regexp_extract(src, jp, _group_index(p, name))
-            cond = src.rlike(jp)
+            cond = first_idx == i
             expr = (
                 F.when(cond, extracted) if expr is None else expr.when(cond, extracted)
             )
@@ -202,18 +212,42 @@ def json_parser(
 _KV_PAIR_TMPL = r'(%s)%s("(?:[^"\\]|\\.)*"|[^%s\s"]+)'
 
 
-def _kv_map(src: Column, field_split: str) -> Column:
-    """Generic quoted-value-aware k=v extraction → map<string,string>,
-    JVM-side via regexp_extract_all + map_from_arrays. Pairs are
-    separated by whitespace (the reference's default separator)."""
+def _kv_map(src: Column, field_split: str, strip_quotes: bool = False) -> Column:
+    """Quoted-value-aware k=v extraction for WHITESPACE pair separation
+    → map<string,string>, JVM-side via regexp_extract_all +
+    map_from_arrays (quoted values may contain spaces)."""
     key_pat = rf"[^\s{re.escape(field_split)}]+"
     pair = _KV_PAIR_TMPL % (key_pat, re.escape(field_split), re.escape(field_split))
     keys = F.regexp_extract_all(src, F.lit(pair), F.lit(1))
-    vals = F.transform(
-        F.regexp_extract_all(src, F.lit(pair), F.lit(2)),
-        lambda v: F.regexp_replace(v, r'^"|"$', ""),
-    )
+    vals = F.regexp_extract_all(src, F.lit(pair), F.lit(2))
+    if strip_quotes:
+        vals = F.transform(vals, lambda v: F.regexp_replace(v, r'^"|"$', ""))
     return F.map_from_arrays(keys, vals)
+
+
+def _kv_map_separator(
+    src: Column, field_split: str, separator: str, strip_quotes: bool = False
+) -> Column:
+    """k=v extraction for an arbitrary literal pair ``separator``
+    (key_value_parser.rs:16-60 supports any separator string): split
+    into segments, split each segment on the FIRST field_split,
+    whitespace-trim both sides. All array-lambda expressions — stays
+    in codegen, no UDF."""
+    fs = re.escape(field_split)
+    seg_pat = rf"^\s*([^{fs}]+?)\s*{fs}\s*(.*?)\s*$"
+    segs = F.split(src, re.escape(separator))
+    pairs = F.transform(
+        segs,
+        lambda s: F.struct(
+            F.regexp_extract(s, seg_pat, 1).alias("k"),
+            F.regexp_extract(s, seg_pat, 2).alias("v"),
+        ),
+    )
+    pairs = F.filter(pairs, lambda p: p["k"] != "")
+    vals = F.transform(pairs, lambda p: p["v"])
+    if strip_quotes:
+        vals = F.transform(vals, lambda v: F.regexp_replace(v, r'^"|"$', ""))
+    return F.map_from_arrays(F.transform(pairs, lambda p: p["k"]), vals)
 
 
 def key_value_parser(
@@ -227,16 +261,21 @@ def key_value_parser(
     drop_field: bool = True,
     trim_key: str | None = None,
     trim_value: str | None = None,
+    strip_quotes: bool = False,
 ) -> DataFrame:
     """Split into k/v pairs (key_value_parser.rs:16-200). ``fields``
     materializes listed keys as typed columns (fixed-schema stage);
-    otherwise the map lands at ``target_field``/``kv``."""
+    otherwise the map lands at ``target_field``/``kv``.
+
+    Reference parity: quotes are PART of the value unless trimmed via
+    ``trim_value`` (tests/behavior key_value_parser.toml defaults
+    case); ``strip_quotes=True`` is the logfmt-style convenience used
+    by logfmt_parser."""
     src = F.col(field).cast("string")
-    if separator.strip() != "":
-        raise NotImplementedError(
-            "only whitespace pair separators are supported (reference default)"
-        )
-    m = _kv_map(src, field_split)
+    if separator.strip() == "":
+        m = _kv_map(src, field_split, strip_quotes=strip_quotes)
+    else:
+        m = _kv_map_separator(src, field_split, separator, strip_quotes=strip_quotes)
     if trim_key:
         m = F.map_from_arrays(
             F.transform(F.map_keys(m), lambda k: F.btrim(k, F.lit(trim_key))),
@@ -268,6 +307,7 @@ def logfmt_parser(
         fields=fields,
         target_field=target_field or "logfmt",
         drop_field=drop_field,
+        strip_quotes=True,  # logfmt quoting: quotes delimit, not belong
     )
 
 

@@ -86,8 +86,15 @@ def reduce_events(
 
     aggs: list[Column] = []
     value_cols = [c for c in df.columns if c not in set(group_by) and c != order_by]
+    dtypes = dict(df.dtypes)
+    _numeric = ("int", "bigint", "smallint", "tinyint", "float", "double")
     for c in value_cols:
-        strat = merge_strategies.get(c, "discard")
+        # default merger mirrors reduce/mod.rs: numeric fields ADD,
+        # everything else keeps the first event's value (behavior test
+        # reduce_basic pins counter summing with no declared strategy)
+        dt = dtypes.get(c, "")
+        default = "sum" if (dt in _numeric or dt.startswith("decimal")) else "discard"
+        strat = merge_strategies.get(c, default)
         col = F.col(c)
         if strat == "discard":
             aggs.append(F.min_by(col, F.col(order_by)).alias(c))
@@ -107,8 +114,11 @@ def reduce_events(
             aggs.append(F.array_join(_ordered_vals(order_by, col.cast("string")), "\n").alias(c))
         else:
             raise ValueError(f"unknown merge strategy {strat!r} for {c}")
-    # reduce keeps the group's earliest timestamp as the event ts
+    # reduce keeps the group's earliest timestamp as the event ts and
+    # emits the latest as `<order_by>_end` (reduce/mod.rs timestamp_end
+    # — behavior tests assert exists(.timestamp_end))
     aggs.append(F.min(F.col(order_by)).alias(order_by))
+    aggs.append(F.max(F.col(order_by)).alias(f"{order_by}_end"))
     return work.groupBy(*keys).agg(*aggs).drop("_sess")
 
 

@@ -43,8 +43,14 @@ def remove_fields(df: DataFrame, fields: list[str], drop_empty: bool = False) ->
 
 
 def rename_fields(df: DataFrame, fields: dict[str, str]) -> DataFrame:
-    """old → new column name (rename_fields.rs:67)."""
+    """old → new column name (rename_fields.rs:67). A rename onto an
+    existing column REPLACES it (behavior corpus rename_fields.toml:
+    'Replaced if conflict')."""
     for old, new in fields.items():
+        if old not in df.columns:
+            continue
+        if new in df.columns:
+            df = df.drop(new)
         df = df.withColumnRenamed(old, new)
     return df
 
@@ -55,7 +61,7 @@ def concat_fields(
     """``concat`` transform (concat.rs:69-136): each item is
     ``field[start..end]`` (byte-slice in the reference; char-slice
     here), joined with ``joiner`` into ``target``."""
-    item_re = re.compile(r"^(?P<field>[^\[\]]+)(?:\[(?P<s>\d*)\.\.(?P<e>\d*)\])?$")
+    item_re = re.compile(r"^(?P<field>[^\[\]]+)(?:\[(?P<s>-?\d*)\.\.(?P<e>-?\d*)\])?$")
     cols = []
     for item in items:
         m = item_re.match(item.strip())
@@ -65,7 +71,13 @@ def concat_fields(
         s, e = m.group("s"), m.group("e")
         if s or e:
             start = int(s) if s else 0
-            if e:
+            if start < 0:
+                # negative start indexes from the end (concat.rs range
+                # grammar, e.g. "second[-2..]" = last two chars)
+                col = F.substring(col, start, 2_000_000_000)
+                if e:
+                    raise ValueError(f"negative start with end not supported: {item!r}")
+            elif e:
                 col = F.substring(col, start + 1, int(e) - start)
             else:
                 col = F.substring(col, start + 1, 2_000_000_000)
@@ -73,7 +85,12 @@ def concat_fields(
     return df.withColumn(target, F.concat_ws(joiner, *cols))
 
 
-_ANSI_RE = r"\x1b\[[0-9;]*[A-Za-z]|\x1b\][^\x07]*\x07|\x1b[@-Z\\-_]"
+#: CSI / OSC / single-char escapes, plus bare \r: the reference's
+#: `strip-ansi-escapes` crate feeds bytes through a vte terminal parser
+#: which consumes carriage returns as execute bytes — behavior test
+#: tests/behavior/transforms/ansi_stripper.toml pins "hello\r123" →
+#: "hello123".
+_ANSI_RE = r"\x1b\[[0-9;]*[A-Za-z]|\x1b\][^\x07]*\x07|\x1b[@-Z\\-_]|\r"
 
 
 def ansi_stripper(df: DataFrame, field: str = "message") -> DataFrame:

@@ -431,6 +431,14 @@ class Pipeline:
             )
             if spec.get("drop_on_error") and spec.get("error_when") is not None:
                 out = mark_dropped(out, F.col(err_field), name)
+            if spec.get("drop_on_abort") and spec.get("abort_when") is not None:
+                abort_c = F.coalesce(
+                    compile_condition(spec["abort_when"]), F.lit(False)
+                )
+                tele.add(
+                    f"{name}_discarded_total", F.col(DROPPED_BY) == name, stage=name
+                )
+                out = mark_dropped(out, abort_c, name)
             return out
         if typ == "enrich":
             table = self.enrich_tables[spec["table"]]

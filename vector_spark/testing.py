@@ -79,6 +79,15 @@ def run_behavior_test(
     for out in test.get("outputs", []):
         ref = out["extract_from"]
         got = _extract(pipe, frames, ref)
+        # column-absence assertions (the reference's `!exists(.field)`
+        # on a dropped/renamed field — on a fixed schema that's a
+        # schema-level fact, not a per-row one)
+        for fld in out.get("absent_fields", []):
+            if fld in got.columns:
+                failures.append(f"{ref}: field {fld!r} should be absent")
+        for fld in out.get("present_fields", []):
+            if fld not in got.columns:
+                failures.append(f"{ref}: field {fld!r} should be present")
         n = got.count()
         if "expect_rows" in out and n != out["expect_rows"]:
             failures.append(f"{ref}: expected {out['expect_rows']} rows, got {n}")
