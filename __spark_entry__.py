@@ -86,19 +86,14 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     }
     pipe = Pipeline(cfg, enrich_tables={"etypes": dim})
-    res = pipe.run(events, write=False, persist=False, collect_telemetry=False)
-    parts = []
-    for lane, df in res.lanes.items():
-        parts.append(
-            df.groupBy("event_type").agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-            ).select(F.lit(lane).alias("lane"), "event_type", "cnt", "sum_value")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # single-scan scale path: every live row explodes into one copy per
+    # matching lane, then ONE groupBy — the input is scanned once (the
+    # previous per-lane union re-scanned the parquet once per sink)
+    exploded = pipe.lanes_exploded(events)
+    return exploded.groupBy("lane", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
 
 
 _FLAGSHIP_ORACLE = """
@@ -925,6 +920,55 @@ def _q_ruby_hash_and_ip(spark, sf):
     )
 
 
+
+
+def _q_regex_multi(spark, sf):
+    """Multi-pattern FIRST-MATCH regex_parser (regex_parser.rs:242-300
+    RegexSet semantics): a line matching both patterns takes ONLY the
+    first pattern's captures — fields unique to the later pattern stay
+    null."""
+    from vector_spark.operators import regex_parser
+
+    ev = _load(spark, sf, "events")
+    msg = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        F.format_string("ERR %d failure", F.col("event_id")),
+    ).otherwise(F.format_string("GET %d ok", F.col("event_id")))
+    logs = ev.select("event_id", msg.alias("message"))
+    out = regex_parser(
+        logs,
+        [r"^ERR (?P<code>\d+) (?P<detail>.*)$", r"^(?P<word>\w+) (?P<code>\d+).*$"],
+        types={"code": "int"},
+    )
+    return out.select("event_id", "code", "detail", "word")
+
+
+def _q_tags_shaping(spark, sf):
+    """add_tags / remove_tags over a metric stream (add_tags.rs:68,
+    remove_tags.rs:55): template tag + added tag survive, scrubbed tag
+    is gone; tags rendered as the sorted k=v encoding."""
+    from vector_spark.functions.vrl import encode_key_value
+    from vector_spark.operators import add_tags, log_to_metric, remove_tags
+
+    ev = _load(spark, sf, "events").withColumnRenamed("ts", "timestamp")
+    m = log_to_metric(
+        ev,
+        [
+            {
+                "type": "counter",
+                "field": "event_type",
+                "name": "events_total",
+                "tags": {"etype": "{{event_type}}", "tmp": "scrub-me"},
+            }
+        ],
+    )
+    m = add_tags(m, {"env": "prod"})
+    m = remove_tags(m, ["tmp"])
+    return m.groupBy(
+        "name", encode_key_value(F.col("tags")).alias("tagkv")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -976,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_aws_alb_log": _q_parse_aws_alb_log,
         "parse_aws_vpc_flow_log": _q_parse_vpc_flow_log,
         "vrl_ruby_hash_ip": _q_ruby_hash_and_ip,
+        "regex_multi": _q_regex_multi,
+        "tags_shaping": _q_tags_shaping,
         "reduce_expire_gap": _q_reduce_expire_gap,
         "embed_near_dups": _q_embed_near_dups,
     }
@@ -1421,6 +1467,19 @@ def oracle_sql() -> dict[str, str]:
                    'ACCEPT' AS action,
                    'OK' AS log_status
             FROM events
+        """,
+        "regex_multi": """
+            SELECT event_id,
+                   cast(event_id AS bigint) AS code,
+                   CASE WHEN event_id % 2 = 0 THEN 'failure' END AS detail,
+                   CASE WHEN event_id % 2 = 1 THEN 'GET' END AS word
+            FROM events
+        """,
+        "tags_shaping": """
+            SELECT 'events_total' AS name,
+                   printf('env=prod etype=%s', event_type) AS tagkv,
+                   cast(count(*) AS bigint) AS cnt
+            FROM events GROUP BY event_type
         """,
         "vrl_ruby_hash_ip": """
             SELECT event_id,

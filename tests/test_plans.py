@@ -95,3 +95,37 @@ def test_explode_fanout_single_exchange_free_plan(spark, events_pq):
     )
     out = flagged.withColumn("lane", F.explode(lanes))
     assert "Exchange" not in _plan(out)
+
+
+def test_flagship_gate_is_single_scan(spark, sf_dir):
+    """The flagship gate query must read the events parquet exactly
+    once (explode fan-out), not once per sink lane."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["flagship_pipeline"](spark, sf_dir)
+    plan = _plan(out)
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_lanes_exploded_shape(spark, events_pq):
+    """lanes_exploded: lane column present, internals stripped, row
+    multiplicity = lane memberships."""
+    from vector_spark.plans import Pipeline
+
+    cfg = {
+        "transforms": {
+            "router": {
+                "type": "route",
+                "inputs": ["in"],
+                "routes": {"err": '.event_type == "error"', "all": ".value >= 0.0"},
+            }
+        },
+        "sinks": {"e": {"inputs": ["router.err"]}, "a": {"inputs": ["router.all"]}},
+    }
+    out = Pipeline(cfg).lanes_exploded(events_pq)
+    assert "lane" in out.columns
+    assert not [c for c in out.columns if c.startswith("_")]
+    n_err = events_pq.filter("event_type = 'error'").count()
+    n_all = events_pq.filter("value >= 0.0").count()
+    got = {r["lane"]: r["n"] for r in out.groupBy("lane").agg(F.count("*").alias("n")).collect()}
+    assert got == {"e": n_err, "a": n_all}

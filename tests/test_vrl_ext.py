@@ -167,3 +167,35 @@ def test_env_and_hostname_literals(spark):
     ).first()
     assert r.h == socket.gethostname()
     assert r.p and r.d == "dflt"
+
+
+def test_parse_xml(spark):
+    from vector_spark.functions.vrl import parse_xml
+
+    df = spark.createDataFrame(
+        [("<log><level>info</level><code>7</code></log>",)], "s string"
+    )
+    r = df.select(parse_xml(F.col("s"), "level string, code int").alias("x")).first().x
+    assert r.level == "info" and r.code == 7
+
+
+def test_parse_klog_and_linux_auth(spark):
+    from vector_spark.functions.logformats import (
+        parse_klog,
+        parse_linux_authorization,
+    )
+
+    df = spark.createDataFrame(
+        [("I0816 12:34:56.789012 1234 server.go:42] started",)], "message string"
+    )
+    r = parse_klog(df).first()
+    assert r.level == "I" and r.thread_id == 1234 and r.file == "server.go"
+    assert r.line == 42 and r.message_text == "started"
+
+    df2 = spark.createDataFrame(
+        [("Aug 16 12:00:01 host1 sshd[999]: Accepted publickey for root",)],
+        "message string",
+    )
+    r2 = parse_linux_authorization(df2).first()
+    assert r2.hostname == "host1" and r2.appname == "sshd" and r2.procid == 999
+    assert r2.message_text == "Accepted publickey for root"

@@ -44,14 +44,18 @@ _FALSE = ("false", "f", "no", "n", "0")
 
 
 def coerce(col: Column, spec: str) -> Column:
+    """All coercions are try_* / null-on-failure: Vector's Conversion
+    yields a per-event error for a malformed value (conversion.rs) —
+    under Spark ANSI mode a plain cast would abort the whole job on
+    one bad row, the worst possible behavior at scale."""
     spec = spec.strip()
     if spec in ("string", "str"):
         return col.cast("string")
     if spec == "int":
         # Conversion::Integer accepts float-looking strings by truncation
-        return col.cast("double").cast("long")
+        return col.try_cast("double").try_cast("long")
     if spec == "float":
-        return col.cast("double")
+        return col.try_cast("double")
     if spec in ("bool", "boolean"):
         s = F.lower(F.trim(col.cast("string")))
         return (
@@ -63,8 +67,8 @@ def coerce(col: Column, spec: str) -> Column:
     if m:
         fmt = m.group("fmt")
         if fmt:
-            return F.to_timestamp(col.cast("string"), strftime_to_spark(fmt))
-        return F.to_timestamp(col.cast("string"))
+            return F.try_to_timestamp(col.cast("string"), F.lit(strftime_to_spark(fmt)))
+        return F.try_to_timestamp(col.cast("string"))
     raise ValueError(f"unknown coercion spec {spec!r}")
 
 

@@ -195,3 +195,17 @@ def parse_aws_vpc_flow_log(
     if drop_field and field not in cols:
         out = out.drop(field)
     return out
+
+
+def parse_klog(df: DataFrame, field: str = "message", drop_field: bool = True) -> DataFrame:
+    """parse_klog.rs — kubernetes klog shares the glog wire format
+    (Lmmdd HH:MM:SS.ffffff threadid file:line] msg)."""
+    return parse_glog(df, field=field, drop_field=drop_field)
+
+
+def parse_linux_authorization(
+    df: DataFrame, field: str = "message", drop_field: bool = True
+) -> DataFrame:
+    """parse_linux_authorization.rs — /var/log/auth.log lines are
+    RFC3164 syslog; the reference delegates to parse_syslog."""
+    return parse_syslog(df, field=field, drop_field=drop_field)

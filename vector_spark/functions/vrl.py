@@ -312,3 +312,11 @@ def encode_key_value(
         ),
         field_delimiter,
     )
+
+
+def parse_xml(col: Column, schema: str) -> Column:
+    """parse_xml (lib/vrl/stdlib/src/parse_xml.rs) — XML → typed
+    struct via Spark's built-in from_xml (JVM-side). The reference
+    returns a dynamic map; fixed schemas are this engine's dialect, so
+    the caller supplies the DDL (same contract as json_parser)."""
+    return F.from_xml(col.cast("string"), schema)

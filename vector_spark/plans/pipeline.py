@@ -226,6 +226,68 @@ class Pipeline:
             lanes=lanes,
         )
 
+    def _sink_lane_flags(self, terminal_name: str) -> dict[str, Column]:
+        """sink -> lane membership flag. Lane mapping comes from sink
+        inputs ("router.lane"); a bare transform-name input must be the
+        TERMINAL transform (full-stream sink) — explode mode emits one
+        frame, so a mid-pipeline tap would silently get terminal-stage
+        rows."""
+        sink_lanes: dict[str, Column] = {}
+        for sname, sspec in self.sinks.items():
+            inp = sspec.get("inputs", [terminal_name])[0]
+            if inp and "." in inp and inp.split(".")[0] in self._routes:
+                lane = inp.split(".", 1)[1]
+                if lane not in self._routes[inp.split(".")[0]]:
+                    raise ValueError(f"unknown lane {inp!r} for sink {sname!r}")
+                sink_lanes[sname] = F.col(ROUTE_PREFIX + lane)
+            elif inp in (terminal_name, "in"):
+                sink_lanes[sname] = F.lit(True)
+            else:
+                raise ValueError(
+                    f"explode fan-out only supports route-lane or terminal sink "
+                    f"inputs; sink {sname!r} taps {inp!r} (use the 'persist' "
+                    f"strategy for mid-pipeline sinks)"
+                )
+        return sink_lanes
+
+    def lanes_exploded(self, df: DataFrame) -> DataFrame:
+        """The single-scan fan-out FRAME (no write, no telemetry): each
+        live row exploded into one copy per matching sink lane, with a
+        ``lane`` column and plan-internal columns stripped. The scale
+        shape for any downstream per-lane aggregation — the input is
+        scanned exactly once and never cached (vs. the persist strategy
+        re-filtering the cached terminal per sink)."""
+        frames: dict[str, DataFrame] = {"in": df}
+        telemetry = Telemetry()
+        for name in self._order:
+            spec = dict(self.transforms[name])
+            typ = spec.pop("type")
+            inputs = spec.pop("inputs", ["in"])
+            src = self._resolve_input(frames, inputs)
+            frames[name] = self._apply(name, typ, spec, src, telemetry)
+        terminal_name = self._order[-1] if self._order else "in"
+        terminal = frames[terminal_name]
+        sink_lanes = self._sink_lane_flags(terminal_name)
+        live_flag = alive_col(terminal)
+        lane_arr = F.array_compact(
+            F.array(
+                *[
+                    F.when(live_flag & flag, F.lit(sname))
+                    for sname, flag in sink_lanes.items()
+                ]
+            )
+        )
+        internal = [
+            c
+            for c in terminal.columns
+            if c.startswith(ROUTE_PREFIX)
+            or c.startswith("_miss_")
+            or c.startswith("_err_")
+            or c.startswith("_vs_")
+            or c == DROPPED_BY
+        ]
+        return terminal.withColumn("lane", F.explode(lane_arr)).drop(*internal)
+
     def _run_explode(self, df: DataFrame) -> PipelineResult:
         """Single-scan single-write fan-out with piggybacked telemetry."""
         from pyspark.sql import Observation
@@ -244,27 +306,8 @@ class Pipeline:
         fan = self.config["fanout"]
         root = fan["root"]
         extra_parts = fan.get("partition_by", [])
-        # sink -> lane mapping comes from sink inputs ("router.lane");
-        # a bare transform-name input must be the TERMINAL transform
-        # (full-stream sink) — explode mode writes one frame, so a
-        # mid-pipeline tap would silently get terminal-stage rows.
         terminal_name = self._order[-1] if self._order else "in"
-        sink_lanes: dict[str, Column] = {}
-        for sname, sspec in self.sinks.items():
-            inp = sspec.get("inputs", [terminal_name])[0]
-            if inp and "." in inp and inp.split(".")[0] in self._routes:
-                lane = inp.split(".", 1)[1]
-                if lane not in self._routes[inp.split(".")[0]]:
-                    raise ValueError(f"unknown lane {inp!r} for sink {sname!r}")
-                sink_lanes[sname] = F.col(ROUTE_PREFIX + lane)
-            elif inp in (terminal_name, "in"):
-                sink_lanes[sname] = F.lit(True)
-            else:
-                raise ValueError(
-                    f"explode fan-out only supports route-lane or terminal sink "
-                    f"inputs; sink {sname!r} taps {inp!r} (use the 'persist' "
-                    f"strategy for mid-pipeline sinks)"
-                )
+        sink_lanes = self._sink_lane_flags(terminal_name)
 
         live_flag = alive_col(terminal)
         # off-lineage branch counters can't ride the observed write —
