@@ -969,6 +969,52 @@ def _q_tags_shaping(spark, sf):
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+
+
+def _q_summary_quantiles(spark, sf):
+    """log_to_metric summary output: AggregatedSummary-shaped quantile
+    columns + count + sum per series (metric.rs:135-142). Exact
+    percentiles here so DuckDB's quantile_cont can verify; the approx
+    sketch is the documented scale default."""
+    from vector_spark.operators.metrics import summary_quantiles
+
+    ev = _load(spark, sf, "events")
+    return summary_quantiles(
+        ev, "value", quantiles=[0.5, 0.9], group_cols=["event_type"], exact=True
+    )
+
+
+
+
+def _q_syslog5424(spark, sf):
+    """RFC5424 incl. structured data over synthesized lines; sd map
+    rendered with the sorted k=v encoding for engine-portable
+    comparison."""
+    from vector_spark.functions.logformats import parse_syslog5424
+    from vector_spark.functions.vrl import encode_key_value
+
+    ev = _load(spark, sf, "events")
+    line = F.format_string(
+        '<%d>1 2020-01-01T00:00:00Z host-%d app%d %d MSG%d '
+        '[meta@1 etype="%s" uid="%d"] event %d happened',
+        F.lit(8) + F.pmod(F.col("event_id"), F.lit(184)),
+        F.pmod(F.col("user_id"), F.lit(50)),
+        F.pmod(F.col("event_id"), F.lit(7)),
+        F.col("event_id"),
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("user_id"),
+        F.col("event_id"),
+    )
+    out = parse_syslog5424(ev.select("event_id", line.alias("message")))
+    return out.select(
+        "event_id", "priority", "facility", "severity", "hostname",
+        "appname", "procid", "msgid",
+        encode_key_value(F.col("sd")).alias("sdkv"),
+        "message_text",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -1022,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrl_ruby_hash_ip": _q_ruby_hash_and_ip,
         "regex_multi": _q_regex_multi,
         "tags_shaping": _q_tags_shaping,
+        "summary_quantiles": _q_summary_quantiles,
+        "syslog5424": _q_syslog5424,
         "reduce_expire_gap": _q_reduce_expire_gap,
         "embed_near_dups": _q_embed_near_dups,
     }
@@ -1474,6 +1522,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 2 = 0 THEN 'failure' END AS detail,
                    CASE WHEN event_id % 2 = 1 THEN 'GET' END AS word
             FROM events
+        """,
+        "syslog5424": """
+            SELECT event_id,
+                   cast(8 + event_id % 184 AS bigint) AS priority,
+                   cast(floor((8 + event_id % 184) / 8) AS int) AS facility,
+                   cast((8 + event_id % 184) % 8 AS int) AS severity,
+                   printf('host-%d', user_id % 50) AS hostname,
+                   printf('app%d', event_id % 7) AS appname,
+                   cast(event_id AS bigint) AS procid,
+                   printf('MSG%d', event_id) AS msgid,
+                   printf('etype=%s uid=%d', event_type, user_id) AS sdkv,
+                   printf('event %d happened', event_id) AS message_text
+            FROM events
+        """,
+        "summary_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS q5,
+                   round(quantile_cont(value, 0.9), 6) AS q9,
+                   cast(count(value) AS bigint) AS count,
+                   cast(sum(cast(value AS decimal(18,2))) AS double) AS sum
+            FROM events GROUP BY event_type
         """,
         "tags_shaping": """
             SELECT 'events_total' AS name,

@@ -74,3 +74,30 @@ def test_write_sink_blackhole_and_console(spark, capsys):
 def test_streaming_file_source_requires_schema(spark, tmp):
     with pytest.raises(ValueError):
         file_source(spark, f"{tmp}/x", fmt="text", streaming=True)
+
+
+def test_file_source_multiline_stacktrace(spark, tmp_path):
+    """file.rs:63-100 multiline: continuation lines (stack frames)
+    fold into the opening event; events and order per file."""
+    log = tmp_path / "app.log"
+    log.write_text(
+        "2020-01-01 ERROR boom\n"
+        "  at Foo.bar(Foo.java:1)\n"
+        "  at Baz.qux(Baz.java:2)\n"
+        "2020-01-01 INFO fine\n"
+        "2020-01-01 ERROR again\n"
+        "  at A.b(C.java:3)\n"
+    )
+    from vector_spark.sources.readers import file_source
+
+    out = file_source(
+        spark,
+        str(tmp_path),
+        multiline={"start_pattern": r"^\d{4}-\d{2}-\d{2}", "join_with": "\n"},
+    )
+    msgs = [r.message for r in out.orderBy("line").collect()]
+    assert msgs == [
+        "2020-01-01 ERROR boom\n  at Foo.bar(Foo.java:1)\n  at Baz.qux(Baz.java:2)",
+        "2020-01-01 INFO fine",
+        "2020-01-01 ERROR again\n  at A.b(C.java:3)",
+    ]

@@ -199,3 +199,30 @@ def test_parse_klog_and_linux_auth(spark):
     r2 = parse_linux_authorization(df2).first()
     assert r2.hostname == "host1" and r2.appname == "sshd" and r2.procid == 999
     assert r2.message_text == "Accepted publickey for root"
+
+
+def test_parse_syslog5424_structured_data(spark):
+    """RFC5424 with two SD elements (the reference's syslog source
+    shape, src/sources/syslog.rs)."""
+    from vector_spark.functions.logformats import parse_syslog5424
+
+    line = (
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog '
+        '1234 ID47 [exampleSDID@32473 iut="3" eventSource="Application"]'
+        '[other@32473 class="high"] An application event log entry'
+    )
+    df = spark.createDataFrame([(line,)], "message string")
+    r = parse_syslog5424(df).first()
+    assert r.priority == 165 and r.version == 1
+    assert r.facility == 20 and r.severity == 5
+    assert r.hostname == "mymachine.example.com"
+    assert r.appname == "evntslog" and r.procid == 1234 and r.msgid == "ID47"
+    assert r.sd["iut"] == "3" and r.sd["eventSource"] == "Application"
+    assert r.sd["class"] == "high"
+    assert r.message_text == "An application event log entry"
+    # nil SD + nil procid
+    df2 = spark.createDataFrame(
+        [("<34>1 2003-10-11T22:14:15.003Z host app - - - short",)], "message string"
+    )
+    r2 = parse_syslog5424(df2).first()
+    assert r2.sd is None and r2.procid is None and r2.message_text == "short"

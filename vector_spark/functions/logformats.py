@@ -209,3 +209,47 @@ def parse_linux_authorization(
     """parse_linux_authorization.rs — /var/log/auth.log lines are
     RFC3164 syslog; the reference delegates to parse_syslog."""
     return parse_syslog(df, field=field, drop_field=drop_field)
+
+
+# -- RFC5424 syslog (parse_syslog.rs full format; src/sources/syslog.rs) -----
+
+_SYSLOG5424_RE = (
+    r"^<(?P<priority>\d+)>(?P<version>\d+) "
+    r"(?P<timestamp>\S+) (?P<hostname>\S+) (?P<appname>\S+) "
+    r"(?P<procid>\S+) (?P<msgid>\S+) "
+    r"(?P<sdraw>-|(?:\[[^\]]*\])+)"
+    r"(?: (?P<messagetext>.*))?$"
+)
+
+_SD_TYPES = {"priority": "int", "version": "int"}
+
+
+def parse_syslog5424(
+    df: DataFrame, field: str = "message", drop_field: bool = True
+) -> DataFrame:
+    """RFC5424 syslog incl. STRUCTURED-DATA (closing the round-1
+    "RFC5424 structured data out of scope" divergence;
+    src/sources/syslog.rs). The SD elements parse into a
+    map<string,string> column ``sd`` of param=value pairs; facility and
+    severity derive from priority (pri = facility*8 + severity).
+    Dialect: params from multiple SD elements share one map (flat
+    schema) — duplicate param names across elements last-write-win."""
+    from pyspark.sql import functions as F
+
+    out = regex_parser(df, [_SYSLOG5424_RE], field=field, types=_SD_TYPES, drop_field=drop_field)
+    pair = r'([A-Za-z0-9@._-]+)="([^"]*)"'
+    sdcol = F.when(F.col("sdraw") == "-", F.lit(None)).otherwise(F.col("sdraw"))
+    sd = F.map_from_arrays(
+        F.regexp_extract_all(sdcol, F.lit(pair), F.lit(1)),
+        F.regexp_extract_all(sdcol, F.lit(pair), F.lit(2)),
+    )
+    nullify = lambda c: F.when(F.col(c) == "-", F.lit(None)).otherwise(F.col(c))  # noqa: E731
+    return (
+        out.withColumn("sd", sd)
+        .withColumn("facility", (F.col("priority") / 8).cast("int"))
+        .withColumn("severity", F.pmod(F.col("priority"), F.lit(8)).cast("int"))
+        .withColumn("procid", nullify("procid").cast("long"))
+        .withColumn("msgid", nullify("msgid"))
+        .withColumnRenamed("messagetext", "message_text")
+        .drop("sdraw")
+    )

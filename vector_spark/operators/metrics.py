@@ -301,3 +301,31 @@ def metric_to_log(metrics_df: DataFrame, host_tag: str | None = None) -> DataFra
         ),
     )
     return out
+
+
+def summary_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float] = (0.5, 0.95, 0.99),
+    group_cols: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """AggregatedSummary shape (metric.rs:135-142): per-quantile value
+    columns + count + sum. ``exact=False`` (default, the scale path)
+    uses percentile_approx — a single-pass sketch that merges map-side;
+    ``exact=True`` uses the exact percentile (full sort per group) for
+    cross-engine verification, since approx sketches are not
+    reproducible across engines."""
+    v = F.col(value_col).cast("double")
+    pfn = F.percentile if exact else F.percentile_approx
+    aggs = [
+        F.round(pfn(v, F.lit(float(q))), 6).alias(f"q{str(q).replace('0.', '')}")
+        for q in quantiles
+    ]
+    aggs += [
+        F.count(v).alias("count"),
+        F.sum(v.cast("decimal(18,2)")).cast("double").alias("sum"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)

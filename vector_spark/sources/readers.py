@@ -8,7 +8,7 @@ pulls, Vector listens — their role is filled by kafka/file streams.
 
 | Vector source        | here                                          |
 |----------------------|-----------------------------------------------|
-| file (src/sources/file.rs: globs, checkpoints, multiline) | file_source: spark.read/readStream text/json/csv; resume = streaming checkpoint; multiline = merge_partial operator |
+| file (src/sources/file.rs: globs, checkpoints, multiline) | file_source: spark.read/readStream text/json/csv; resume = streaming checkpoint; multiline = file_source(multiline=...) start-pattern folding (+ merge_partial for the _partial-marker protocol) |
 | kafka.rs             | kafka_source (gated: needs spark-sql-kafka jar) |
 | generator.rs (GeneratorConfig interval/count/format) | generator_source: deterministic spark.range synthesis |
 | stdin.rs             | stdin_source (driver-side, dev only)           |
@@ -19,6 +19,7 @@ pulls, Vector listens — their role is filled by kafka/file streams.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def file_source(
@@ -27,12 +28,22 @@ def file_source(
     fmt: str = "text",
     schema: str | None = None,
     streaming: bool = False,
+    multiline: dict | None = None,
     **options,
 ) -> DataFrame:
     """Glob-capable file scan (file.rs FileConfig include globs).
     ``streaming=True`` = tailing mode: new files are micro-batches and
     the stream checkpoint replaces the reference's per-file
-    fingerprint checkpointer."""
+    fingerprint checkpointer.
+
+    ``multiline`` (text only, batch only) aggregates continuation
+    lines into one event, the file.rs:63-100 multiline config:
+    ``{"start_pattern": regex, "join_with": "\\n"}`` — a line matching
+    start_pattern OPENS an event; following non-matching lines
+    (stack-trace continuations) append to it. Order comes from the
+    file itself (wholetext + posexplode), so each file must fit an
+    executor — the same constraint as the reference, which tails one
+    file sequentially per reader."""
     reader = spark.readStream if streaming else spark.read
     if schema:
         reader = reader.schema(schema)
@@ -41,6 +52,10 @@ def file_source(
     for k, v in options.items():
         reader = reader.option(k, v)
     if fmt == "text":
+        if multiline:
+            if streaming:
+                raise ValueError("multiline aggregation is batch-only")
+            return _multiline_text(reader, path, multiline)
         return reader.text(path).withColumnRenamed("value", "message")
     if fmt == "json":
         return reader.json(path)
@@ -49,6 +64,55 @@ def file_source(
     if fmt == "parquet":
         return reader.parquet(path)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def _multiline_text(reader, path: str, multiline: dict) -> DataFrame:
+    """start_pattern grouping: group id = running count of start-line
+    matches in file order; one window + one groupBy, both partitioned
+    by file — files process independently and in parallel."""
+    from pyspark.sql import Window
+
+    start = multiline["start_pattern"]
+    join_with = multiline.get("join_with", "\n")
+    # NOTE: wholetext must be the .text() KWARG — the method's default
+    # (wholetext=False) silently overrides a reader-level .option()
+    raw = reader.text(path, wholetext=True).select(
+        F.input_file_name().alias("_file"), F.col("value")
+    )
+    # indexed transform instead of posexplode: the pos column of
+    # posexplode(split(...)) over a text-source scan came back all-zero
+    # under whole-stage codegen (observed on Spark 4.1) — the explicit
+    # (element, index) lambda is plan-stable
+    indexed = F.transform(
+        F.split(F.col("value"), "\n"),
+        lambda x, i: F.struct(i.alias("_ln"), x.alias("message")),
+    )
+    lines = (
+        raw.select("_file", F.explode(indexed).alias("_e"))
+        .select("_file", F.col("_e._ln").alias("_ln"), F.col("_e.message").alias("message"))
+        .filter(F.col("message") != "")
+    )
+    w = Window.partitionBy("_file").orderBy("_ln")
+    grp = F.sum(F.col("message").rlike(start).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = lines.withColumn("_grp", grp).filter(F.col("_grp") > 0)
+    return (
+        grouped.groupBy("_file", "_grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_ln"), F.col("message")))
+                    ),
+                    lambda s: s["message"],
+                ),
+                join_with,
+            ).alias("message"),
+            F.min("_ln").alias("_line"),
+        )
+        .select(F.col("_file").alias("file"), F.col("_line").alias("line"), "message")
+    )
 
 
 def kafka_source(
