@@ -67,3 +67,26 @@ def test_custom_stage_stateful_batches(spark):
     rows = out.collect()
     assert len(rows) == 100
     assert all(r.v3 == r.id * 6 for r in rows)
+
+
+def test_ivf_nprobe_improves_recall_toward_brute_force(spark):
+    """nprobe multi-probe: recall vs brute-force top-k is monotone in
+    nprobe, and nprobe = n_cells equals brute force exactly."""
+    from vector_spark.dataops.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_cells=8, sample_rows=512)
+    q = emb.filter("vec_id = 0")
+    truth = {r.neighbor_id for r in brute_force_topk(emb, q, k=5).collect()}
+
+    def recall(np_):
+        got = {r.neighbor_id for r in ivf_topk(emb, q, cents, k=5, nprobe=np_).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8
+    assert r8 == 1.0  # probing every cell == brute force

@@ -226,3 +226,39 @@ def test_parse_syslog5424_structured_data(spark):
     )
     r2 = parse_syslog5424(df2).first()
     assert r2.sd is None and r2.procid is None and r2.message_text == "short"
+
+
+def test_to_syslog_facility_truncate_tokens_format_number(spark):
+    """Reference vectors from the commented remap.toml corpus blocks:
+    to_syslog_facility (3→daemon, 11→ftp, 23→local7), truncate
+    ("foo"/"foob..."), parse_tokens (common-log line), format_number
+    (1.234,56)."""
+    from vector_spark.functions.vrl import (
+        format_number,
+        parse_tokens,
+        to_syslog_facility,
+        truncate,
+    )
+
+    df = spark.createDataFrame([(3, 11, 23)], "a int, b int, c int")
+    r = df.select(
+        to_syslog_facility(F.col("a")).alias("fa"),
+        to_syslog_facility(F.col("b")).alias("fb"),
+        to_syslog_facility(F.col("c")).alias("fc"),
+        truncate(F.lit("foobar"), 3).alias("t1"),
+        truncate(F.lit("foobar"), 4, ellipsis=True).alias("t2"),
+        truncate(F.lit("foo"), 4, ellipsis=True).alias("t3"),
+        format_number(F.lit(1234.567), 2, ",", ".").alias("fn"),
+    ).first()
+    assert (r.fa, r.fb, r.fc) == ("daemon", "ftp", "local7")
+    assert r.t1 == "foo" and r.t2 == "foob..." and r.t3 == "foo"
+    assert r.fn == "1.234,56"
+
+    line = '217.250.207.207 - - [07/Sep/2020:16:38:00 -0400] "DELETE /x HTTP/1.1" 205 11881'
+    toks = spark.createDataFrame([(line,)], "s string").select(
+        parse_tokens(F.col("s")).alias("t")
+    ).first().t
+    assert toks == [
+        "217.250.207.207", None, None, "07/Sep/2020:16:38:00 -0400",
+        "DELETE /x HTTP/1.1", "205", "11881",
+    ]

@@ -23,10 +23,17 @@ def main():
     spark = get_spark("bench_queries", master=f"local[{cpus}]", shuffle_partitions=cpus)
     qs = entrymod.queries()
     out = {}
+    reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
     for name in names:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        # best-of-N per query: the first run pays JIT/codegen warmup
+        # and host-tenancy jitter; min is the capability estimate
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
     spark.stop()
     print(json.dumps(out))
 

@@ -192,6 +192,29 @@ def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFram
     return df.withColumn("cell", cell_of(F.col(vec_col)))
 
 
+def ivf_assign_multi(df: DataFrame, centroids, nprobe: int, vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its ``nprobe`` NEAREST cells (query-side
+    multi-probe: recall grows with nprobe at probe cost ∝ nprobe).
+    One row per (vector, probed cell)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cents = np.array(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_of(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        sim = (x @ cents.T) / (
+            np.linalg.norm(x, axis=1, keepdims=True) * cnorm[None, :] + 1e-12
+        )
+        # top-nprobe cells, best first (stable: argsort on -sim)
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return df.withColumn("cell", F.explode(cells_of(F.col(vec_col))))
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -199,10 +222,12 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN probe: score only corpus vectors in the query's IVF cell
-    (nprobe=1). Equi-join on cell — candidate generation is a hash
-    join keyed by the coarse quantizer, never a cross join."""
+    """ANN probe: score only corpus vectors in the query's ``nprobe``
+    nearest IVF cells. Equi-join on cell — candidate generation is a
+    hash join keyed by the coarse quantizer, never a cross join; the
+    corpus is assigned ONCE (nprobe multiplies only the query side)."""
     from pyspark.sql import Window
 
     corpus = ivf_assign(
@@ -212,13 +237,14 @@ def ivf_topk(
         ).withColumn("embedding", F.col("_cvec")),
         centroids,
     ).drop("embedding")
-    q = ivf_assign(
-        query_df.select(
-            F.col(id_col).alias("query_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
-        ).withColumn("embedding", F.col("_qvec")),
-        centroids,
-    ).drop("embedding")
+    q_base = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_qvec"),
+    ).withColumn("embedding", F.col("_qvec"))
+    if nprobe <= 1:
+        q = ivf_assign(q_base, centroids).drop("embedding")
+    else:
+        q = ivf_assign_multi(q_base, centroids, nprobe).drop("embedding")
     scored = corpus.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -227,6 +253,10 @@ def ivf_topk(
         "neighbor_id",
         F.round(cosine(F.col("_cvec"), F.col("_qvec")), 4).alias("cos"),
     )
+    if nprobe > 1:
+        # a corpus vector can sit in several probed cells — dedup the
+        # (query, neighbor) pair before ranking
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))

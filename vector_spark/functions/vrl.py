@@ -320,3 +320,72 @@ def parse_xml(col: Column, schema: str) -> Column:
     returns a dynamic map; fixed schemas are this engine's dialect, so
     the caller supplies the DDL (same contract as json_parser)."""
     return F.from_xml(col.cast("string"), schema)
+
+
+# -- to_syslog_facility (to_syslog_facility.rs) -------------------------------
+
+SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def to_syslog_facility(code: Column) -> Column:
+    """facility code → keyword (reference vectors: 3→daemon, 11→ftp,
+    23→local7)."""
+    arr = F.array(*[F.lit(x) for x in SYSLOG_FACILITIES])
+    return F.element_at(arr, code.cast("int") + 1)
+
+
+# -- truncate with ellipsis (truncate.rs) -------------------------------------
+
+
+def truncate(col: Column, limit: int, ellipsis: bool = False) -> Column:
+    """Reference vectors: truncate("foobar", 3) == "foo";
+    truncate("foobar", 4, ellipsis: true) == "foob..." (the ellipsis is
+    APPENDED after the limit, not budgeted into it)."""
+    cut = F.substring(col.cast("string"), 1, limit)
+    if not ellipsis:
+        return cut
+    return F.when(F.length(col) > limit, F.concat(cut, F.lit("..."))).otherwise(cut)
+
+
+# -- parse_tokens (parse_tokens.rs; lib/shared/src/tokenize.rs) ---------------
+
+
+def parse_tokens(col: Column) -> Column:
+    """Whitespace tokens respecting "quotes" and [brackets] →
+    array<string>, '-' → null (the tokenizer transform's function
+    form)."""
+    toks = F.regexp_extract_all(
+        col.cast("string"), F.lit(r'"(?:[^"\\]|\\.)*"|\[[^\]]*\]|\S+'), F.lit(0)
+    )
+    return F.transform(
+        toks,
+        lambda t: F.when(t == "-", F.lit(None)).otherwise(
+            F.regexp_replace(t, r'^["\[]|["\]]$', "")
+        ),
+    )
+
+
+# -- format_number (format_number.rs) -----------------------------------------
+
+
+def format_number(
+    col: Column,
+    scale: int = 2,
+    decimal_separator: str = ".",
+    grouping_separator: str = ",",
+) -> Column:
+    """Reference vector: format_number(1234.567, scale: 2,
+    decimal_separator: ",", grouping_separator: ".") == "1.234,56" —
+    the scale TRUNCATES (not rounds), separators are configurable."""
+    mult = float(10**scale)
+    truncated = F.floor(col.cast("double") * mult) / mult
+    base = F.format_number(truncated, scale)  # "1,234.56"
+    if decimal_separator == "." and grouping_separator == ",":
+        return base
+    # simultaneous swap via translate placeholder
+    return F.translate(base, ",.", grouping_separator + decimal_separator)
