@@ -20,6 +20,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python jobs/run_pipeline.py` runs (dev/test) need the repo
+# root on sys.path; under spark-submit --py-files this is a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 

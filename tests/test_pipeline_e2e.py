@@ -348,3 +348,45 @@ def test_crash_replay_is_idempotent_with_shard_overwrite(spark):
         assert got == 600  # exactly once — the replayed shard did not duplicate
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_run_pipeline_job_cli_end_to_end(spark):
+    """jobs/run_pipeline.py — the spark-submit deploy artifact — runs
+    end-to-end in a fresh interpreter: shard-checkpointed explode
+    fan-out, then a resume that skips every committed shard."""
+    import json as _json
+    import subprocess
+    import sys
+
+    tmp = tempfile.mkdtemp(prefix="vs_job_")
+    try:
+        sequences(spark, 800, num_partitions=4).write.parquet(f"{tmp}/input")
+
+        def run():
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "jobs/run_pipeline.py",
+                    "--input", f"{tmp}/input",
+                    "--output", f"{tmp}/out",
+                    "--checkpoint", f"{tmp}/ckpt",
+                    "--shards", "2",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+            )
+            assert proc.returncode == 0, proc.stderr[-1500:]
+            return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+        first = run()
+        assert first["shards_processed"] == 2 and first["events_in_total"] == 800
+        # resume: everything skipped, nothing reprocessed
+        second = run()
+        assert second["shards_processed"] == 0 and second["shards_skipped"] == 2
+        # routed output exists per shard, hive-partitioned by lane
+        out = spark.read.option("basePath", f"{tmp}/out").parquet(f"{tmp}/out")
+        assert out.count() > 0 and "lane" in out.columns and "shard" in out.columns
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -166,3 +166,30 @@ def test_garbage_never_hangs_only_valueerror(garbage):
         compile_vrl_lite(garbage)
     except ValueError:
         pass
+
+
+# -- encode/parse round trip: logfmt --------------------------------------
+
+_key = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=8)
+_val = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .:/-", min_size=1, max_size=16
+).map(str.strip).filter(bool)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(m=st.dictionaries(_key, _val, min_size=1, max_size=5))
+def test_logfmt_encode_parse_roundtrip(spark, m):
+    """encode_logfmt ∘ logfmt_parser recovers every key/value —
+    including space-containing values (quoted on encode, unquoted on
+    parse). The parse side is the same operator the pipeline uses."""
+    from vector_spark.functions.vrl import encode_logfmt
+    from vector_spark.operators import logfmt_parser
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(m,)], "m map<string,string>")
+    line = df.select(encode_logfmt(F.col("m")).alias("message"))
+    parsed = logfmt_parser(line, fields=sorted(m))
+    row = parsed.first()
+    for k, v in m.items():
+        assert row[k] == v, (k, v, row)
