@@ -1009,7 +1009,11 @@ def _q_syslog5424(spark, sf):
     out = parse_syslog5424(ev.select("event_id", line.alias("message")))
     return out.select(
         "event_id", "priority", "facility", "severity", "hostname",
-        "appname", "procid", "msgid",
+        "appname",
+        # RFC5424 PROCID is a string (names are legal); the synthesized
+        # gate lines are numeric, so cast for the BIGINT oracle column
+        F.col("procid").try_cast("long").alias("procid"),
+        "msgid",
         encode_key_value(F.col("sd")).alias("sdkv"),
         "message_text",
     )

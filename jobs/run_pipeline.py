@@ -101,8 +101,16 @@ def main() -> None:
         cfg["fanout"]["mode"] = "overwrite"
         return Pipeline(cfg, enrich_tables={"sources": dim}).run(df, write=True)
 
+    def cleanup(shard_id: int) -> None:
+        # crashed attempts and stale shards (n_shards shrink) are
+        # scrubbed by deleting the shard-scoped output directory
+        import shutil
+
+        shutil.rmtree(shard_output_path(args.output, shard_id), ignore_errors=True)
+
     results = resumable_run(
-        spark, args.input, args.checkpoint, process, n_shards=args.shards
+        spark, args.input, args.checkpoint, process, n_shards=args.shards,
+        cleanup=cleanup,
     )
     done = [r for r in results if not r.skipped]
     total_in = sum(r.telemetry.get("events_in_total", 0) for r in done)

@@ -70,3 +70,14 @@ def test_vrl_lite_arith_and_funcs(spark):
 def test_vrl_lite_coalesce(spark):
     df = spark.createDataFrame([(None, "b")], "a string, b string")
     assert df.select(compile_vrl_lite(".a ?? .b").alias("x")).first().x == "b"
+
+
+def test_vrl_parse_timestamp_strftime(spark):
+    from vector_spark.conditions import compile_vrl_lite
+
+    df = spark.createDataFrame([("2020-02-20 12:34:56",), ("garbage",)], "t string")
+    out = df.select(
+        compile_vrl_lite('to_unix_timestamp(parse_timestamp(.t, "%Y-%m-%d %H:%M:%S"))').alias("u")
+    ).collect()
+    assert out[0].u == 1582202096
+    assert out[1].u is None  # malformed → per-event null, no abort

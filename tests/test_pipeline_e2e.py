@@ -390,3 +390,56 @@ def test_run_pipeline_job_cli_end_to_end(spark):
         assert out.count() > 0 and "lane" in out.columns and "shard" in out.columns
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sink_counts_correct_for_mid_pipeline_router_tap(spark):
+    """Review r2: a sink tapping a ROUTER that is not the terminal
+    transform writes the router-stage frame — its count must match the
+    written rows, not terminal-stage aliveness."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    cfg = {
+        "transforms": {
+            "r": {
+                "type": "route",
+                "inputs": ["in"],
+                "routes": {"evens": ".id % 2 == 0", "odds": ".id % 2 == 1"},
+            },
+            "f": {"type": "filter", "inputs": ["r.odds"], "condition": ".id < 4"},
+        },
+        "sinks": {"ev": {"inputs": ["r.evens"]}, "small_odds": {"inputs": ["f"]}},
+    }
+    res = Pipeline(cfg).run(df, write=False)
+    assert res.sink_counts["ev"] == res.lanes["ev"].count() == 5
+    assert res.sink_counts["small_odds"] == res.lanes["small_odds"].count() == 2
+    res.frame.unpersist()
+
+
+def test_resume_shrinking_shards_requires_cleanup(spark):
+    """Review r2: reducing n_shards on resume must not silently leave
+    stale shard output duplicating data — without a cleanup hook the
+    run fails loudly; with one, stale shards are scrubbed."""
+    import pytest as _pytest
+
+    tmp = tempfile.mkdtemp(prefix="vs_ckpt_shrink_")
+    try:
+        sequences(spark, 400, num_partitions=8).write.parquet(f"{tmp}/input")
+        scrubbed = []
+
+        def process(df, sid):
+            class R:
+                telemetry = {"events_in_total": df.count()}
+                sink_counts = {}
+
+            return R()
+
+        resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=4)
+        with _pytest.raises(ValueError, match="beyond the current shard count"):
+            resumable_run(spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=2)
+        r = resumable_run(
+            spark, f"{tmp}/input", f"{tmp}/ckpt", process,
+            n_shards=2, cleanup=scrubbed.append,
+        )
+        assert scrubbed == [2, 3]  # stale shards scrubbed
+        assert len(r) == 2 and not any(s.skipped for s in r)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -97,3 +97,14 @@ def test_explode_events(spark):
     df = spark.createDataFrame([("a", [1, 2, 3])], "k string, arr array<int>")
     out = explode_events(df, "arr", target="v")
     assert sorted(r.v for r in out.collect()) == [1, 2, 3]
+
+
+def test_concat_negative_end_slice(spark):
+    """Review r2: negative END counts from the end of the string
+    ('field[0..-1]' = all but last char) — previously produced ''."""
+    from vector_spark.operators.shapers import concat_fields
+
+    df = spark.createDataFrame([("hello", "world")], "a string, b string")
+    out = concat_fields(df, target="t", items=["a[0..-1]", "b[1..-2]"])
+    # "hello"[0..-1] = "hell" (all but last); "world"[1..-2] = "or"
+    assert out.first().t == "hell or"

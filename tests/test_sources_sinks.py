@@ -101,3 +101,27 @@ def test_file_source_multiline_stacktrace(spark, tmp_path):
         "2020-01-01 INFO fine",
         "2020-01-01 ERROR again\n  at A.b(C.java:3)",
     ]
+
+
+def test_file_source_multiline_orphans_and_blank_lines(spark, tmp_path):
+    """Review r2: lines before the first start match are emitted as
+    standalone events (no data loss), and blank lines INSIDE an event
+    survive (stack traces contain them)."""
+    from vector_spark.sources.readers import file_source
+
+    log = tmp_path / "b.log"
+    log.write_text(
+        "orphan line\n"
+        "START one\n"
+        " cont a\n"
+        "\n"
+        " cont b\n"
+        "START two\n"
+    )
+    out = file_source(spark, str(tmp_path), multiline={"start_pattern": r"^START"})
+    msgs = [r.message for r in out.orderBy("line").collect()]
+    assert msgs == [
+        "orphan line",
+        "START one\n cont a\n\n cont b",
+        "START two",
+    ]

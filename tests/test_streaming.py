@@ -118,3 +118,18 @@ def test_stream_reduce_ends_when_stateful(spark, stream_input):
     assert rows[("a", "4")] == 1
     # b: 3 (v=3 closes) -> "3"; 5 (v=3 closes) -> "5"
     assert ("b", "3") in rows and ("b", "5") in rows
+
+
+def test_stream_enrich_broadcast_per_batch(spark, stream_input):
+    """Stream-static enrichment: every micro-batch row joins the
+    static dim (broadcast); misses flagged, not dropped."""
+    from vector_spark.streaming import stream_enrich
+
+    stream, tmp = stream_input
+    dim = spark.createDataFrame([("a", "alpha")], "k string, label string")
+    out = stream_enrich(stream, dim, on="k", miss_flag_field="_miss")
+    got = _run_to_memory(spark, out, "enriched")
+    rows = {(r.id, r.label, r._miss) for r in got.collect()}
+    assert (1, "alpha", False) in rows
+    assert (3, None, True) in rows  # k='b' miss kept + flagged
+    assert got.count() == 5

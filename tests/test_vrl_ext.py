@@ -216,7 +216,7 @@ def test_parse_syslog5424_structured_data(spark):
     assert r.priority == 165 and r.version == 1
     assert r.facility == 20 and r.severity == 5
     assert r.hostname == "mymachine.example.com"
-    assert r.appname == "evntslog" and r.procid == 1234 and r.msgid == "ID47"
+    assert r.appname == "evntslog" and r.procid == "1234" and r.msgid == "ID47"
     assert r.sd["iut"] == "3" and r.sd["eventSource"] == "Application"
     assert r.sd["class"] == "high"
     assert r.message_text == "An application event log entry"
@@ -262,3 +262,55 @@ def test_to_syslog_facility_truncate_tokens_format_number(spark):
         "217.250.207.207", None, None, "07/Sep/2020:16:38:00 -0400",
         "DELETE /x HTTP/1.1", "205", "11881",
     ]
+
+
+def test_malformed_log_lines_yield_nulls_not_job_abort(spark):
+    """Review r2: one dirty line must never abort the job (ANSI mode).
+    Short/garbage VPC lines, alphanumeric PROCID, out-of-range syslog
+    facility, negative format_number — all per-event nulls/values."""
+    from vector_spark.functions.logformats import (
+        parse_aws_vpc_flow_log,
+        parse_syslog5424,
+    )
+    from vector_spark.functions.vrl import format_number, to_syslog_facility
+
+    # truncated + non-numeric VPC lines
+    df = spark.createDataFrame(
+        [("2 123 eni-1 10.0.0.1",), ("x y z notanum - - - - - - - - - -",)],
+        "message string",
+    )
+    rows = parse_aws_vpc_flow_log(df).collect()
+    assert rows[0].srcport is None and rows[0].log_status is None
+    assert rows[1].srcaddr == "notanum"  # positional string survives
+    # RFC5424 alphanumeric PROCID is legal → stays a string
+    r = parse_syslog5424(
+        spark.createDataFrame(
+            [("<34>1 2003-10-11T22:14:15.003Z mymachine su ID47 MSG1 - hello",)],
+            "message string",
+        )
+    ).first()
+    assert r.procid == "ID47" and r.message_text == "hello"
+    # facility out of range / negative → null
+    g = spark.createDataFrame([(99, -1)], "a int, b int").select(
+        to_syslog_facility(F.col("a")).alias("x"),
+        to_syslog_facility(F.col("b")).alias("y"),
+        format_number(F.lit(-1.239), 2).alias("n"),
+    ).first()
+    assert g.x is None and g.y is None
+    assert g.n == "-1.23"  # truncation toward zero, not floor
+
+
+def test_parse_ruby_hash_values_containing_arrows_and_nil(spark):
+    """Review r2: `=>` / `nil` INSIDE quoted values must survive
+    (structural pair extraction, not text rewriting)."""
+    from vector_spark.functions.vrl import parse_ruby_hash
+
+    df = spark.createDataFrame(
+        [('{ "note" => "a => b", "v" => "nil", :sym => nil, "n" => 7 }',)],
+        "s string",
+    )
+    m = df.select(parse_ruby_hash(F.col("s")).alias("m")).first().m
+    assert m["note"] == "a => b"
+    assert m["v"] == "nil"  # quoted literal string, NOT null
+    assert m["sym"] is None  # bare nil IS null
+    assert m["n"] == "7"

@@ -113,6 +113,14 @@ class CheckpointLog:
         except FileNotFoundError:
             pass
 
+    def remove(self, shard_id: int) -> None:
+        """Delete a committed checkpoint record (stale-shard cleanup)."""
+        try:
+            os.remove(os.path.join(self.dir, f"shard-{shard_id}.json"))
+        except FileNotFoundError:
+            pass
+        self.clear_inprogress(shard_id)
+
     def record(self, res: ShardResult, run_id: str) -> None:
         path = os.path.join(self.dir, f"shard-{res.shard_id}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -174,6 +182,23 @@ def resumable_run(
     files = spark.read.parquet(input_path).inputFiles()
     shards = shard_files(files, n_shards)
     log = CheckpointLog(ckpt_dir)
+    # shard-count SHRINK leaves output/checkpoints for ids beyond the
+    # new range — reprocessing alone would duplicate their rows next to
+    # the rewritten shards. With a cleanup hook the stale shards are
+    # scrubbed; without one this is unrecoverable here, so fail loudly
+    # instead of silently double-counting.
+    stale = sorted(sid for sid in log.done_shards() if sid >= len(shards))
+    if stale:
+        if cleanup is None:
+            raise ValueError(
+                f"checkpoint dir has committed shards {stale} beyond the "
+                f"current shard count {len(shards)} — their sink output "
+                "would duplicate the reprocessed data. Pass cleanup= to "
+                "scrub stale shard outputs, or keep n_shards stable."
+            )
+        for sid in stale:
+            cleanup(sid)
+            log.remove(sid)
     results: list[ShardResult] = []
     for sid, shard in enumerate(shards):
         committed = log.committed_lineage(sid)

@@ -185,6 +185,11 @@ _FUNCS = {
     "to_float": lambda a: a.cast("double"),
     "to_bool": lambda a: a.cast("boolean"),
     "to_timestamp": lambda a: F.to_timestamp(a.cast("string")),
+    # parse_timestamp.rs: explicit strftime format; try_to_timestamp →
+    # malformed input is a per-event error (null), not a job abort
+    "parse_timestamp": lambda a, fmt: F.try_to_timestamp(
+        a.cast("string"), F.lit(_strftime(_as_py_val(fmt)))
+    ),
     "to_unix_timestamp": lambda a: F.unix_timestamp(a),
     "format_timestamp": lambda a, fmt: F.date_format(a, _as_py_val(fmt)),
     "now": lambda: F.current_timestamp(),
@@ -209,6 +214,12 @@ _FUNCS = {
     "coalesce": lambda *a: F.coalesce(*a),
     "if_else": lambda c, t, f: F.when(c, t).otherwise(f),
 }
+
+
+def _strftime(fmt: str) -> str:
+    from vector_spark.conversion import strftime_to_spark
+
+    return strftime_to_spark(fmt)
 
 
 def _as_py_val(col_or_val):

@@ -147,9 +147,9 @@ def parse_aws_alb_log(df: DataFrame, field: str = "message", drop_field: bool = 
         c = F.col(grp)
         c = F.when(c == "-", F.lit(None)).otherwise(c)
         if name in _ALB_INT:
-            c = c.cast("long")
+            c = c.try_cast("long")
         elif name in _ALB_FLOAT:
-            c = c.cast("double")
+            c = c.try_cast("double")
         cols[name] = c
     return out.withColumns(cols).drop(*[g for g in _ALB_FIELDS if g not in _ALB_FIELDS.values()])
 
@@ -186,10 +186,12 @@ def parse_aws_vpc_flow_log(
     parts = F.split(F.trim(F.col(field).cast("string")), r"\s+")
     cols = {}
     for i, name in enumerate(names):
-        c = F.element_at(parts, i + 1)
+        # try_*: a short or malformed line yields nulls for the missing
+        # positions — one dirty log line must not abort the job (ANSI)
+        c = F.try_element_at(parts, F.lit(i + 1))
         c = F.when(c == "-", F.lit(None)).otherwise(c)
         if name in _VPC_INT_FIELDS:
-            c = c.cast("long")
+            c = c.try_cast("long")
         cols[name] = c
     out = df.withColumns(cols)
     if drop_field and field not in cols:
@@ -246,9 +248,12 @@ def parse_syslog5424(
     nullify = lambda c: F.when(F.col(c) == "-", F.lit(None)).otherwise(F.col(c))  # noqa: E731
     return (
         out.withColumn("sd", sd)
-        .withColumn("facility", (F.col("priority") / 8).cast("int"))
-        .withColumn("severity", F.pmod(F.col("priority"), F.lit(8)).cast("int"))
-        .withColumn("procid", nullify("procid").cast("long"))
+        .withColumn("facility", (F.col("priority") / 8).try_cast("int"))
+        .withColumn("severity", F.pmod(F.col("priority"), F.lit(8)).try_cast("int"))
+        # RFC5424 PROCID is PRINTUSASCII (often a pid, but names like
+        # "ID47" are legal) — keep it a STRING; callers cast when they
+        # know it is numeric
+        .withColumn("procid", nullify("procid"))
         .withColumn("msgid", nullify("msgid"))
         .withColumnRenamed("messagetext", "message_text")
         .drop("sdraw")

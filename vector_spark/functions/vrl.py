@@ -287,13 +287,35 @@ def get_env_var(name: str, default: str | None = None) -> Column:
 
 def parse_ruby_hash(col: Column) -> Column:
     """Ruby hash literal ({"k" => "v", :sym => nil}) → map<string,string>.
-    Rewrites `=>` to `:`, symbol keys to strings, nil to null, then
-    from_json — JVM-side."""
+
+    Structural extraction, not text rewriting: one PAIR regex matches
+    ``"key" => value`` / ``:sym => value`` units, so ``=>`` or ``nil``
+    INSIDE a quoted value never gets rewritten (the failure mode of the
+    earlier replace-then-from_json approach). ``nil`` values → null.
+    Limitation (documented): top-level flat hashes; nested hashes need
+    the JSON path."""
+    pair = (
+        r'(?:"((?:[^"\\]|\\.)*)"|:([A-Za-z_]\w*))'  # key: quoted | :symbol
+        r"\s*=>\s*"
+        r'(?:"((?:[^"\\]|\\.)*)"|([^,}\s]+))'  # value: quoted | bare token
+    )
     s = col.cast("string")
-    s = F.regexp_replace(s, r":(\w+)\s*=>", r'"$1":')  # :sym => v
-    s = F.regexp_replace(s, r"=>", ":")
-    s = F.regexp_replace(s, r"\bnil\b", "null")
-    return F.from_json(s, "map<string,string>")
+    qk = F.regexp_extract_all(s, F.lit(pair), F.lit(1))
+    sk = F.regexp_extract_all(s, F.lit(pair), F.lit(2))
+    qv = F.regexp_extract_all(s, F.lit(pair), F.lit(3))
+    bv = F.regexp_extract_all(s, F.lit(pair), F.lit(4))
+    keys = F.zip_with(qk, sk, lambda a, b: F.when(a == "", b).otherwise(a))
+    vals = F.zip_with(
+        qv,
+        bv,
+        lambda q, b: F.when(b == "nil", F.lit(None))
+        .when(q != "", q)
+        .when(b != "", b)
+        .otherwise(q),  # empty quoted value ""
+    )
+    return F.when(F.size(keys) > 0, F.map_from_arrays(keys, vals)).otherwise(
+        F.lit(None).cast("map<string,string>")
+    )
 
 
 # -- encode_key_value (encode_key_value.rs) -----------------------------------
@@ -334,9 +356,14 @@ SYSLOG_FACILITIES = [
 
 def to_syslog_facility(code: Column) -> Column:
     """facility code → keyword (reference vectors: 3→daemon, 11→ftp,
-    23→local7)."""
+    23→local7). Out-of-range / non-numeric codes are per-event errors
+    → null (the reference errors; an ANSI element_at would abort the
+    job)."""
     arr = F.array(*[F.lit(x) for x in SYSLOG_FACILITIES])
-    return F.element_at(arr, code.cast("int") + 1)
+    c = code.try_cast("int")
+    return F.when(
+        (c >= 0) & (c < len(SYSLOG_FACILITIES)), F.element_at(arr, c + 1)
+    ).otherwise(F.lit(None))
 
 
 # -- truncate with ellipsis (truncate.rs) -------------------------------------
@@ -383,7 +410,9 @@ def format_number(
     decimal_separator: ",", grouping_separator: ".") == "1.234,56" —
     the scale TRUNCATES (not rounds), separators are configurable."""
     mult = float(10**scale)
-    truncated = F.floor(col.cast("double") * mult) / mult
+    # truncation toward ZERO (floor would round -1.239 to -1.24);
+    # try_cast: absurd magnitudes become null instead of aborting
+    truncated = (col.cast("double") * mult).try_cast("long").cast("double") / mult
     base = F.format_number(truncated, scale)  # "1,234.56"
     if decimal_separator == "." and grouping_separator == ",":
         return base

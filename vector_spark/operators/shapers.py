@@ -71,16 +71,21 @@ def concat_fields(
         s, e = m.group("s"), m.group("e")
         if s or e:
             start = int(s) if s else 0
+            end = int(e) if e else None
             if start < 0:
                 # negative start indexes from the end (concat.rs range
                 # grammar, e.g. "second[-2..]" = last two chars)
-                col = F.substring(col, start, 2_000_000_000)
-                if e:
+                if end is not None:
                     raise ValueError(f"negative start with end not supported: {item!r}")
-            elif e:
-                col = F.substring(col, start + 1, int(e) - start)
-            else:
+                col = F.substring(col, start, 2_000_000_000)
+            elif end is None:
                 col = F.substring(col, start + 1, 2_000_000_000)
+            elif end < 0:
+                # negative end counts from the end: [0..-1] = all but
+                # the last char (length is dynamic per row)
+                col = F.substring(col, start + 1, F.length(col) + end - start)
+            else:
+                col = F.substring(col, start + 1, end - start)
         cols.append(col)
     return df.withColumn(target, F.concat_ws(joiner, *cols))
 

@@ -160,10 +160,14 @@ class Pipeline:
         sink_counts: dict[str, int] = {}
         sink_paths: dict[str, str] = {}
         # sink counts fold into the single telemetry aggregation when
-        # the sink's lanes are flag columns on the terminal frame — no
-        # extra .count() job per sink. Unions of K lanes contribute K
-        # addends (a row in two lanes is written twice). Mid-pipeline
-        # taps fall back to a per-sink count.
+        # the sink's lane flags AND aliveness are evaluated on the SAME
+        # frame the sink writes — i.e. the router feeding the lane is
+        # the terminal transform (the typical route→sinks topology). A
+        # mid-pipeline tap writes the ROUTER-stage frame, whose row set
+        # differs from the terminal (later stages may drop rows), so it
+        # falls back to a per-sink count on its own frame. Unions of K
+        # lanes contribute K addends (a row in two lanes is written
+        # twice).
         sink_count_keys: dict[str, list[str] | None] = {}
         alive = alive_col(terminal)
         for si, (sname, sspec) in enumerate(self.sinks.items()):
@@ -172,7 +176,7 @@ class Pipeline:
             for i, inp in enumerate(inputs):
                 router = inp.split(".")[0]
                 key = f"__sink_{si}_{i}"
-                if "." in inp and router in self._routes:
+                if "." in inp and router in self._routes and router == terminal_name:
                     lane = inp.split(".", 1)[1]
                     flag_col = ROUTE_PREFIX + lane
                     if flag_col in terminal.columns:

@@ -79,24 +79,30 @@ def _multiline_text(reader, path: str, multiline: dict) -> DataFrame:
     raw = reader.text(path, wholetext=True).select(
         F.input_file_name().alias("_file"), F.col("value")
     )
+    # drop ONLY the trailing empty artifact of splitting a \n-terminated
+    # file — blank lines INSIDE an event are content (stack traces may
+    # contain them) and must survive
+    arr = F.split(F.col("value"), "\n")
+    arr = F.when(F.element_at(arr, -1) == "", F.slice(arr, 1, F.size(arr) - 1)).otherwise(arr)
     # indexed transform instead of posexplode: the pos column of
     # posexplode(split(...)) over a text-source scan came back all-zero
     # under whole-stage codegen (observed on Spark 4.1) — the explicit
     # (element, index) lambda is plan-stable
     indexed = F.transform(
-        F.split(F.col("value"), "\n"),
-        lambda x, i: F.struct(i.alias("_ln"), x.alias("message")),
+        arr, lambda x, i: F.struct(i.alias("_ln"), x.alias("message"))
     )
-    lines = (
-        raw.select("_file", F.explode(indexed).alias("_e"))
-        .select("_file", F.col("_e._ln").alias("_ln"), F.col("_e.message").alias("message"))
-        .filter(F.col("message") != "")
+    lines = raw.select("_file", F.explode(indexed).alias("_e")).select(
+        "_file", F.col("_e._ln").alias("_ln"), F.col("_e.message").alias("message")
     )
     w = Window.partitionBy("_file").orderBy("_ln")
     grp = F.sum(F.col("message").rlike(start).cast("long")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    grouped = lines.withColumn("_grp", grp).filter(F.col("_grp") > 0)
+    # lines BEFORE the first start match are not silently dropped: each
+    # orphan line is emitted as its own event (negative group id keyed
+    # by line number — the reference flushes unmatched lines standalone)
+    grp = F.when(grp > 0, grp).otherwise(-(F.col("_ln") + 1))
+    grouped = lines.withColumn("_grp", grp)
     return (
         grouped.groupBy("_file", "_grp")
         .agg(

@@ -1,6 +1,7 @@
 from vector_spark.streaming.ops import (  # noqa: F401
     stream_aggregate,
     stream_dedupe,
+    stream_enrich,
     stream_reduce_sessions,
     stream_route_writer,
 )

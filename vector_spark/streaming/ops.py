@@ -184,3 +184,20 @@ def stream_reduce_ends_when(
     return work.groupBy(*group_by).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    prefix: str | None = None,
+    miss_flag_field: str | None = None,
+) -> DataFrame:
+    """Streaming enrichment: stream-static broadcast join — the
+    enrichment-table lookup (src/transforms/geoip + enrichment tables)
+    applied per micro-batch. The static dim is broadcast once per
+    batch; no state store involved (lookups are stateless in the
+    reference too)."""
+    from vector_spark.operators.enrich import enrich as enrich_fn
+
+    return enrich_fn(stream, dim, on=on, prefix=prefix, miss_flag_field=miss_flag_field)
