@@ -81,3 +81,25 @@ def test_vrl_parse_timestamp_strftime(spark):
     ).collect()
     assert out[0].u == 1582202096
     assert out[1].u is None  # malformed → per-event null, no abort
+
+
+def test_vrl_bang_calls_and_type_guards(spark):
+    """Vector-docs remap lines compile verbatim: fn!(...) fallible
+    markers and string!/int!/float!/bool! type guards (casts here;
+    mismatch = per-event null)."""
+    from vector_spark.conditions import compile_vrl_lite
+
+    df = spark.createDataFrame([(7, "x", "2.5", "yes")], "n int, s string, f string, b string")
+    r = df.select(
+        compile_vrl_lite('upcase(string!(.s))').alias("a"),
+        compile_vrl_lite('int!(.f)').alias("i"),
+        compile_vrl_lite('float!(.f) * 2').alias("fl"),
+        compile_vrl_lite('string(.n)').alias("ns"),
+        compile_vrl_lite('assert_eq(.n, 7)').alias("ae"),
+        compile_vrl_lite('log(.s)').alias("lg"),
+    ).first()
+    assert r.a == "X" and r.i == 2 and r.fl == 5.0
+    assert r.ns == "7" and r.ae is True and r.lg == "x"
+    # mismatch: int!("x") is a per-event null, not a job abort
+    bad = df.select(compile_vrl_lite('int!(.s)').alias("v")).first()
+    assert bad.v is None

@@ -213,6 +213,23 @@ _FUNCS = {
     "get": lambda a, k: F.element_at(a, k),
     "coalesce": lambda *a: F.coalesce(*a),
     "if_else": lambda c, t, f: F.when(c, t).otherwise(f),
+    # type-coercion guards (lib/vrl/stdlib: String/Integer/Float/
+    # Boolean/Timestamp/Array/Object): in VRL these assert the runtime
+    # type; on a typed schema they are casts (try_*: mismatch = a
+    # per-event error value, i.e. null)
+    "string": lambda a: a.cast("string"),
+    "int": lambda a: a.try_cast("double").try_cast("long"),
+    "float": lambda a: a.try_cast("double"),
+    "bool": lambda a: a.try_cast("boolean"),
+    "timestamp": lambda a: a,
+    "array": lambda a: a,
+    "object": lambda a: a,
+    # assert/assert_eq (assert.rs): the condition value itself; pair
+    # with error_when/drop_on_error for the abort behavior
+    "assert": lambda c, *msg: c,
+    "assert_eq": lambda a, b, *msg: a == b,
+    # log (log.rs): side-effect in the reference; pass-through here
+    "log": lambda a, *rest: a,
 }
 
 
@@ -326,12 +343,24 @@ class _Parser:
     # worst possible scale behavior. try_add/try_multiply/... yield NULL
     # instead, which feeds the existing ``??`` / error_when / drop_on_error
     # machinery exactly like a VRL error value.
+    #
+    # VRL integers are i64: a 32-bit int COLUMN would otherwise do
+    # int32 arithmetic and null out at 2^31 — promote the left operand
+    # to bigint (adding 0L: ints widen to long, doubles stay double).
+    @staticmethod
+    def _promote(c: Column) -> Column:
+        return F.try_add(c, F.lit(0).cast("bigint"))
+
     def parse_add(self):
         left = self.parse_mul()
         while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
             _, v = self.next()
             right = self.parse_mul()
-            left = F.try_add(left, right) if v == "+" else F.try_subtract(left, right)
+            left = (
+                F.try_add(self._promote(left), right)
+                if v == "+"
+                else F.try_subtract(self._promote(left), right)
+            )
         return left
 
     def parse_mul(self):
@@ -340,11 +369,11 @@ class _Parser:
             _, v = self.next()
             right = self.parse_unary()
             if v == "*":
-                left = F.try_multiply(left, right)
+                left = F.try_multiply(self._promote(left), right)
             elif v == "/":
                 left = F.try_divide(left, right)
             else:
-                left = F.try_mod(left, right)
+                left = F.try_mod(self._promote(left), right)
         return left
 
     def parse_unary(self):
@@ -382,6 +411,14 @@ class _Parser:
                 return F.lit(False)
             if v == "null":
                 return F.lit(None)
+            # VRL fallible-call marker `fn!(...)`: errors are already
+            # null-valued here, so the bang is accepted and dropped
+            if (
+                self.peek() == ("op", "!")
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == ("op", "(")
+            ):
+                self.next()
             if self.peek()[1] == "(":
                 self.next()
                 args = []
