@@ -284,3 +284,51 @@ conditions = ['.n == 3', '.k == "a b"']
 def test_dedupe_reduce_behavior(spark):
     results = run_behavior_file(spark, DEDUPE_REDUCE_TOML)
     assert all(r.passed for r in results), [r.failures for r in results]
+
+
+DEL_ONLY_TOML = '''
+[transforms.scrub]
+type = "remap"
+inputs = ["in"]
+source = """
+.masked = upcase(.secret)
+del(.secret)
+"""
+
+[sinks.out]
+inputs = ["scrub"]
+
+[[tests]]
+name = "del removes the column"
+input_schema = "id int, secret string, keep string"
+[[tests.input_rows]]
+id = 1
+secret = "abc"
+keep = "k"
+[[tests.outputs]]
+extract_from = "scrub"
+expect_rows = 1
+conditions = ['.masked == "ABC"', '.keep == "k"']
+absent_fields = ["secret"]
+'''
+
+
+def test_remap_del_statement(spark):
+    results = run_behavior_file(spark, DEL_ONLY_TOML)
+    assert all(r.passed for r in results), [r.failures for r in results]
+
+
+def test_remap_only_fields(spark):
+    from vector_spark.plans.config import parse_remap_source
+    from vector_spark.operators.remap import remap
+
+    stmts = parse_remap_source(
+        """
+        .b = .a * 2
+        only_fields(.id, .b)
+        """
+    )
+    df = spark.createDataFrame([(1, 10, "drop-me")], "id int, a int, x string")
+    out = remap(df, stmts)
+    assert out.columns == ["id", "b"]
+    assert out.first().b == 20

@@ -72,6 +72,22 @@ def remap(
                 df = df.withColumn(error_flag_field, err_c)
 
     for target, expr in items:
+        # statement forms (lib/vrl/stdlib del.rs / only_fields.rs):
+        # ("__del__", ".field") drops a column, ("__only__", [fields])
+        # projects to the listed fields — the VRL path-mutation surface
+        # on a fixed schema. Rollback semantics note: del/only are
+        # whole-column ops, applied regardless of skip (the reference
+        # aborts BEFORE any statement runs when the program errors up
+        # front; per-row column presence cannot vary in a frame).
+        if target == "__del__":
+            fields = expr if isinstance(expr, (list, tuple)) else [expr]
+            df = df.drop(*[f.lstrip(".") for f in fields])
+            continue
+        if target == "__only__":
+            keep = [f.lstrip(".") for f in expr]
+            extra = [c for c in df.columns if c.startswith("_")]  # plan internals
+            df = df.select(*keep, *[c for c in extra if c not in keep])
+            continue
         target = target.lstrip(".")
         new_col = _compile_expr(expr)
         if skip is not None and target in df.columns:

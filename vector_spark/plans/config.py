@@ -50,12 +50,27 @@ from vector_spark.plans.pipeline import Pipeline
 _ASSIGN_RE = re.compile(r"^\s*(\.[A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*$")
 
 
-def parse_remap_source(source: str) -> list[tuple[str, str]]:
-    """``.target = expr`` lines → ordered assignment list."""
-    assignments: list[tuple[str, str]] = []
+_DEL_RE = re.compile(r"^\s*del\(\s*(\.[A-Za-z_][A-Za-z0-9_.]*)\s*\)\s*$")
+_ONLY_RE = re.compile(r"^\s*only_fields\(\s*(.+?)\s*\)\s*$")
+
+
+def parse_remap_source(source: str) -> list[tuple[str, Any]]:
+    """``.target = expr`` / ``del(.field)`` / ``only_fields(.a, .b)``
+    lines → ordered statement list (the VRL program surface:
+    assignments + path deletion, lib/vrl/stdlib del.rs)."""
+    assignments: list[tuple[str, Any]] = []
     for line in source.splitlines():
         line = line.strip()
         if not line or line.startswith("#"):
+            continue
+        d = _DEL_RE.match(line)
+        if d:
+            assignments.append(("__del__", d.group(1)))
+            continue
+        o = _ONLY_RE.match(line)
+        if o:
+            fields = [f.strip() for f in o.group(1).split(",")]
+            assignments.append(("__only__", fields))
             continue
         m = _ASSIGN_RE.match(line)
         if not m:

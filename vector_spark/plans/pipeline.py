@@ -350,12 +350,14 @@ class Pipeline:
             or c == DROPPED_BY
         ]
         out = observed.withColumn("lane", F.explode(lane_arr)).drop(*internal)
-        (
-            out.write.mode(fan.get("mode", "overwrite"))
-            .partitionBy("lane", *extra_parts)
-            .format(fan.get("format", "parquet"))
-            .save(root)
+        writer = out.write.mode(fan.get("mode", "overwrite")).partitionBy(
+            "lane", *extra_parts
         )
+        if fan.get("compression"):
+            writer = writer.option("compression", fan["compression"])
+        if fan.get("max_records_per_file"):
+            writer = writer.option("maxRecordsPerFile", fan["max_records_per_file"])
+        writer.format(fan.get("format", "parquet")).save(root)
         got = obs.get
         tele = {k: int(v or 0) for k, v in got.items() if not k.startswith("__sink_")}
         # frame-bound counters (pre-aggregation error counts, forked
