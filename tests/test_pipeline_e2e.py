@@ -443,3 +443,70 @@ def test_resume_shrinking_shards_requires_cleanup(spark):
         assert len(r) == 2 and not any(s.skipped for s in r)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_remap_del_respects_error_rollback(spark):
+    """Review r2b: del() must not destroy the field for rows the
+    error path promises to pass through unmodified."""
+    from vector_spark.operators.remap import remap
+
+    df = spark.createDataFrame(
+        [(1, "keep-me"), (2, "scrub-me")], "id int, secret string"
+    )
+    out = remap(
+        df,
+        [(".masked", "upcase(.secret)"), ("__del__", ".secret")],
+        error_when='.id == 1',
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].secret == "keep-me"  # errored row unmodified
+    assert rows[2].secret is None  # del applied (null on flat schema)
+    assert rows[2].masked == "SCRUB-ME"
+
+
+def test_crashed_shard_beyond_new_count_is_scrubbed(spark):
+    """Review r2b: a crashed (in-progress, uncommitted) shard beyond a
+    shrunken shard count is scrubbed too, not just committed ones."""
+    from vector_spark.checkpoint import CheckpointLog
+
+    tmp = tempfile.mkdtemp(prefix="vs_ckpt_crash2_")
+    try:
+        sequences(spark, 300, num_partitions=6).write.parquet(f"{tmp}/input")
+        log = CheckpointLog(f"{tmp}/ckpt")
+        log.mark_inprogress(5, "deadrun", ["f1"])  # crashed attempt, id 5
+        scrubbed = []
+
+        def process(df, sid):
+            class R:
+                telemetry = {"events_in_total": df.count()}
+                sink_counts = {}
+
+            return R()
+
+        resumable_run(
+            spark, f"{tmp}/input", f"{tmp}/ckpt", process,
+            n_shards=2, cleanup=scrubbed.append,
+        )
+        assert 5 in scrubbed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_mid_pipeline_sink_counts_fold_without_extra_jobs(spark):
+    """Review r2b: mid-pipeline tap counts ride the telemetry
+    aggregation (frame-bound counters), and stay CORRECT."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "id int")
+    cfg = {
+        "transforms": {
+            "r": {
+                "type": "route",
+                "inputs": ["in"],
+                "routes": {"evens": ".id % 2 == 0", "odds": ".id % 2 == 1"},
+            },
+            "f": {"type": "filter", "inputs": ["r.odds"], "condition": ".id < 4"},
+        },
+        "sinks": {"ev": {"inputs": ["r.evens"]}, "small_odds": {"inputs": ["f"]}},
+    }
+    res = Pipeline(cfg).run(df, write=False)
+    assert res.sink_counts == {"ev": 5, "small_odds": 2}
+    res.frame.unpersist()

@@ -314,3 +314,38 @@ def test_parse_ruby_hash_values_containing_arrows_and_nil(spark):
     assert m["v"] == "nil"  # quoted literal string, NOT null
     assert m["sym"] is None  # bare nil IS null
     assert m["n"] == "7"
+
+
+def test_review2_hardening(spark):
+    """Second review round: dup ruby-hash keys last-win (no job
+    abort), format_number with empty grouping separator, bare tokens
+    keep stray quote/bracket chars, int! preserves > 2^53."""
+    from vector_spark.conditions import compile_vrl_lite
+    from vector_spark.functions.vrl import format_number, parse_ruby_hash, parse_tokens
+
+    df = spark.createDataFrame(
+        [('{ "a" => "1", "a" => "2" }', 'size 5" [partial rest', "9007199254740993")],
+        "rh string, toks string, big string",
+    )
+    r = df.select(
+        parse_ruby_hash(F.col("rh")).alias("m"),
+        parse_tokens(F.col("toks")).alias("t"),
+        format_number(F.lit(1234.56), 2, ".", "").alias("nogrp"),
+        compile_vrl_lite("int!(.big)").alias("i"),
+    ).first()
+    assert dict(r.m) == {"a": "2"}  # last wins, no DUPLICATED_MAP_KEY abort
+    assert r.t == ["size", '5"', "[partial", "rest"]  # bare chars kept
+    assert r.nogrp == "1234.56"
+    assert r.i == 9007199254740993  # no double round-trip corruption
+
+
+def test_vrl_date_arithmetic_still_resolves(spark):
+    """Promotion is scoped to * and %: adding an int to a DATE column
+    must keep compiling (try_add(date, int) = date_add)."""
+    from vector_spark.conditions import compile_vrl_lite
+
+    df = spark.createDataFrame([("2020-01-01",)], "d string").select(
+        F.col("d").cast("date").alias("d")
+    )
+    got = df.select(compile_vrl_lite(".d + 1").alias("d2")).first().d2
+    assert str(got) == "2020-01-02"

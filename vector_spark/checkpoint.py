@@ -107,6 +107,13 @@ class CheckpointLog:
     def crashed_attempt(self, shard_id: int) -> bool:
         return os.path.exists(self._marker(shard_id))
 
+    def inprogress_shards(self) -> set[int]:
+        out = set()
+        for fn in os.listdir(self.dir):
+            if fn.startswith("shard-") and fn.endswith(".inprogress"):
+                out.add(int(fn[len("shard-") : -len(".inprogress")]))
+        return out
+
     def clear_inprogress(self, shard_id: int) -> None:
         try:
             os.remove(self._marker(shard_id))
@@ -187,7 +194,13 @@ def resumable_run(
     # the rewritten shards. With a cleanup hook the stale shards are
     # scrubbed; without one this is unrecoverable here, so fail loudly
     # instead of silently double-counting.
-    stale = sorted(sid for sid in log.done_shards() if sid >= len(shards))
+    # committed AND crashed-in-progress shards both count: a crashed
+    # attempt beyond the new range left partial output behind too
+    stale = sorted(
+        sid
+        for sid in (log.done_shards() | log.inprogress_shards())
+        if sid >= len(shards)
+    )
     if stale:
         if cleanup is None:
             raise ValueError(

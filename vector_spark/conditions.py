@@ -218,7 +218,11 @@ _FUNCS = {
     # type; on a typed schema they are casts (try_*: mismatch = a
     # per-event error value, i.e. null)
     "string": lambda a: a.cast("string"),
-    "int": lambda a: a.try_cast("double").try_cast("long"),
+    # long-preserving first (a double hop would corrupt ints > 2^53),
+    # then the float-truncation path for "2.5"-style strings
+    "int": lambda a: F.coalesce(
+        a.try_cast("long"), a.try_cast("double").try_cast("long")
+    ),
     "float": lambda a: a.try_cast("double"),
     "bool": lambda a: a.try_cast("boolean"),
     "timestamp": lambda a: a,
@@ -347,6 +351,12 @@ class _Parser:
     # VRL integers are i64: a 32-bit int COLUMN would otherwise do
     # int32 arithmetic and null out at 2^31 — promote the left operand
     # to bigint (adding 0L: ints widen to long, doubles stay double).
+    # Promotion applies to * and % only: those are numeric-only, while
+    # + and - must keep resolving for date/timestamp arithmetic
+    # (try_add(date, 0L) fails analysis). Multiplication is where i64
+    # range is actually reached; a pure-addition int32 overflow needs
+    # ~2^21 same-sign terms, and multiply results (the realistic
+    # overflow source) are already long when they reach +/-.
     @staticmethod
     def _promote(c: Column) -> Column:
         return F.try_add(c, F.lit(0).cast("bigint"))
@@ -356,11 +366,7 @@ class _Parser:
         while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
             _, v = self.next()
             right = self.parse_mul()
-            left = (
-                F.try_add(self._promote(left), right)
-                if v == "+"
-                else F.try_subtract(self._promote(left), right)
-            )
+            left = F.try_add(left, right) if v == "+" else F.try_subtract(left, right)
         return left
 
     def parse_mul(self):

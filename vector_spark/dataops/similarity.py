@@ -253,10 +253,10 @@ def ivf_topk(
         "neighbor_id",
         F.round(cosine(F.col("_cvec"), F.col("_qvec")), 4).alias("cos"),
     )
-    if nprobe > 1:
-        # a corpus vector can sit in several probed cells — dedup the
-        # (query, neighbor) pair before ranking
-        scored = scored.distinct()
+    # no dedup needed even at nprobe>1: each corpus vector lives in
+    # exactly ONE cell (argmax assignment) and a query's probed cells
+    # are distinct, so a (query, neighbor) pair appears at most once —
+    # a distinct() here would shuffle the largest frame for nothing
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))

@@ -313,7 +313,22 @@ def parse_ruby_hash(col: Column) -> Column:
         .when(b != "", b)
         .otherwise(q),  # empty quoted value ""
     )
-    return F.when(F.size(keys) > 0, F.map_from_arrays(keys, vals)).otherwise(
+    # fold entries LAST-WINS: map_from_arrays aborts the job on a
+    # duplicate key (mapKeyDedupPolicy=EXCEPTION) — a dirty line with
+    # {"a" => 1, "a" => 2} must yield a per-event value, not a crash
+    entries = F.zip_with(keys, vals, lambda k, v: F.struct(k.alias("k"), v.alias("v")))
+    folded = F.aggregate(
+        entries,
+        F.lit(None).cast("map<string,string>"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(
+                F.coalesce(acc, F.expr("map()").cast("map<string,string>")),
+                lambda k, _: k != e["k"],
+            ),
+            F.create_map(e["k"], e["v"]),
+        ),
+    )
+    return F.when(F.size(keys) > 0, folded).otherwise(
         F.lit(None).cast("map<string,string>")
     )
 
@@ -384,17 +399,12 @@ def truncate(col: Column, limit: int, ellipsis: bool = False) -> Column:
 
 def parse_tokens(col: Column) -> Column:
     """Whitespace tokens respecting "quotes" and [brackets] →
-    array<string>, '-' → null (the tokenizer transform's function
-    form)."""
-    toks = F.regexp_extract_all(
-        col.cast("string"), F.lit(r'"(?:[^"\\]|\\.)*"|\[[^\]]*\]|\S+'), F.lit(0)
-    )
-    return F.transform(
-        toks,
-        lambda t: F.when(t == "-", F.lit(None)).otherwise(
-            F.regexp_replace(t, r'^["\[]|["\]]$', "")
-        ),
-    )
+    array<string>, '-' → null — the tokenizer transform's function
+    form, sharing the operator's token machinery (one grammar, one
+    place to fix)."""
+    from vector_spark.operators.parsers import tokens_array
+
+    return tokens_array(col.cast("string"))
 
 
 # -- format_number (format_number.rs) -----------------------------------------
@@ -416,5 +426,13 @@ def format_number(
     base = F.format_number(truncated, scale)  # "1,234.56"
     if decimal_separator == "." and grouping_separator == ",":
         return base
-    # simultaneous swap via translate placeholder
-    return F.translate(base, ",.", grouping_separator + decimal_separator)
+    # rebuild from the integer/decimal halves: translate() would
+    # corrupt output when a separator is empty (length mismatch
+    # deletes the wrong char) or when the separators collide
+    int_part = F.replace(
+        F.substring_index(base, ".", 1), F.lit(","), F.lit(grouping_separator)
+    )
+    if scale <= 0:
+        return int_part
+    dec_part = F.substring_index(base, ".", -1)
+    return F.concat(int_part, F.lit(decimal_separator), dec_part)

@@ -332,6 +332,20 @@ def _materialize_map(df, map_col, fields, types, map_name, src_field, drop_field
 _TOKEN_PATTERN = r'"(?:[^"\\]|\\.)*"|\[[^\]]*\]|\S+'
 
 
+def tokens_array(src: Column) -> Column:
+    """Tokenize into array<string>: ``-`` → null; delimiters stripped
+    only from tokens that BOTH start and end with a matching pair — a
+    bare token like ``5"`` or ``[partial`` keeps its characters (they
+    were never delimiters)."""
+    toks = F.regexp_extract_all(src, F.lit(_TOKEN_PATTERN), F.lit(0))
+    return F.transform(
+        toks,
+        lambda t: F.when(t == "-", F.lit(None)).otherwise(
+            F.regexp_replace(t, r'^"(.*)"$|^\[(.*)\]$', "$1$2")
+        ),
+    )
+
+
 def tokenizer(
     df: DataFrame,
     field_names: list[str],
@@ -341,15 +355,9 @@ def tokenizer(
 ) -> DataFrame:
     """Whitespace tokenize respecting quotes/brackets
     (tokenizer.rs:16-120); positional assignment to ``field_names``;
-    ``-`` → null; strips the quote/bracket delimiters."""
+    ``-`` → null; strips matching quote/bracket delimiter pairs."""
     types = types or {}
-    toks = F.regexp_extract_all(F.col(field).cast("string"), F.lit(_TOKEN_PATTERN), F.lit(0))
-    toks = F.transform(
-        toks,
-        lambda t: F.when(t == "-", F.lit(None)).otherwise(
-            F.regexp_replace(t, r'^["\[]|["\]]$', "")
-        ),
-    )
+    toks = tokens_array(F.col(field).cast("string"))
     cols = {}
     for i, name in enumerate(field_names):
         c = F.element_at(toks, i + 1)

@@ -75,18 +75,33 @@ def remap(
         # statement forms (lib/vrl/stdlib del.rs / only_fields.rs):
         # ("__del__", ".field") drops a column, ("__only__", [fields])
         # projects to the listed fields — the VRL path-mutation surface
-        # on a fixed schema. Rollback semantics note: del/only are
-        # whole-column ops, applied regardless of skip (the reference
-        # aborts BEFORE any statement runs when the program errors up
-        # front; per-row column presence cannot vary in a frame).
+        # on a fixed schema. Rollback semantics: column presence cannot
+        # vary per row, so when an abort/error skip is active the
+        # deleted/unlisted columns are NULLED for non-skipped rows and
+        # keep their original value for skipped rows ("event passes
+        # through unmodified"); without a skip they drop entirely.
         if target == "__del__":
-            fields = expr if isinstance(expr, (list, tuple)) else [expr]
-            df = df.drop(*[f.lstrip(".") for f in fields])
+            fields = [f.lstrip(".") for f in (expr if isinstance(expr, (list, tuple)) else [expr])]
+            if skip is None:
+                df = df.drop(*fields)
+            else:
+                for f in fields:
+                    if f in df.columns:
+                        df = df.withColumn(
+                            f, F.when(skip, F.col(f)).otherwise(F.lit(None))
+                        )
             continue
         if target == "__only__":
             keep = [f.lstrip(".") for f in expr]
             extra = [c for c in df.columns if c.startswith("_")]  # plan internals
-            df = df.select(*keep, *[c for c in extra if c not in keep])
+            if skip is None:
+                df = df.select(*keep, *[c for c in extra if c not in keep])
+            else:
+                for c in df.columns:
+                    if c not in keep and not c.startswith("_"):
+                        df = df.withColumn(
+                            c, F.when(skip, F.col(c)).otherwise(F.lit(None))
+                        )
             continue
         target = target.lstrip(".")
         new_col = _compile_expr(expr)

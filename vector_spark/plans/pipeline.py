@@ -159,15 +159,13 @@ class Pipeline:
         lanes: dict[str, DataFrame] = {}
         sink_counts: dict[str, int] = {}
         sink_paths: dict[str, str] = {}
-        # sink counts fold into the single telemetry aggregation when
-        # the sink's lane flags AND aliveness are evaluated on the SAME
-        # frame the sink writes — i.e. the router feeding the lane is
-        # the terminal transform (the typical route→sinks topology). A
-        # mid-pipeline tap writes the ROUTER-stage frame, whose row set
-        # differs from the terminal (later stages may drop rows), so it
-        # falls back to a per-sink count on its own frame. Unions of K
-        # lanes contribute K addends (a row in two lanes is written
-        # twice).
+        # sink counts fold into the telemetry aggregation pass: flags
+        # and aliveness are evaluated on the SAME frame the sink writes
+        # — the terminal frame for terminal taps (rides the single
+        # terminal agg) or the tapped stage's own frame (one extra agg
+        # per DISTINCT frame via the counter frame-binding, instead of
+        # one .count() job per sink). Unions of K lanes contribute K
+        # addends (a row in two lanes is written twice).
         sink_count_keys: dict[str, list[str] | None] = {}
         alive = alive_col(terminal)
         for si, (sname, sspec) in enumerate(self.sinks.items()):
@@ -176,14 +174,25 @@ class Pipeline:
             for i, inp in enumerate(inputs):
                 router = inp.split(".")[0]
                 key = f"__sink_{si}_{i}"
-                if "." in inp and router in self._routes and router == terminal_name:
+                if "." in inp and router in self._routes and router in frames:
                     lane = inp.split(".", 1)[1]
                     flag_col = ROUTE_PREFIX + lane
-                    if flag_col in terminal.columns:
+                    base = frames[router]
+                    if flag_col not in base.columns:
+                        continue
+                    if router == terminal_name:
                         telemetry.add(key, alive & F.col(flag_col))
-                        keys.append(key)
+                    else:
+                        telemetry.add(
+                            key, alive_col(base) & F.col(flag_col), frame=base
+                        )
+                    keys.append(key)
                 elif inp == terminal_name:
                     telemetry.add(key, alive)
+                    keys.append(key)
+                elif inp in frames:
+                    base = frames[inp]
+                    telemetry.add(key, alive_col(base), frame=base)
                     keys.append(key)
             sink_count_keys[sname] = keys if len(keys) == len(inputs) else None
         for sname, sspec in self.sinks.items():
