@@ -131,3 +131,47 @@ def test_split_whitespace_default(spark):
     out = split_fields(df, ["x", "y"])
     r = out.first()
     assert (r.x, r.y) == ("a", "b")
+
+
+def test_grok_widened_vocabulary(spark):
+    """Round-2 pattern additions: URI/MAC/IPV6/DATESTAMP/PATH resolve
+    and extract."""
+    from vector_spark.operators.grok import grok_parser
+
+    df = spark.createDataFrame(
+        [
+            (
+                "00:1a:2b:3c:4d:5e https://example.com:8080/a/b?x=1 "
+                "/var/log/app.log 12/31/2020 23:59:59 com.example.Main",
+            )
+        ],
+        "message string",
+    )
+    out = grok_parser(
+        df,
+        "%{MAC:mac} %{URI:uri} %{UNIXPATH:path} %{DATESTAMP:ts} %{JAVACLASS:cls}",
+        drop_field=False,
+    ).first()
+    assert out.mac == "00:1a:2b:3c:4d:5e"
+    assert out.uri == "https://example.com:8080/a/b?x=1"
+    assert out.path == "/var/log/app.log"
+    assert out.ts == "12/31/2020 23:59:59"
+    assert out.cls == "com.example.Main"
+
+
+def test_infer_json_schema_drives_typed_parse(spark):
+    """Bounded-sample schema inference → typed single-pass parse: the
+    merged schema covers fields absent from some documents."""
+    from vector_spark.operators.parsers import infer_json_schema, json_parser
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": {"c": "x"}}',), ('{"a": 2, "d": 3.5}',)],
+        "message string",
+    )
+    schema = infer_json_schema(df)
+    names = set(schema.fieldNames())
+    assert {"a", "b", "d"} <= names
+    out = json_parser(df, schema=schema, drop_field=False)
+    rows = sorted(out.collect(), key=lambda r: r.a)
+    assert rows[0].a == 1 and rows[0].b.c == "x" and rows[0].d is None
+    assert rows[1].a == 2 and rows[1].d == 3.5

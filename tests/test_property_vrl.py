@@ -193,3 +193,54 @@ def test_logfmt_encode_parse_roundtrip(spark, m):
     row = parsed.first()
     for k, v in m.items():
         assert row[k] == v, (k, v, row)
+
+
+# -- the engine-wide invariant: dirty input never aborts a job -------------
+
+_garbage = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lines=st.lists(_garbage, min_size=1, max_size=6))
+def test_every_parser_survives_arbitrary_garbage(spark, lines):
+    """One malformed event is a per-event null, never a job failure:
+    every parser family must complete over arbitrary text (ANSI mode
+    is on — a plain cast/element_at anywhere in the path would throw)."""
+    from vector_spark.functions.logformats import (
+        parse_aws_alb_log,
+        parse_aws_vpc_flow_log,
+        parse_glog,
+        parse_syslog,
+        parse_syslog5424,
+    )
+    from vector_spark.operators import (
+        grok_parser,
+        json_parser,
+        key_value_parser,
+        logfmt_parser,
+        regex_parser,
+        split_fields,
+        tokenizer,
+    )
+
+    df = spark.createDataFrame([(l,) for l in lines], "message string")
+    frames = [
+        parse_syslog(df),
+        parse_syslog5424(df),
+        parse_glog(df),
+        parse_aws_alb_log(df),
+        parse_aws_vpc_flow_log(df),
+        json_parser(df),
+        key_value_parser(df),
+        logfmt_parser(df, fields=["a"], types={"a": "int"}),
+        tokenizer(df, ["t1", "t2"], types={"t2": "float"}),
+        split_fields(df, ["s1", "s2"], types={"s2": "int"}),
+        grok_parser(df, "%{WORD:w} %{NUMBER:n}", types={"n": "int"}),
+        regex_parser(df, [r"^(?P<k>\w+)=(?P<v>\d+)$"], types={"v": "int"}),
+    ]
+    for f in frames:
+        assert f.count() == len(lines)  # every row survives, none aborts

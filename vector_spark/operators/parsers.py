@@ -418,3 +418,19 @@ def json_array_parser(
     if drop_field and field in out.columns and field not in rec_fields:
         out = out.drop(field)
     return out
+
+
+def infer_json_schema(df: DataFrame, field: str = "message", samples: int = 200):
+    """Schema inference for Vector's schemaless JSON events: merge the
+    schemas of up to ``samples`` documents (spark.read.json schema
+    union — fields missing in some docs become nullable). The sample
+    is BOUNDED; the inferred StructType then drives json_parser's
+    typed from_json over the full table, so the 100 TB scan stays a
+    single typed pass with no per-row inference."""
+    sample = (
+        df.select(F.col(field).cast("string").alias("j"))
+        .filter(F.col("j").isNotNull())
+        .limit(samples)
+    )
+    spark = df.sparkSession
+    return spark.read.json(sample.rdd.map(lambda r: r.j)).schema
