@@ -1019,6 +1019,18 @@ def _q_syslog5424(spark, sf):
     )
 
 
+
+
+def _q_winnow(spark, sf):
+    """Winnowing rolling-hash fingerprints (SIGMOD'03) over documents
+    — the document-fingerprinting training-data op; guarantees shared
+    fingerprints for shared passages of >= k+window-1 words."""
+    from vector_spark.dataops.textstats import winnow_fingerprints
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -1074,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tags_shaping": _q_tags_shaping,
         "summary_quantiles": _q_summary_quantiles,
         "syslog5424": _q_syslog5424,
+        "winnow_fingerprints": _q_winnow,
         "reduce_expire_gap": _q_reduce_expire_gap,
         "embed_near_dups": _q_embed_near_dups,
     }
@@ -1526,6 +1539,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 2 = 0 THEN 'failure' END AS detail,
                    CASE WHEN event_id % 2 = 1 THEN 'GET' END AS word
             FROM events
+        """,
+        "winnow_fingerprints": f"""
+            WITH grams AS (
+              SELECT id, i AS pos,
+                     substring(md5(array_to_string(words[i:i+4], ' ')), 1, 16) AS h
+              FROM (
+                SELECT doc_id AS id, words,
+                       unnest(generate_series(1, greatest(len(words)-4, 0))) AS i
+                FROM (SELECT cast(doc_id AS bigint) AS doc_id,
+                             string_split({_NORM}, ' ') AS words
+                      FROM documents)
+              )
+            )
+            SELECT DISTINCT id,
+                   min(h) OVER (PARTITION BY id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+            FROM grams
         """,
         "syslog5424": """
             SELECT event_id,

@@ -175,3 +175,27 @@ def test_simhash_single_shuffle_no_bit_explode(spark):
     # value sanity: deterministic for fixed input
     a = out.first().simhash
     assert a == simhash16(docs).first().simhash
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing (SIGMOD'03): two documents sharing a passage of at
+    least k+window-1 words MUST share a fingerprint; disjoint docs
+    share none."""
+    from vector_spark.dataops.textstats import winnow_fingerprints
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {passage} and a unique tail one"),
+            (2, f"completely different opening {passage} another ending"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, window=4)
+    rows = fp.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r.id, set()).add(r.fingerprint)
+    assert sets[1] & sets[2], "shared passage must produce a shared fingerprint"
+    assert not (sets[3] & sets[1]), "disjoint docs should not collide"

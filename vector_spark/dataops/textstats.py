@@ -70,3 +70,47 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the standard rolling-hash fingerprint for plagiarism/
+    near-dup detection): hash every k-gram of words, slide a window of
+    ``window`` positions, keep each window's MINIMUM hash, distinct.
+    Two documents sharing text of length >= k + window - 1 words are
+    GUARANTEED to share a fingerprint.
+
+    Shape at scale: explode to (doc, pos, hash) → one window min →
+    distinct — shuffle keys are doc ids (uniform). Hashes are md5-hex
+    prefixes (portable to the DuckDB oracle verbatim).
+    Output (id, fingerprint) distinct pairs.
+    """
+    from pyspark.sql import Window as W
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # indexed transform, not posexplode: generator pos columns have
+    # proven unreliable over scan sources (see sources/readers.py note)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 16).alias("h"),
+        ),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    hashed = base.select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("_wmin", F.min("h").over(w))
+        # windows starting past size-k+1-window+1 are partial; the
+        # guarantee needs only full windows, but partial tails keep
+        # short docs fingerprintable — same choice on both engines
+        .select("id", F.col("_wmin").alias("fingerprint"))
+        .distinct()
+    )

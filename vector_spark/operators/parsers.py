@@ -181,6 +181,10 @@ def json_parser(
     map results land under ``target_field`` (default ``parsed``).
     """
     src = F.col(field).cast("string")
+    if schema == "infer":
+        # config convenience: bounded-sample schema inference at
+        # compile time, then one typed pass (see infer_json_schema)
+        schema = infer_json_schema(df, field)
     if schema:
         parsed = F.from_json(src, schema)
     else:
