@@ -1031,6 +1031,25 @@ def _q_winnow(spark, sf):
     return winnow_fingerprints(docs, k=5, window=4)
 
 
+
+
+def _q_minhash_estimate(spark, sf):
+    """LSH pipeline end-to-end: signatures → banded candidates →
+    per-pair Jaccard ESTIMATE (fraction of agreeing minhash coords) —
+    the verification stage between candidate generation and a final
+    exact check."""
+    from vector_spark.dataops.dedup import (
+        minhash_jaccard_estimate,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    sigs = minhash_signatures(docs, k=8).persist()
+    cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
+    return minhash_jaccard_estimate(sigs, cands, threshold=0.25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -1087,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_quantiles": _q_summary_quantiles,
         "syslog5424": _q_syslog5424,
         "winnow_fingerprints": _q_winnow,
+        "minhash_estimate": _q_minhash_estimate,
         "reduce_expire_gap": _q_reduce_expire_gap,
         "embed_near_dups": _q_embed_near_dups,
     }
@@ -1539,6 +1559,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 2 = 0 THEN 'failure' END AS detail,
                    CASE WHEN event_id % 2 = 1 THEN 'GET' END AS word
             FROM events
+        """,
+        "minhash_estimate": f"""
+            WITH sh AS ({_SHINGLES}),
+            sig AS (
+              SELECT id, seed,
+                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+              FROM sh, range(0, 8) s(seed) GROUP BY id, seed
+            ),
+            banded AS (
+              SELECT id, cast(floor(seed / 2) AS int) AS band,
+                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY id, band
+            ),
+            cands AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+                     AS est_jaccard
+            FROM cands c
+            JOIN sig sa ON sa.id = c.id_a
+            JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
+            GROUP BY c.id_a, c.id_b
+            HAVING round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) >= 0.25
         """,
         "winnow_fingerprints": f"""
             WITH grams AS (

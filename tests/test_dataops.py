@@ -199,3 +199,28 @@ def test_winnow_shared_passage_guarantee(spark):
         sets.setdefault(r.id, set()).add(r.fingerprint)
     assert sets[1] & sets[2], "shared passage must produce a shared fingerprint"
     assert not (sets[3] & sets[1]), "disjoint docs should not collide"
+
+
+def test_minhash_estimate_tracks_true_jaccard(spark):
+    """The minhash-agreement estimate is exact (1.0) for identical
+    docs and 0 for disjoint docs; candidates come from LSH banding."""
+    from vector_spark.dataops.dedup import (
+        minhash_jaccard_estimate,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # identical
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, k=8)
+    cands = minhash_lsh_candidates(sigs)
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in
+           minhash_jaccard_estimate(sigs, cands).collect()}
+    assert est[(1, 2)] == 1.0
+    assert (1, 3) not in est and (2, 3) not in est  # disjoint: no candidate

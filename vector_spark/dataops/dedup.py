@@ -258,3 +258,34 @@ def embedding_near_dups(
         F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, candidates: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """LSH verification stage: estimate Jaccard for candidate pairs as
+    the fraction of agreeing minhash coordinates (an unbiased
+    estimator — P[minhash match] = J). Join the long-format signature
+    table onto the candidate pairs twice on (id, seed); the estimate
+    never touches the documents again. Output (id_a, id_b, est_jaccard
+    rounded 6) filtered to >= threshold.
+
+    Scale shape: candidates are the (small) LSH survivors; both joins
+    are equi-joins on (id, seed) — no all-pairs anything.
+    """
+    a = signatures.select(
+        F.col("id").alias("id_a"), "seed", F.col("minhash").alias("mh_a")
+    )
+    b = signatures.select(
+        F.col("id").alias("id_b"), "seed", F.col("minhash").alias("mh_b")
+    )
+    joined = candidates.join(a, "id_a").join(b, ["id_b", "seed"])
+    est = (
+        joined.groupBy("id_a", "id_b")
+        .agg(
+            F.round(
+                F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 6
+            ).alias("est_jaccard")
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
