@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "simhash",
     "embed_topk",
     "text_stats",
+    # round-2 additions
+    "parse_aws_alb_log",
+    "syslog5424",
+    "winnow_fingerprints",
+    "minhash_estimate",
 ]
 
 
