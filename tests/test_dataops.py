@@ -224,3 +224,24 @@ def test_minhash_estimate_tracks_true_jaccard(spark):
            minhash_jaccard_estimate(sigs, cands).collect()}
     assert est[(1, 2)] == 1.0
     assert (1, 3) not in est and (2, 3) not in est  # disjoint: no candidate
+
+
+def test_short_documents_never_abort_kgram_ops(spark):
+    """Review r2c: Spark's sequence(1, 0) DESCENDS (unlike DuckDB's
+    empty generate_series) — a document shorter than k words must
+    yield zero shingles/fingerprints, not a slice(start=0) job abort."""
+    from vector_spark.dataops.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingle_frame,
+    )
+    from vector_spark.dataops.textstats import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "two words"), (3, "a much longer document with many words here")],
+        "doc_id long, text string",
+    )
+    assert shingle_frame(docs).filter("id = 1").count() == 0
+    assert winnow_fingerprints(docs, k=5, window=4).filter("id <= 2").count() == 0
+    assert minhash_signatures(docs, k=4).filter("id = 1").count() == 0
+    assert ngram_jaccard_pairs(docs, threshold=0.1, reuse_shingles=False).count() == 0

@@ -175,3 +175,19 @@ def test_infer_json_schema_drives_typed_parse(spark):
     rows = sorted(out.collect(), key=lambda r: r.a)
     assert rows[0].a == 1 and rows[0].b.c == "x" and rows[0].d is None
     assert rows[1].a == 2 and rows[1].d == 3.5
+
+
+def test_infer_schema_ignores_corrupt_sample_rows(spark):
+    """Review r2c: a malformed document in the inference sample must
+    not leak a synthetic _corrupt_record column into the output."""
+    from vector_spark.operators.parsers import infer_json_schema, json_parser
+
+    df = spark.createDataFrame(
+        [('{"a":1,"b":"x"}',), ("not json at all",), ('{"a":2}',)],
+        "message string",
+    )
+    schema = infer_json_schema(df)
+    assert "_corrupt_record" not in schema.fieldNames()
+    out = json_parser(df, schema="infer", drop_field=False)
+    assert "_corrupt_record" not in out.columns
+    assert out.count() == 3  # bad row kept with nulls

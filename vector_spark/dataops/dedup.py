@@ -47,11 +47,23 @@ def exact_dedup(
     )
 
 
+def kgram_positions(words: Column, k: int) -> Column:
+    """1-based start positions of all k-grams — EMPTY for texts
+    shorter than k words. (Spark's sequence(1, 0) DESCENDS, unlike
+    DuckDB's empty generate_series; unguarded it feeds slice a start
+    of 0 and one short document aborts the whole job.)"""
+    n_pos = F.size(words) - (k - 1)
+    return F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (space-joined)."""
+    """Word n-gram shingles as an array<string> (space-joined);
+    empty array for texts shorter than n words."""
     words = F.split(col, " ")
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        kgram_positions(words, n),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
 

@@ -93,11 +93,14 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window as W
 
+    from vector_spark.dataops.dedup import kgram_positions
+
     words = F.split(normalize_text(F.col(text_col)), " ")
     # indexed transform, not posexplode: generator pos columns have
-    # proven unreliable over scan sources (see sources/readers.py note)
+    # proven unreliable over scan sources (see sources/readers.py note);
+    # kgram_positions guards the shorter-than-k case (empty, no crash)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0))),
+        kgram_positions(words, k),
         lambda i: F.struct(
             i.alias("pos"),
             F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 16).alias("h"),

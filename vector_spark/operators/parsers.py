@@ -183,7 +183,13 @@ def json_parser(
     src = F.col(field).cast("string")
     if schema == "infer":
         # config convenience: bounded-sample schema inference at
-        # compile time, then one typed pass (see infer_json_schema)
+        # compile time, then one typed pass (see infer_json_schema).
+        # Inference runs a job — impossible on a streaming frame.
+        if df.isStreaming:
+            raise ValueError(
+                "schema='infer' needs a batch frame (inference runs a "
+                "sample job); pass an explicit schema for streaming"
+            )
         schema = infer_json_schema(df, field)
     if schema:
         parsed = F.from_json(src, schema)
@@ -431,10 +437,17 @@ def infer_json_schema(df: DataFrame, field: str = "message", samples: int = 200)
     is BOUNDED; the inferred StructType then drives json_parser's
     typed from_json over the full table, so the 100 TB scan stays a
     single typed pass with no per-row inference."""
+    from pyspark.sql import types as T
+
     sample = (
         df.select(F.col(field).cast("string").alias("j"))
         .filter(F.col("j").isNotNull())
         .limit(samples)
     )
     spark = df.sparkSession
-    return spark.read.json(sample.rdd.map(lambda r: r.j)).schema
+    inferred = spark.read.json(sample.rdd.map(lambda r: r.j)).schema
+    # a malformed document in the sample injects a synthetic
+    # _corrupt_record field — dropping it keeps the output schema
+    # deterministic regardless of which rows the sample caught
+    fields = [f for f in inferred.fields if f.name != "_corrupt_record"]
+    return T.StructType(fields)
