@@ -258,27 +258,18 @@ def main() -> None:
                 _leg(t)
             # Host-tenancy noise only ever UNDERSTATES a leg (stolen
             # cycles), so a best-of estimator approaches true capability
-            # FROM BELOW and extra samples can never overstate it.
-            # Extra rounds therefore resample BOTH legs together
-            # (one-sided resampling was a biased stopping rule), and
-            # early-stop needs the estimate to be both STABLE (two
-            # consecutive rounds moving < 0.02) and PLAUSIBLE (>= 0.8,
-            # the bottom of the measured envelope — a lower stable
-            # value with budget remaining means a leg is still
-            # underside its capability, not that scaling is worse).
-            rounds = int(os.environ.get("SPARK_GRAFT_BENCH_EFF_ROUNDS", "6"))
-            prev_eff = _eff()
-            stable = 0
+            # FROM BELOW. Extra rounds resample BOTH legs on a FIXED
+            # schedule with NO value-dependent stopping: any early-stop
+            # conditioned on the estimate (stability, thresholds) is an
+            # optional-stopping rule that skews the recorded ratio —
+            # equal sampling effort per leg is the unbiased design, and
+            # every sample lands in the artifact for audit.
+            rounds = int(os.environ.get("SPARK_GRAFT_BENCH_EFF_ROUNDS", "4"))
             for _ in range(rounds):
                 if not samples[str(SCALE_N)]:
                     break  # N leg never produced a timing; ratio undefined
                 _leg(SCALE_4N)
                 _leg(SCALE_N)
-                cur = _eff()
-                stable = stable + 1 if abs(cur - prev_eff) < 0.02 else 0
-                prev_eff = cur
-                if stable >= 2 and cur >= 0.8:
-                    break
             thr_n = legs.get(SCALE_N, {}).get("seq_per_sec", 0.0)
             thr_4n = legs.get(SCALE_4N, {}).get("seq_per_sec", 0.0)
             # headline = the engine's best measured config on this box:

@@ -243,5 +243,7 @@ def test_short_documents_never_abort_kgram_ops(spark):
     )
     assert shingle_frame(docs).filter("id = 1").count() == 0
     assert winnow_fingerprints(docs, k=5, window=4).filter("id <= 2").count() == 0
-    assert minhash_signatures(docs, k=4).filter("id = 1").count() == 0
+    # n= is the SHINGLE size (k= is the seed count): both docs are
+    # shorter than 4-word shingles → zero signatures, no abort
+    assert minhash_signatures(docs, n=4).filter("id <= 2").count() == 0
     assert ngram_jaccard_pairs(docs, threshold=0.1, reuse_shingles=False).count() == 0

@@ -183,13 +183,7 @@ def json_parser(
     src = F.col(field).cast("string")
     if schema == "infer":
         # config convenience: bounded-sample schema inference at
-        # compile time, then one typed pass (see infer_json_schema).
-        # Inference runs a job — impossible on a streaming frame.
-        if df.isStreaming:
-            raise ValueError(
-                "schema='infer' needs a batch frame (inference runs a "
-                "sample job); pass an explicit schema for streaming"
-            )
+        # compile time, then one typed pass (see infer_json_schema)
         schema = infer_json_schema(df, field)
     if schema:
         parsed = F.from_json(src, schema)
@@ -437,17 +431,32 @@ def infer_json_schema(df: DataFrame, field: str = "message", samples: int = 200)
     is BOUNDED; the inferred StructType then drives json_parser's
     typed from_json over the full table, so the 100 TB scan stays a
     single typed pass with no per-row inference."""
-    from pyspark.sql import types as T
-
+    if df.isStreaming:
+        # inference runs a sample JOB — impossible on a streaming frame
+        raise ValueError(
+            "infer_json_schema needs a batch frame (inference runs a "
+            "sample job); pass an explicit schema for streaming"
+        )
     sample = (
         df.select(F.col(field).cast("string").alias("j"))
         .filter(F.col("j").isNotNull())
         .limit(samples)
     )
     spark = df.sparkSession
-    inferred = spark.read.json(sample.rdd.map(lambda r: r.j)).schema
-    # a malformed document in the sample injects a synthetic
-    # _corrupt_record field — dropping it keeps the output schema
-    # deterministic regardless of which rows the sample caught
-    fields = [f for f in inferred.fields if f.name != "_corrupt_record"]
-    return T.StructType(fields)
+    # DROPMALFORMED: malformed documents are excluded from inference
+    # itself, so no synthetic corrupt-record column is ever created
+    # (robust to spark.sql.columnNameOfCorruptRecord and to data that
+    # legitimately contains a "_corrupt_record" key) and the output
+    # schema is deterministic regardless of which rows the sample hit
+    inferred = (
+        spark.read.option("mode", "DROPMALFORMED")
+        .json(sample.rdd.map(lambda r: r.j))
+        .schema
+    )
+    if not inferred.fields:
+        raise ValueError(
+            f"JSON schema inference found no parseable documents in the "
+            f"first {samples} sampled rows of {field!r} — pass an "
+            "explicit schema"
+        )
+    return inferred
