@@ -1621,7 +1621,7 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS q5,
                    round(quantile_cont(value, 0.9), 6) AS q9,
                    cast(count(value) AS bigint) AS count,
-                   cast(sum(cast(value AS decimal(18,2))) AS double) AS sum
+                   cast(sum(cast(value AS decimal(38,6))) AS double) AS sum
             FROM events GROUP BY event_type
         """,
         "tags_shaping": """

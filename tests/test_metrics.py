@@ -173,3 +173,24 @@ def test_metric_to_log(spark):
     r = out.first()
     assert r.name == "cnt" and r.value == 3.0 and r.host == "h1"
     assert r.timestamp == TS
+
+
+def test_summary_quantiles_subcent_sum_and_no_abort(spark):
+    """ADVICE r2: the fixed-point sum must not round away sub-cent
+    magnitudes (latencies in seconds) and must NEVER abort on huge
+    values — try_cast excludes them as null instead."""
+    from vector_spark.operators.metrics import summary_quantiles
+
+    df = spark.createDataFrame(
+        [(0.001,), (0.002,), (0.003,)], "v double"
+    )
+    r = summary_quantiles(df, "v", quantiles=[0.5], exact=True).first()
+    assert abs(r.sum - 0.006) < 1e-9  # decimal(38,6) keeps 6 dp
+    # |v| >= 1e16 overflowed the old decimal(18,2) cast → ANSI job
+    # abort; now excluded per-value, job completes
+    big = spark.createDataFrame([(1e33,), (2.5,)], "v double")
+    r2 = summary_quantiles(big, "v", quantiles=[0.5], exact=True).first()
+    assert r2.sum == 2.5 and r2["count"] == 2
+    # sum_decimal=None -> reference-parity plain f64 sum
+    r3 = summary_quantiles(big, "v", quantiles=[0.5], exact=True, sum_decimal=None).first()
+    assert r3.sum == 1e33 + 2.5

@@ -191,3 +191,17 @@ def test_infer_schema_ignores_corrupt_sample_rows(spark):
     out = json_parser(df, schema="infer", drop_field=False)
     assert "_corrupt_record" not in out.columns
     assert out.count() == 3  # bad row kept with nulls
+
+
+def test_key_value_parser_multichar_field_split(spark):
+    """ADVICE r2: a multi-character field_split (key_value_parser.rs
+    supports e.g. ':=') must split on the FULL string, not any one of
+    its characters — keys/values containing ':' or '=' alone survive."""
+    df = spark.createDataFrame(
+        [("a:b := x=y, t := 10:30",)], "message string"
+    )
+    out = key_value_parser(
+        df, field_split=":=", separator=",", fields=["a:b", "t"]
+    )
+    r = out.first()
+    assert getattr(r, "a:b") == "x=y" and r.t == "10:30"

@@ -510,3 +510,40 @@ def test_mid_pipeline_sink_counts_fold_without_extra_jobs(spark):
     res = Pipeline(cfg).run(df, write=False)
     assert res.sink_counts == {"ev": 5, "small_odds": 2}
     res.frame.unpersist()
+
+
+def test_lineage_mismatch_scrubs_committed_output(spark):
+    """ADVICE r2: a COMMITTED shard whose lineage mismatches must run
+    cleanup() (and drop the stale record) before reprocessing — for
+    non-overwrite sinks the old committed output would otherwise sit
+    next to the reprocessed rows, violating the no-duplication
+    contract."""
+    tmp = tempfile.mkdtemp(prefix="vs_ckpt_scrub_")
+    try:
+        sequences(spark, 300, num_partitions=3).write.parquet(f"{tmp}/input")
+        cleaned = []
+
+        def process(df, sid):
+            class R:
+                telemetry = {"events_in_total": df.count()}
+                sink_counts = {}
+
+            return R()
+
+        resumable_run(
+            spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=2,
+            cleanup=cleaned.append,
+        )
+        assert cleaned == []  # clean first run: nothing to scrub
+        sequences(spark, 100, num_partitions=1).write.mode("append").parquet(
+            f"{tmp}/input"
+        )
+        r2 = resumable_run(
+            spark, f"{tmp}/input", f"{tmp}/ckpt", process, n_shards=2,
+            cleanup=cleaned.append,
+        )
+        # both shards' lineage changed → both scrubbed then reprocessed
+        assert sorted(cleaned) == [0, 1]
+        assert not any(s.skipped for s in r2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -108,3 +108,17 @@ def test_concat_negative_end_slice(spark):
     out = concat_fields(df, target="t", items=["a[0..-1]", "b[1..-2]"])
     # "hello"[0..-1] = "hell" (all but last); "world"[1..-2] = "or"
     assert out.first().t == "hell or"
+
+
+def test_coercer_int_exact_above_2pow53(spark):
+    """ADVICE r2: 18-digit snowflake ids must parse exactly — a
+    double round-trip would corrupt integers above 2^53. Float-looking
+    strings still truncate through the double fallback
+    (conversion.rs:121-126 strict-i64-first semantics)."""
+    df = spark.createDataFrame(
+        [("823563440601616987", "3.9", "nope")], "id string, f string, bad string"
+    )
+    out = coercer(df, {"id": "int", "f": "int", "bad": "int"})
+    r = out.first()
+    assert r.id == 823563440601616987
+    assert r.f == 3 and r.bad is None

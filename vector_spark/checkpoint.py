@@ -219,7 +219,14 @@ def resumable_run(
             log.clear_inprogress(sid)
             results.append(ShardResult(sid, shard, {}, {}, 0.0, skipped=True))
             continue
-        if log.crashed_attempt(sid) and cleanup is not None:
+        if committed is not None and cleanup is not None:
+            # COMMITTED but lineage mismatches (files added/removed):
+            # for non-overwrite sinks the previously committed output
+            # would sit next to the reprocessed rows — scrub it and
+            # drop the stale record before reprocessing
+            cleanup(sid)
+            log.remove(sid)
+        elif log.crashed_attempt(sid) and cleanup is not None:
             cleanup(sid)
         log.mark_inprogress(sid, run_id, shard)
         t0 = time.monotonic()

@@ -52,8 +52,14 @@ def coerce(col: Column, spec: str) -> Column:
     if spec in ("string", "str"):
         return col.cast("string")
     if spec == "int":
-        # Conversion::Integer accepts float-looking strings by truncation
-        return col.try_cast("double").try_cast("long")
+        # Conversion::Integer (conversion.rs:121-126) does a strict i64
+        # parse first; only strings that fail it (float-looking input)
+        # fall back through a double parse with truncation. Long-first
+        # keeps 18-digit integer ids exact — a double round-trip would
+        # silently corrupt values above 2^53.
+        return F.coalesce(
+            col.try_cast("long"), col.try_cast("double").try_cast("long")
+        )
     if spec == "float":
         return col.try_cast("double")
     if spec in ("bool", "boolean"):

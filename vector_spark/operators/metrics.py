@@ -309,22 +309,34 @@ def summary_quantiles(
     quantiles: list[float] = (0.5, 0.95, 0.99),
     group_cols: list[str] | None = None,
     exact: bool = False,
+    sum_decimal: str | None = "decimal(38,6)",
 ) -> DataFrame:
     """AggregatedSummary shape (metric.rs:135-142): per-quantile value
     columns + count + sum. ``exact=False`` (default, the scale path)
     uses percentile_approx — a single-pass sketch that merges map-side;
     ``exact=True`` uses the exact percentile (full sort per group) for
     cross-engine verification, since approx sketches are not
-    reproducible across engines."""
+    reproducible across engines.
+
+    ``sum_decimal`` routes the sum through a fixed-point decimal so it
+    is addition-order-insensitive (deterministic across partitionings
+    and engines) — the tradeoff is rounding each value to the decimal's
+    scale (default 6 dp) and excluding values beyond its range via
+    ``try_cast`` (null, never a job abort). ``sum_decimal=None`` gives
+    the reference's plain f64 sum (metric.rs AggregatedSummary.sum),
+    exact per-value but order-dependent."""
     v = F.col(value_col).cast("double")
     pfn = F.percentile if exact else F.percentile_approx
     aggs = [
         F.round(pfn(v, F.lit(float(q))), 6).alias(f"q{str(q).replace('0.', '')}")
         for q in quantiles
     ]
+    sum_expr = (
+        F.sum(v.try_cast(sum_decimal)).cast("double") if sum_decimal else F.sum(v)
+    )
     aggs += [
         F.count(v).alias("count"),
-        F.sum(v.cast("decimal(18,2)")).cast("double").alias("sum"),
+        sum_expr.alias("sum"),
     ]
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)

@@ -238,7 +238,11 @@ def _kv_map_separator(
     whitespace-trim both sides. All array-lambda expressions — stays
     in codegen, no UDF."""
     fs = re.escape(field_split)
-    seg_pat = rf"^\s*([^{fs}]+?)\s*{fs}\s*(.*?)\s*$"
+    # split each segment on the FIRST literal occurrence of the FULL
+    # field_split string — a character class ([^{fs}]) would mis-split
+    # multi-char field_splits (key_value_parser.rs supports e.g. ':='),
+    # matching any single one of their characters instead
+    seg_pat = rf"(?s)^\s*(.*?)\s*{fs}\s*(.*?)\s*$"
     segs = F.split(src, re.escape(separator))
     pairs = F.transform(
         segs,
