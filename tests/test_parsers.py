@@ -205,3 +205,28 @@ def test_key_value_parser_multichar_field_split(spark):
     )
     r = out.first()
     assert getattr(r, "a:b") == "x=y" and r.t == "10:30"
+
+
+def test_regex_parser_single_pass_edges(spark):
+    """The single-pass sentinel rewrite must agree with classic
+    per-group extraction on: unmatched rows (null fields), optional
+    non-participating groups ("" like RegExpExtract), rows containing
+    the sentinel bytes (per-row fallback), and drop_failed."""
+    rows = [
+        ("123-abc",),          # full match
+        ("456",),              # optional group does not participate
+        ("nope",),             # no match
+        ("789-x\x00\x1eyz",),  # sentinel bytes in the line → fallback
+    ]
+    df = spark.createDataFrame(rows, "message string")
+    out = regex_parser(
+        df, r"(?P<num>\d+)(?:-(?P<word>\S+))?", drop_field=False
+    ).collect()
+    assert (out[0].num, out[0].word) == ("123", "abc")
+    assert (out[1].num, out[1].word) == ("456", "")
+    assert (out[2].num, out[2].word) == (None, None)
+    assert (out[3].num, out[3].word) == ("789", "x\x00\x1eyz")
+    kept = regex_parser(
+        df, r"(?P<num>\d+)(?:-(?P<word>\S+))?", drop_failed=True
+    ).count()
+    assert kept == 3

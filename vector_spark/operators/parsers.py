@@ -23,6 +23,11 @@ from vector_spark.conversion import coerce
 
 _NAMED_GROUP_RE = re.compile(r"\(\?P?<(?P<name>[A-Za-z][A-Za-z0-9_]*)>")
 
+# joins capture groups in the single-pass extraction rewrite; two
+# control chars that never appear in textual log lines — and rows that
+# DO contain them fall back to per-group extraction (see regex_parser)
+_EXTRACT_SENTINEL = "\x00\x1e"
+
 
 def named_groups(pattern: str) -> list[str]:
     """Named capture groups in order of appearance."""
@@ -42,6 +47,38 @@ def to_java_regex(pattern: str) -> str:
         return f"(?<g{counter[0]}x>"
 
     return _NAMED_GROUP_RE.sub(sub, pattern)
+
+
+def _group_count(pattern: str) -> int:
+    """Total capture-group count (named + unnamed), via Python's own
+    regex compiler when the pattern is Python-compatible; otherwise the
+    same char-scanner rules as ``_group_index``."""
+    normalized = re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", pattern)
+    try:
+        return re.compile(normalized).groups
+    except re.error:
+        pass
+    i, count, in_class = 0, 0, False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = ch != "]"
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            if re.match(r"\(\?P?<[A-Za-z]", pattern[i:]) or not (
+                i + 1 < len(pattern) and pattern[i + 1] == "?"
+            ):
+                count += 1
+        i += 1
+    return count
 
 
 def _group_index(pattern: str, name: str) -> int:
@@ -106,11 +143,24 @@ def regex_parser(
     (regex_parser.rs:105-135 captures, :242-300 transform).
 
     The reference pre-filters with a RegexSet then runs the first
-    matching pattern's captures; here each output field is a
-    ``when(rlike(p1), extract(p1)).when(rlike(p2), ...)`` chain —
-    Catalyst evaluates the rlike once per pattern via common
-    subexpression elimination in codegen. Unmatched rows keep null
-    fields (or are dropped with ``drop_failed``).
+    matching pattern's captures — ONE regex execution per event
+    (regex_parser.rs:242-260). The naive Spark translation
+    (``regexp_extract(src, pat, i)`` per field) re-runs the full match
+    k times for a k-group pattern, because Catalyst CSE does not merge
+    extracts with different group indices — ~28× the necessary parse
+    CPU on an AWS ALB line. Instead each pattern is executed ONCE per
+    row: ``regexp_replace`` rewrites the whole line to its capture
+    groups joined by a control-char sentinel, ``split`` recovers the
+    group array, and every field is an O(1) array index. The group
+    array (and the first-match index) are materialized as intermediate
+    projected columns: codegen's subexpression elimination skips
+    conditionally-evaluated (when-branch) trees, and CollapseProject
+    deliberately keeps a projection whose non-cheap outputs are
+    referenced more than once (SPARK-36718), so each pattern executes
+    exactly once per row. Rows that contain the sentinel bytes
+    themselves (pathological input) fall back per-row to classic
+    per-group extracts. Unmatched rows keep null fields (or are
+    dropped with ``drop_failed``).
     """
     if isinstance(patterns, str):
         patterns = [patterns]
@@ -122,21 +172,72 @@ def regex_parser(
             if g not in all_fields:
                 all_fields.append(g)
 
-    matched = None
-    for p in patterns:
-        c = src.rlike(to_java_regex(p))
-        matched = c if matched is None else (matched | c)
+    sentinel_free = ~src.contains(_EXTRACT_SENTINEL)
+    used = sorted(
+        {i for i, p in enumerate(patterns) for g in named_groups(p) if g in all_fields}
+    )
 
-    # FIRST-MATCH index (regex_parser.rs:242-260 RegexSet semantics):
-    # only the first matching pattern's captures apply — a field that
-    # exists solely in a later pattern stays null even if that later
-    # pattern also matches the line. Catalyst's common-subexpression
-    # elimination evaluates each rlike once in codegen.
-    first_idx: Column | None = None
-    for i, p in enumerate(patterns):
-        cond = src.rlike(to_java_regex(p))
-        first_idx = F.when(cond, i) if first_idx is None else first_idx.when(cond, i)
-    assert first_idx is not None
+    def _split_expr(i: int) -> Column:
+        # the anchored wrap consumes the whole line, the lazy [\s\S]*?
+        # prefix reproduces find()'s leftmost-match position, and the
+        # replacement emits every capture group sentinel-joined. A
+        # non-participating group substitutes "" in both engines
+        # (Matcher.appendReplacement and RegExpExtract agree), so fast
+        # and fallback paths match.
+        jp = to_java_regex(patterns[i])
+        n = _group_count(patterns[i])
+        repl = _EXTRACT_SENTINEL.join(f"${g}" for g in range(1, n + 1))
+        wrapped = r"\A[\s\S]*?(?:" + jp + r")[\s\S]*\z"
+        return F.split(F.regexp_replace(src, wrapped, repl), _EXTRACT_SENTINEL, -1)
+
+    def _uniq(name: str) -> str:
+        while name in df.columns:
+            name += "_"
+        return name
+
+    fidx_name = _uniq("_vs_rx_fidx")
+    fidx = F.col(fidx_name)
+    arr_names: dict[int, str] = {i: _uniq(f"_vs_rx_g{i}") for i in used}
+
+    if len(patterns) == 1 and used and _group_count(patterns[0]) >= 2:
+        # single-pattern fast path — ONE regex execution per row total:
+        # the group array is computed unconditionally and match status
+        # is read off its size (a fired replace yields exactly G
+        # elements; an unmatched sentinel-free line has no sentinel →
+        # size 1 ≠ G). rlike runs only for sentinel-carrying rows.
+        g_count = _group_count(patterns[0])
+        jp0 = to_java_regex(patterns[0])
+        out = df.withColumn(arr_names[0], F.when(sentinel_free, _split_expr(0)))
+        out = out.withColumn(
+            fidx_name,
+            F.when(F.size(F.col(arr_names[0])) == g_count, 0).when(
+                (~sentinel_free) & src.rlike(jp0), 0
+            ),
+        )
+    else:
+        # FIRST-MATCH index (regex_parser.rs:242-260 RegexSet
+        # semantics): only the first matching pattern's captures apply
+        # — a field that exists solely in a later pattern stays null
+        # even if that later pattern also matches the line.
+        # Materialized as a projected column so every rlike runs once
+        # per row (later patterns' rlikes sit in lazily-evaluated
+        # when-branches, which codegen CSE skips); the CaseWhen stops
+        # at the first matching pattern, like the reference RegexSet.
+        first_idx: Column | None = None
+        for i, p in enumerate(patterns):
+            cond = src.rlike(to_java_regex(p))
+            first_idx = (
+                F.when(cond, i) if first_idx is None else first_idx.when(cond, i)
+            )
+        assert first_idx is not None
+        out = df.withColumn(fidx_name, first_idx)
+        # group arrays computed only for rows the pattern won
+        out = out.withColumns(
+            {
+                arr_names[i]: F.when(sentinel_free & (fidx == i), _split_expr(i))
+                for i in used
+            }
+        )
 
     cols = {}
     for name in all_fields:
@@ -145,8 +246,13 @@ def regex_parser(
             if name not in named_groups(p):
                 continue
             jp = to_java_regex(p)
-            extracted = F.regexp_extract(src, jp, _group_index(p, name))
-            cond = first_idx == i
+            gidx = _group_index(p, name)
+            arr = F.col(arr_names[i])
+            extracted = F.when(arr.isNotNull(), arr.getItem(gidx - 1)).otherwise(
+                # sentinel-containing row (arr null but pattern won)
+                F.regexp_extract(src, jp, gidx)
+            )
+            cond = fidx == i
             expr = (
                 F.when(cond, extracted) if expr is None else expr.when(cond, extracted)
             )
@@ -156,9 +262,10 @@ def regex_parser(
             expr = coerce(expr, types[name])
         out_name = f"{target_field}.{name}" if target_field else name
         cols[out_name] = expr
-    out = df.withColumns(cols)
+    out = out.withColumns(cols)
     if drop_failed:
-        out = out.filter(matched)
+        out = out.filter(fidx.isNotNull())
+    out = out.drop(fidx_name, *arr_names.values())
     if drop_field and field not in cols:
         out = out.drop(field)
     return out
