@@ -247,3 +247,42 @@ def test_short_documents_never_abort_kgram_ops(spark):
     # shorter than 4-word shingles → zero signatures, no abort
     assert minhash_signatures(docs, n=4).filter("id <= 2").count() == 0
     assert ngram_jaccard_pairs(docs, threshold=0.1, reuse_shingles=False).count() == 0
+
+
+def test_media_repartition_sizes_from_stats_without_scanning(spark):
+    """VERDICT r2: partition sizing must come from file statistics, not
+    a driver-triggered sum(length(payload)) scan of the binary rows —
+    building the repartitioned frame must launch ZERO Spark jobs."""
+    import tempfile
+    import shutil
+
+    from vector_spark.dataops.multimodal import media_repartition, synthetic_media
+
+    tmp = tempfile.mkdtemp(prefix="vs_media_")
+    try:
+        synthetic_media(spark, 500).write.parquet(f"{tmp}/media")
+        df = spark.read.parquet(f"{tmp}/media")
+        import os
+
+        disk = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(f"{tmp}/media")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        spark.sparkContext.setJobGroup("media_stats_test", "no-scan check")
+        try:
+            # target = quarter of the on-disk bytes → ~4 partitions
+            out = media_repartition(df, target_bytes=max(1, disk // 4))
+            jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+                "media_stats_test"
+            )
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        assert list(jobs) == []  # sizing ran no job (plan stats only)
+        # materializing the plan now is allowed to run the shuffle
+        assert 2 <= out.rdd.getNumPartitions() <= 6
+        # explicit byte budget override
+        assert media_repartition(df, 1 << 20, total_bytes=10 << 20).rdd.getNumPartitions() == 10
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

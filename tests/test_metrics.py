@@ -194,3 +194,21 @@ def test_summary_quantiles_subcent_sum_and_no_abort(spark):
     # sum_decimal=None -> reference-parity plain f64 sum
     r3 = summary_quantiles(big, "v", quantiles=[0.5], exact=True, sum_decimal=None).first()
     assert r3.sum == 1e33 + 2.5
+
+
+def test_tag_cardinality_runaway_key_salted_ranking(spark):
+    """VERDICT r2: a key at >>value_limit cardinality must never be
+    sorted by one task — the ranking stage partitions on (key, salt).
+    Result must equal the reference first-N-by-arrival semantics."""
+    rows = [(i, {"user": f"u{i:05d}", "env": "prod"}) for i in range(2000)]
+    df = spark.createDataFrame(rows, "ts long, tags map<string,string>")
+    out = tag_cardinality_limit(df, value_limit=10, action="drop_tag", order_by="ts")
+    got = out.orderBy("ts").collect()
+    # first 10 arrivals keep their user tag, the rest lose it
+    for r in got[:10]:
+        assert r.tags and "user" in r.tags
+    for r in got[10:]:
+        assert r.tags == {"env": "prod"}
+    # the local ranking stage must shuffle on (_k, _salt), not _k alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan

@@ -110,10 +110,26 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-def media_repartition(df: DataFrame, target_bytes: int = 64 << 20) -> DataFrame:
+def media_repartition(
+    df: DataFrame, target_bytes: int = 64 << 20, total_bytes: int | None = None
+) -> DataFrame:
     """Repartition so each partition holds ~target_bytes of payload —
-    byte-aware, because 1000 video rows ≠ 1000 log lines."""
-    stats = df.select(F.sum(F.length("payload")).alias("total")).first()
-    total = stats.total or 1
-    n_parts = max(1, int(total / target_bytes))
+    byte-aware, because 1000 video rows ≠ 1000 log lines.
+
+    The byte budget comes from Catalyst's plan statistics (file-size
+    metadata for parquet/Iceberg sources) — NOT from scanning: the old
+    ``sum(length(payload))`` pass triggered an extra full read of the
+    widest rows in the system just to size partitions. Callers that
+    know the exact payload volume (e.g. from their own manifest) pass
+    ``total_bytes``. When statistics are unavailable (the optimizer's
+    defaultSizeInBytes sentinel), the frame is returned unchanged
+    rather than exploded into a bogus partition count."""
+    if total_bytes is None:
+        stats_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if stats_bytes >= (1 << 60):  # unknown-size sentinel, not a measurement
+            return df
+        total_bytes = stats_bytes
+    n_parts = max(1, int(total_bytes // target_bytes))
     return df.repartition(n_parts)

@@ -86,13 +86,15 @@ def winnow_fingerprints(
     Two documents sharing text of length >= k + window - 1 words are
     GUARANTEED to share a fingerprint.
 
-    Shape at scale: explode to (doc, pos, hash) → one window min →
-    distinct — shuffle keys are doc ids (uniform). Hashes are md5-hex
-    prefixes (portable to the DuckDB oracle verbatim).
+    Shape at scale: the per-window minima are computed ARRAY-SIDE —
+    ``grams`` is already a per-doc array, so each window min is
+    ``array_min(slice(...))`` over a materialized gram-hash column and
+    the ONLY shuffle in the plan is the final ``distinct`` (the
+    explode → Window-exchange shape this replaces shuffled every
+    (doc, pos, hash) row once more just to order it per doc). Hashes
+    are md5-hex prefixes (portable to the DuckDB oracle verbatim).
     Output (id, fingerprint) distinct pairs.
     """
-    from pyspark.sql import Window as W
-
     from vector_spark.dataops.dedup import kgram_positions
 
     words = F.split(normalize_text(F.col(text_col)), " ")
@@ -101,19 +103,29 @@ def winnow_fingerprints(
     # kgram_positions guards the shorter-than-k case (empty, no crash)
     grams = F.transform(
         kgram_positions(words, k),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 16).alias("h"),
-        ),
+        lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 16),
     )
-    base = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-    hashed = base.select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
-    w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    # materialize the gram array as its own projection: referencing it
+    # from inside the window-min transform lambda directly would
+    # re-evaluate the whole array construction per element (O(n²)
+    # hashing); as an attribute it is computed once per row and
+    # CollapseProject keeps the projection (non-cheap, multi-ref)
+    tmp = df.select(F.col(id_col).alias("id"), grams.alias("_gh"))
+    n = F.size(F.col("_gh"))
+    # one window START per gram position — windows past the last full
+    # one are partial (slice truncates); the guarantee needs only full
+    # windows, but partial tails keep short docs fingerprintable —
+    # same choice on both engines. sequence(1,0) DESCENDS: guard empty.
+    starts = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wmins = F.array_distinct(
+        F.transform(starts, lambda j: F.array_min(F.slice(F.col("_gh"), j, window)))
+    )
     return (
-        hashed.withColumn("_wmin", F.min("h").over(w))
-        # windows starting past size-k+1-window+1 are partial; the
-        # guarantee needs only full windows, but partial tails keep
-        # short docs fingerprintable — same choice on both engines
-        .select("id", F.col("_wmin").alias("fingerprint"))
+        tmp.select("id", F.explode(wmins).alias("fingerprint"))
+        # array_distinct above pre-shrinks per-doc (consecutive windows
+        # usually share a min — the winnowing density property), so the
+        # global distinct shuffles far fewer rows
         .distinct()
     )

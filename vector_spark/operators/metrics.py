@@ -236,9 +236,16 @@ def tag_cardinality_limit(
     (``drop_event``).
 
     Batch determinism: "first seen" = min(``order_by``) per
-    (key, value); ranking is a window over the (key) partition —
-    skew-safe because tag keys are few and the ranked frame is only
-    (key, value, rank), not the events.
+    (key, value); ranking is a two-phase salted top-K — the operator
+    exists precisely for keys with RUNAWAY value cardinality, so no
+    single task may ever sort a key's full distinct-value set. Phase 1
+    ranks within (key, salt-of-value) buckets (each holds ~1/S of the
+    key's values) and keeps its local first ``value_limit`` — the
+    global first ``value_limit`` is necessarily a subset of that
+    union. Phase 2 ranks the ≤ S×value_limit survivors exactly. At
+    10⁹ distinct values the old single (key)-partition window put all
+    10⁹ rows in one task; now the largest sort is
+    max(n/S, S×value_limit) rows.
 
     Scale/retry design: the allowed set (bounded by keys ×
     value_limit) is aggregated into a SINGLE ``map<key, array<value>>``
@@ -251,9 +258,19 @@ def tag_cardinality_limit(
     entry = F.explode(F.col(tags_col))
     exploded = df.select(F.col(order_by).alias("_ord"), entry.alias("_k", "_v"))
     first_seen = exploded.groupBy("_k", "_v").agg(F.min("_ord").alias("_fs"))
+    n_salt = 32
+    w_local = Window.partitionBy("_k", "_salt").orderBy(F.col("_fs"), F.col("_v"))
+    candidates = (
+        first_seen.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_v")), F.lit(n_salt))
+        )
+        .withColumn("_rank", F.row_number().over(w_local))
+        .filter(F.col("_rank") <= value_limit)
+        .drop("_salt", "_rank")
+    )
     w = Window.partitionBy("_k").orderBy(F.col("_fs"), F.col("_v"))
     allowed = (
-        first_seen.withColumn("_rank", F.row_number().over(w))
+        candidates.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= value_limit)
         .select("_k", "_v")
     )
