@@ -1050,6 +1050,31 @@ def _q_minhash_estimate(spark, sf):
     return minhash_jaccard_estimate(sigs, cands, threshold=0.25)
 
 
+def _q_distribution(spark, sf):
+    """Distribution {value, rate} flattening (statistic.rs:23-105):
+    rate-weighted count + exact R-3 weighted quantiles per series;
+    sum recomputed through decimal for engine-portable addition order
+    (the operator's plain-f64 sum matches the reference but double
+    addition order is engine-dependent)."""
+    from vector_spark.operators.metrics import distribution_statistic
+
+    ev = _load(spark, sf, "events").filter(F.col("value").isNotNull())
+    samples = ev.select(
+        "event_type",
+        F.col("value"),
+        (F.lit(1) + F.pmod(F.col("event_id"), F.lit(3))).cast("long").alias("rate"),
+    )
+    stat = distribution_statistic(
+        samples, "value", "rate", quantiles=[0.95], group_cols=["event_type"]
+    ).select("event_type", "min", "max", "median", "q95", "count")
+    sums = samples.groupBy("event_type").agg(
+        F.sum((F.col("value") * F.col("rate")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum")
+    )
+    return stat.join(sums, "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -1109,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate": _q_minhash_estimate,
         "reduce_expire_gap": _q_reduce_expire_gap,
         "embed_near_dups": _q_embed_near_dups,
+        "distribution": _q_distribution,
     }
 
 
@@ -1615,6 +1641,33 @@ def oracle_sql() -> dict[str, str]:
                    printf('etype=%s uid=%d', event_type, user_id) AS sdkv,
                    printf('event %d happened', event_id) AS message_text
             FROM events
+        """,
+        "distribution": """
+            WITH s AS (
+                SELECT event_type, value AS v,
+                       cast(1 + event_id % 3 AS bigint) AS r
+                FROM events WHERE value IS NOT NULL
+            ), perval AS (
+                SELECT event_type, v, sum(r) AS w
+                FROM s WHERE r > 0 GROUP BY event_type, v
+            ), cum AS (
+                SELECT event_type, v, w,
+                       sum(w) OVER (PARTITION BY event_type ORDER BY v) AS c,
+                       sum(w) OVER (PARTITION BY event_type) AS n
+                FROM perval
+            ), stat AS (
+                SELECT event_type,
+                       min(v) AS min, max(v) AS max,
+                       min(CASE WHEN c >= greatest(round(0.5*n), 1) THEN v END) AS median,
+                       min(CASE WHEN c >= greatest(round(0.95*n), 1) THEN v END) AS q95,
+                       cast(max(n) AS bigint) AS count
+                FROM cum GROUP BY event_type
+            ), sums AS (
+                SELECT event_type,
+                       cast(sum(cast(v*r AS decimal(38,6))) AS double) AS sum
+                FROM s GROUP BY event_type
+            )
+            SELECT stat.*, sums.sum FROM stat JOIN sums USING (event_type)
         """,
         "summary_quantiles": """
             SELECT event_type,

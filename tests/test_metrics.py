@@ -212,3 +212,47 @@ def test_tag_cardinality_runaway_key_salted_ranking(spark):
     # the local ranking stage must shuffle on (_k, _salt), not _k alone
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_salt" in plan
+
+
+def test_distribution_statistic_weighted_r3(spark):
+    """statistic.rs:23-105 parity: rate-weighted sum/count, rate<=0
+    samples dropped, R-3 quantiles (i-th smallest, i=round(p*count),
+    i=0 => 1, first cumulative rate >= i)."""
+    from vector_spark.operators.metrics import distribution_statistic
+
+    rows = [(1.0, 3), (2.0, 1), (3.0, 2), (99.0, 0)]  # rate 0 dropped
+    df = spark.createDataFrame(rows, "value double, rate long")
+    r = distribution_statistic(df, quantiles=[0.95]).first()
+    assert r["count"] == 6 and abs(r["sum"] - 11.0) < 1e-9
+    assert r["min"] == 1.0 and r["max"] == 3.0
+    # i = round(0.5*6) = 3 -> cumulative [3,4,6] -> first >= 3 is 1.0
+    assert r["median"] == 1.0
+    # i = round(0.95*6) = 6 -> 3.0
+    assert r["q95"] == 3.0
+    assert abs(r["avg"] - 11.0 / 6.0) < 1e-9
+    # single-sample series: every quantile is the value, sum=v*rate
+    one = spark.createDataFrame([(5.0, 4)], "value double, rate long")
+    r1 = distribution_statistic(one, quantiles=[0.99]).first()
+    assert (r1["median"], r1["q99"], r1["sum"], r1["count"]) == (5.0, 5.0, 20.0, 4)
+
+
+def test_aggregate_metrics_rate_weighted(spark):
+    """Distribution sample rate weights sums and counts in the
+    aggregate rollup; rate-free frames behave exactly as before."""
+    from vector_spark.operators.metrics import aggregate_metrics
+
+    rows = [
+        ("lat", None, None, TS, "incremental", "distribution", 2.0, None, 3),
+        ("lat", None, None, TS, "incremental", "distribution", 4.0, None, 1),
+    ]
+    schema = (
+        "name string, namespace string, tags map<string,string>, ts timestamp, "
+        "kind string, metric_type string, value double, set_value string, rate long"
+    )
+    df = spark.createDataFrame(rows, schema)
+    r = aggregate_metrics(df).first()
+    assert r["count"] == 4 and r["sum"] == 10.0 and r["value"] == 10.0
+    # no rate column -> weight 1 (legacy frames)
+    legacy = df.drop("rate")
+    r2 = aggregate_metrics(legacy).first()
+    assert r2["count"] == 2 and r2["sum"] == 6.0

@@ -244,3 +244,44 @@ def test_every_parser_survives_arbitrary_garbage(spark, lines):
     ]
     for f in frames:
         assert f.count() == len(lines)  # every row survives, none aborts
+
+
+def test_to_regex_compile_time_validation(spark):
+    """to_regex.rs: string → regex, fallible — here the fallibility
+    surfaces at VRL-compile time (literal patterns only; a per-row
+    dynamic pattern would let one bad value abort the job inside
+    Spark's regexp functions)."""
+    df = spark.createDataFrame([("foo123",), ("bar",)], "a string")
+    cond = compile_vrl_lite('match(.a, to_regex("[0-9]+"))')
+    assert [r[0] for r in df.select(cond).collect()] == [True, False]
+    with pytest.raises(ValueError, match="invalid regex"):
+        compile_vrl_lite('match(.a, to_regex("(unclosed"))')
+    with pytest.raises(ValueError):
+        compile_vrl_lite("match(.a, to_regex(.a))")  # non-literal
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lines=st.lists(_garbage, min_size=1, max_size=6))
+def test_fallible_remap_program_on_dirty_input_never_aborts(spark, lines):
+    """Every compiled remap program over dirty input yields per-row
+    nulls for the rows that fail — never a job abort (ANSI mode is
+    on). Exercises the fallible stdlib families together: checked
+    arithmetic, int coercion, timestamp parse, regex match."""
+    from vector_spark.operators.remap import remap
+
+    df = spark.createDataFrame([(l,) for l in lines], "message string")
+    out = remap(
+        df,
+        [
+            (".n", "int(.message)"),
+            (".t", 'parse_timestamp(.message, "%Y-%m-%d")'),
+            (".m", 'match(.message, to_regex("^[a-z]+$"))'),
+            (".sum", "int(.message) + 9223372036854775807"),
+            (".q", "int(.message) / 0"),
+        ],
+    )
+    rows = out.collect()  # the invariant: this must complete
+    assert len(rows) == len(lines)
+    for line, row in zip(lines, rows):
+        if not line.strip().lstrip("+-").isdigit():
+            assert row.n is None or isinstance(row.n, int)

@@ -211,6 +211,13 @@ _FUNCS = {
         "long"
     ),
     "get": lambda a, k: F.element_at(a, k),
+    # to_regex.rs: string → regex. VRL compiles the regex at each call
+    # (and warns it is expensive); here the pattern must be a plan-time
+    # literal and is compiled/validated ONCE at VRL-compile time — a
+    # per-row dynamic pattern would turn one bad value into a job
+    # abort inside Spark's regexp functions, violating the engine's
+    # no-abort invariant, so non-literal args are a compile error.
+    "to_regex": lambda a: _to_regex(a),
     "coalesce": lambda *a: F.coalesce(*a),
     "if_else": lambda c, t, f: F.when(c, t).otherwise(f),
     # type-coercion guards (lib/vrl/stdlib: String/Integer/Float/
@@ -241,6 +248,20 @@ def _strftime(fmt: str) -> str:
     from vector_spark.conversion import strftime_to_spark
 
     return strftime_to_spark(fmt)
+
+
+def _to_regex(a) -> Column:
+    """Compile-time-validated regex literal (see _FUNCS['to_regex'])."""
+    pat = _as_py_val(a)
+    if not isinstance(pat, str):
+        raise ValueError(f"to_regex: expected a string literal, got {pat!r}")
+    try:
+        re.compile(pat)
+    except re.error as exc:
+        raise ValueError(f"to_regex: invalid regex {pat!r}: {exc}") from exc
+    col = F.lit(pat)
+    col._vs_pyval = pat  # downstream match()/split() unwrap the literal
+    return col
 
 
 def _as_py_val(col_or_val):

@@ -10,7 +10,12 @@ Metrics frame schema (SURVEY.md §1.5 mapping of Metric):
 ``name string, namespace string, tags map<string,string>,
 ts timestamp, kind string ('incremental'|'absolute'),
 metric_type string ('counter'|'gauge'|'set'|'distribution'|
-'histogram'|'summary'), value double, set_value string``.
+'histogram'|'summary'), value double, set_value string,
+rate long``. ``rate`` mirrors Distribution's per-sample observation
+weight (metric.rs:147-150 ``Sample{value, rate}``): log_to_metric
+emits 1 (samples![value => 1], log_to_metric.rs:273), merged/
+pre-aggregated distributions carry real weights, and the weighted
+rollup is ``distribution_statistic`` (statistic.rs).
 
 log_to_metric emits ONE metric row per (event, metric-config) — a
 cheap narrow projection + union, no shuffle (faithful to the
@@ -105,6 +110,9 @@ def log_to_metric(
             F.lit(mtype).alias("metric_type"),
             value.alias("value"),
             set_value.alias("set_value"),
+            # every log-derived sample is one observation
+            # (samples![value => 1], log_to_metric.rs:273,304)
+            F.lit(1).cast("long").alias("rate"),
         )
         # value-typed metrics with an unparseable value emit nothing
         if mtype in ("counter",) and m.get("increment_by_value"):
@@ -154,16 +162,28 @@ def aggregate_metrics(
     if interval:
         keys.append(F.window("ts", interval).alias("window"))
     is_inc = F.col("kind") == "incremental"
+    # per-sample observation weight (Distribution Sample.rate,
+    # metric.rs:147-150): sums/counts weight each row by its rate.
+    # log_to_metric emits rate=1, so rate-free frames are unchanged.
+    rate = (
+        F.col("rate").cast("long")
+        if "rate" in metrics_df.columns
+        else F.lit(1).cast("long")
+    )
     agg = (
         metrics_df.groupBy(*keys)
         .agg(
             F.first("tags").alias("tags"),
             F.max("ts").alias("ts"),
-            F.sum(F.when(is_inc, F.col("value"))).alias("_sum_inc"),
+            F.sum(F.when(is_inc, F.col("value") * rate)).alias("_sum_inc"),
             F.max_by("value", "ts").alias("_last_abs"),
-            F.count(F.col("value")).alias("count"),
-            F.sum("value").alias("sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("value").isNotNull(), rate)), F.lit(0)
+            ).alias("count"),
+            F.sum(F.col("value") * rate).alias("sum"),
             F.collect_set("set_value").alias("set_values"),
+            # approx sketch is unweighted — the exact rate-weighted
+            # quantile path is distribution_statistic()
             F.percentile_approx("value", list(quantiles)).alias("_quantiles"),
         )
         .drop("_tags_key")
@@ -175,6 +195,68 @@ def aggregate_metrics(
         .otherwise(F.col("sum"))
     )
     return agg.withColumn("value", value).drop("_sum_inc", "_last_abs")
+
+
+def distribution_statistic(
+    df: DataFrame,
+    value_col: str = "value",
+    rate_col: str = "rate",
+    quantiles: list[float] = (0.5, 0.95, 0.99),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Flatten a rate-weighted Distribution to its statistic set —
+    min/max/median/avg/sum/count + quantiles
+    (src/sinks/util/statistic.rs:23-85 DistributionStatistic):
+    each sample counts ``rate`` times (sum = Σ value·rate,
+    count = Σ rate), samples with rate <= 0 are dropped, and quantiles
+    use the reference's R-3 rule — the i-th smallest observation with
+    i = round(p·count) (i=0 ⇒ i=1), found by the first cumulative
+    rate ≥ i (statistic.rs:92-105 binary search over the cumulative
+    histogram).
+
+    Scale shape: pre-aggregate rates per (series, value) — the only
+    full-data shuffle — then a per-series cumulative window over
+    DISTINCT values (bounded by value cardinality, not sample count;
+    the reference sorts every sample of a series in one Vec, so this
+    is strictly tighter). Statistic switch: Histogram-statistic
+    distributions shape into buckets via ``histogram_buckets``;
+    Summary-statistic ones are exactly this output (metric.rs:121-123
+    StatisticKind).
+    """
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    r = F.col(rate_col).cast("long")
+    per_val = (
+        df.filter(r > 0)
+        .groupBy(*groups, v.alias("_v"))
+        .agg(F.sum(r).alias("_w"))
+    )
+    wspec = Window.partitionBy(*groups).orderBy("_v")
+    pv = per_val.withColumn(
+        "_cum", F.sum("_w").over(wspec.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        "_cnt",
+        F.sum("_w").over(
+            wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+
+    def q_at(p: float) -> Column:
+        i = F.greatest(
+            F.round(F.lit(float(p)) * F.col("_cnt")).cast("long"), F.lit(1)
+        )
+        return F.min(F.when(F.col("_cum") >= i, F.col("_v")))
+
+    aggs = [
+        F.min("_v").alias("min"),
+        F.max("_v").alias("max"),
+        q_at(0.5).alias("median"),
+        F.sum(F.col("_v") * F.col("_w")).alias("sum"),
+        F.sum("_w").alias("count"),
+    ]
+    aggs += [q_at(p).alias(f"q{str(p).replace('0.', '')}") for p in quantiles]
+    out = pv.groupBy(*groups).agg(*aggs) if groups else pv.agg(*aggs)
+    return out.withColumn("avg", F.col("sum") / F.col("count"))
 
 
 def histogram_buckets(

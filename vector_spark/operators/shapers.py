@@ -18,17 +18,49 @@ from vector_spark.conversion import apply_types
 from vector_spark.templates import compile_template, is_template
 
 
+_ARRAY_PATH_RE = re.compile(r"^(?P<name>.+)\[(?P<idx>\d+)\]$")
+
+
 def add_fields(df: DataFrame, fields: dict[str, Any], overwrite: bool = True) -> DataFrame:
     """Insert literal or ``{{templated}}`` values (add_fields.rs:104).
 
     ``overwrite=False`` keeps an existing non-null value (the reference
-    skips insertion if the path exists)."""
+    skips insertion if the path exists).
+
+    Array-index paths ``"a[0]"`` assemble one array column per base
+    name (behavior corpus add_fields.toml add_fields_array). Dialect:
+    the reference's event arrays are heterogeneous ([0, "1", 2.0]);
+    a fixed-schema column is not, so elements render as strings. Gaps
+    below the max index are null, like the reference's null-padded
+    array insertion."""
     cols = {}
+    arrays: dict[str, dict[int, Any]] = {}
     for name, value in fields.items():
+        m = _ARRAY_PATH_RE.match(name)
+        if m:
+            arrays.setdefault(m.group("name"), {})[int(m.group("idx"))] = value
+            continue
         if isinstance(value, str) and is_template(value):
             col = compile_template(value)
         else:
             col = F.lit(value)
+        if not overwrite and name in df.columns:
+            col = F.coalesce(F.col(name), col)
+        cols[name] = col
+    for name, elems in arrays.items():
+        items = [
+            (
+                (
+                    compile_template(elems[i])
+                    if isinstance(elems[i], str) and is_template(elems[i])
+                    else F.lit(str(elems[i]))
+                )
+                if i in elems
+                else F.lit(None)
+            ).cast("string")
+            for i in range(max(elems) + 1)
+        ]
+        col = F.array(*items)
         if not overwrite and name in df.columns:
             col = F.coalesce(F.col(name), col)
         cols[name] = col
