@@ -1075,6 +1075,25 @@ def _q_distribution(spark, sf):
     return stat.join(sums, "event_type")
 
 
+def _q_dup_clusters(spark, sf):
+    """LSH candidate pairs → duplicate clusters (connected components,
+    min-id canonical representative) via iterative min-label
+    propagation — the keep/drop resolution step of a dedup pass.
+    Verified against a DuckDB recursive-CTE reachability oracle."""
+    from vector_spark.dataops.dedup import (
+        dup_clusters,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    sigs = minhash_signatures(docs, k=8)
+    pairs = minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
+    return dup_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_pipeline": _flagship,
@@ -1135,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_expire_gap": _q_reduce_expire_gap,
         "embed_near_dups": _q_embed_near_dups,
         "distribution": _q_distribution,
+        "dup_clusters": _q_dup_clusters,
     }
 
 
@@ -1346,6 +1366,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES}),
+            sig AS (
+              SELECT id, seed,
+                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+              FROM sh, range(0, 8) s(seed) GROUP BY id, seed
+            ),
+            banded AS (
+              SELECT id, cast(floor(seed / 2) AS int) AS band,
+                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY id, band
+            ),
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, src AS label FROM edges
+              UNION
+              SELECT e.dst AS id, r.label
+              FROM edges e JOIN reach r ON e.src = r.id
+            )
+            SELECT id, min(label) AS cluster FROM reach GROUP BY id
         """,
         "simhash": f"""
             WITH words AS (

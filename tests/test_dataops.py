@@ -286,3 +286,17 @@ def test_media_repartition_sizes_from_stats_without_scanning(spark):
         assert media_repartition(df, 1 << 20, total_bytes=10 << 20).rdd.getNumPartitions() == 10
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dup_clusters_connected_components(spark):
+    """Pair list → connected components with min-id representative;
+    chains require multiple propagation rounds; isolated ids absent."""
+    from vector_spark.dataops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}

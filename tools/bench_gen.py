@@ -23,10 +23,11 @@ def main():
 
     spark = get_spark("bench_gen", master=f"local[{cpus}]", shuffle_partitions=cpus)
     sequences(spark, n_rows, num_partitions=cpus * 2).write.parquet(f"{work}/seq")
-    if scale_rows != n_rows:
-        sequences(spark, scale_rows, seed=3, num_partitions=cpus * 2).write.parquet(
-            f"{work}/seq_scale"
-        )
+    # the 2R input for the marginal-throughput estimator: same seed →
+    # identical per-row distribution, twice the volume, same file
+    # count (bigger files, so a fixed maxPartitionBytes yields 2× the
+    # equally-sized splits — per-row cost stays constant)
+    sequences(spark, scale_rows, num_partitions=cpus * 2).write.parquet(f"{work}/seq2")
     sequences(spark, 40_000, seed=7, num_partitions=cpus).write.parquet(f"{work}/warm")
     spark.stop()
     print("ok")

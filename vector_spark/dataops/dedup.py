@@ -301,3 +301,74 @@ def minhash_jaccard_estimate(
         )
     )
     return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve candidate duplicate PAIRS (from LSH/SimHash/Jaccard)
+    into duplicate CLUSTERS: connected components with the component's
+    minimum id as the canonical representative — the step that turns
+    pair lists into an actionable keep/drop set for a training-data
+    dedup pass.
+
+    Algorithm: iterative min-label propagation. Every node starts
+    labeled with itself; each round every node takes the min label in
+    its neighborhood (both edge directions); converged when no label
+    changes. Rounds needed = component diameter — for near-dup
+    clusters this is small (most are cliques or short chains from
+    banded LSH), so 3-5 rounds is typical; ``max_iter`` bounds
+    adversarial chains.
+
+    Scale shape: each round is two shuffle joins on node id (uniform
+    key) + one groupBy min — no collect, no driver-side graph; the
+    convergence check is a count of changed labels (one scalar action
+    per round). Label frames are cached per round and unpersisted
+    after the next round materializes (bounded memory lineage).
+    Output: (id, cluster) with cluster = min id of the component;
+    singleton nodes never in ``pairs`` are absent by construction.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    labels.cache()
+    prev = None
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "label")
+        )
+        new_labels = (
+            neigh.unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("id", F.col("label").alias("cluster"))
+    if prev is not None:
+        prev.unpersist()
+    return out
