@@ -439,7 +439,12 @@ def test_resume_shrinking_shards_requires_cleanup(spark):
             spark, f"{tmp}/input", f"{tmp}/ckpt", process,
             n_shards=2, cleanup=scrubbed.append,
         )
-        assert scrubbed == [2, 3]  # stale shards scrubbed
+        # stale shards (2,3) scrubbed first; then shards 0,1 — their
+        # committed lineage changed with the shard count, so the
+        # ADVICE-r2 fix scrubs them too before reprocessing (a
+        # non-overwrite sink would otherwise keep their old output
+        # next to the reprocessed rows)
+        assert scrubbed == [2, 3, 0, 1]
         assert len(r) == 2 and not any(s.skipped for s in r)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
