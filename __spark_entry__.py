@@ -1075,6 +1075,28 @@ def _q_distribution(spark, sf):
     return stat.join(sums, "event_type")
 
 
+def _q_ec2_metadata(spark, sf):
+    """aws_ec2_metadata analogue (aws_ec2_metadata.rs:74-250):
+    driver-fetched instance constants become literal columns —
+    constant-folded, no join. Gate closes the one §2.1 row that had
+    no oracle (r2 VERDICT: 'untested by oracle')."""
+    from vector_spark.operators.enrich import enrich_constants
+
+    ev = _load(spark, sf, "events")
+    out = enrich_constants(
+        ev,
+        {
+            "instance_id": "i-0123456789abcdef0",
+            "region": "us-east-1",
+            "availability_zone": "us-east-1a",
+            "instance_type": "m5.2xlarge",
+        },
+    )
+    return out.select(
+        "event_id", "instance_id", "region", "availability_zone", "instance_type"
+    )
+
+
 def _q_dup_clusters(spark, sf):
     """LSH candidate pairs → duplicate clusters (connected components,
     min-id canonical representative) via iterative min-label
@@ -1155,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": _q_embed_near_dups,
         "distribution": _q_distribution,
         "dup_clusters": _q_dup_clusters,
+        "ec2_metadata": _q_ec2_metadata,
     }
 
 
@@ -1366,6 +1389,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+        """,
+        "ec2_metadata": """
+            SELECT event_id,
+                   'i-0123456789abcdef0' AS instance_id,
+                   'us-east-1' AS region,
+                   'us-east-1a' AS availability_zone,
+                   'm5.2xlarge' AS instance_type
+            FROM events
         """,
         "dup_clusters": f"""
             WITH RECURSIVE sh AS ({_SHINGLES}),

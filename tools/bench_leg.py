@@ -62,7 +62,11 @@ def main():
     threads = int(sys.argv[1])
     input_path, input2_path, warm_path, out_dir = sys.argv[2:6]
     mpb = int(sys.argv[6]) if len(sys.argv) > 6 else None
-    pairs = max(1, int(os.environ.get("SPARK_GRAFT_LEG_REPS", "3")))
+    reps = (
+        int(sys.argv[7])
+        if len(sys.argv) > 7
+        else max(1, int(os.environ.get("SPARK_GRAFT_LEG_REPS", "3")))
+    )
 
     from bench import run_pipeline
     from vector_spark.session import get_spark
@@ -79,11 +83,11 @@ def main():
     w2s: list[float] = []
     cpus: list[float] = []
     rows = 0
-    for i in range(pairs):
+    for i in range(reps):
         rows, w1 = _timed(spark, input_path, f"{out_dir}/o1_{i}", cpus)
         w1s.append(w1)
-        _, w2 = _timed(spark, input2_path, f"{out_dir}/o2_{i}", cpus)
-        w2s.append(w2)
+    _, w2 = _timed(spark, input2_path, f"{out_dir}/o2", cpus)
+    w2s.append(w2)
     spark.stop()
     delta = min(w2s) - min(w1s)
     print(
