@@ -129,3 +129,19 @@ def test_lanes_exploded_shape(spark, events_pq):
     n_all = events_pq.filter("value >= 0.0").count()
     got = {r["lane"]: r["n"] for r in out.groupBy("lane").agg(F.count("*").alias("n")).collect()}
     assert got == {"e": n_err, "a": n_all}
+
+
+def test_regex_parser_single_pass_plan(spark):
+    """Single-pattern regex_parser executes the pattern ONCE per row:
+    one regexp_replace (the sentinel pass), zero rlike (match status
+    reads off the split-array size); the per-field regexp_extracts
+    exist only as sentinel-fallback when-branches."""
+    from vector_spark.operators.parsers import regex_parser
+
+    df = spark.createDataFrame([("a=1 b=2",)], "message string")
+    out = regex_parser(
+        df, r"(?P<a>\w+)=(?P<b>\d+) (?P<c>\w+)=(?P<d>\d+)", drop_field=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 1
+    assert "RLike" not in plan and "rlike" not in plan
