@@ -1075,6 +1075,22 @@ def _q_distribution(spark, sf):
     return stat.join(sums, "event_type")
 
 
+def _q_pack_sequences(spark, sf):
+    """Concat-and-chunk example packing over a tokenized view of
+    documents (word count as n_tok, doc_id%4 as the stream): per-doc
+    (bin, offset) assignments from a running-total window — the
+    LLM-training packing step, deterministic by construction."""
+    from vector_spark.dataops.textstats import pack_sequences, word_count
+
+    docs = _load(spark, sf, "documents")
+    seqs = docs.select(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(4)).alias("stream"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        word_count(F.col("text")).cast("int").alias("n_tok"),
+    )
+    return pack_sequences(seqs, 256, stream_cols=["stream"])
+
+
 def _q_ec2_metadata(spark, sf):
     """aws_ec2_metadata analogue (aws_ec2_metadata.rs:74-250):
     driver-fetched instance constants become literal columns —
@@ -1178,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution": _q_distribution,
         "dup_clusters": _q_dup_clusters,
         "ec2_metadata": _q_ec2_metadata,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1389,6 +1406,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+        """,
+        "pack_sequences": f"""
+            WITH seqs AS (
+                SELECT cast(doc_id % 4 AS bigint) AS stream,
+                       cast(doc_id AS bigint) AS doc_id,
+                       cast(len(string_split({_NORM}, ' ')) AS int) AS n_tok
+                FROM documents
+            ), cum AS (
+                SELECT stream, doc_id, n_tok,
+                       cast(coalesce(sum(n_tok) OVER (
+                           PARTITION BY stream ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS bigint) AS cumb
+                FROM seqs
+            )
+            SELECT stream, doc_id, n_tok,
+                   cast(floor(cumb / 256) AS bigint) AS bin,
+                   cast(cumb % 256 AS bigint) AS offset
+            FROM cum
         """,
         "ec2_metadata": """
             SELECT event_id,

@@ -300,3 +300,20 @@ def test_dup_clusters_connected_components(spark):
     got = {r.id: r.cluster for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
                    10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Deterministic packing: bin boundaries every max_tokens of the
+    running stream total; straddling docs continue into the next bin."""
+    from vector_spark.dataops.textstats import pack_sequences
+
+    rows = [("s", 1, 60), ("s", 2, 60), ("s", 3, 10), ("t", 4, 250)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    got = {
+        r.doc_id: (r.bin, r.offset)
+        for r in pack_sequences(df, 100, stream_cols=["source"]).collect()
+    }
+    # stream s: cum_before 0, 60, 120 -> bins 0,0,1; offsets 0,60,20
+    assert got[1] == (0, 0) and got[2] == (0, 60) and got[3] == (1, 20)
+    # stream t independent: starts at bin 0
+    assert got[4] == (0, 0)

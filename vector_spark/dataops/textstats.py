@@ -129,3 +129,49 @@ def winnow_fingerprints(
         # global distinct shuffles far fewer rows
         .distinct()
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    stream_cols: list[str] = ("source",),
+    id_col: str = "doc_id",
+    n_col: str = "n_tok",
+) -> DataFrame:
+    """Concat-and-chunk example packing — the LLM-training step that
+    lays variable-length tokenized documents into fixed-capacity
+    training bins: documents are concatenated in deterministic
+    (stream, id) order and split every ``max_tokens`` tokens, so a
+    document straddling a boundary continues into the next bin
+    (GPT-style packing; zero padding waste, exact by construction).
+
+    Output: one row per document — (stream cols, id, n, ``bin`` =
+    floor(cum_before / max_tokens), ``offset`` = cum_before %
+    max_tokens) where cum_before is the running token total of all
+    earlier documents in the stream. A trainer shards bins directly;
+    ``offset`` says where the document's tokens start inside its
+    first bin.
+
+    Scale shape: ONE window (running sum) per stream, ordered by id —
+    streams are the parallel unit, so feed this pre-sharded streams
+    (e.g. add a ``shard = pmod(xxhash64(id), K)`` stream column) when
+    one logical source is too large for a single task's sort; the
+    packing stays deterministic per (stream, shard).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*stream_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(n_col).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    return df.select(
+        *stream_cols,
+        id_col,
+        F.col(n_col),
+        F.floor(cum_before / max_tokens).cast("long").alias("bin"),
+        (cum_before % max_tokens).cast("long").alias("offset"),
+    )
