@@ -1075,6 +1075,36 @@ def _q_distribution(spark, sf):
     return stat.join(sums, "event_type")
 
 
+def _q_stream_dedupe(spark, sf):
+    """Structured Streaming watermark dedupe driven to completion
+    (dedupe.rs LRU analogue, state TTL = watermark). Output is the
+    distinct key set — deterministic regardless of which arrival wins
+    inside the engine."""
+    import uuid
+
+    from vector_spark.streaming import stream_dedupe
+
+    schema = _load(spark, sf, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    ded = stream_dedupe(stream, ["event_type", "user_id"], "ts")
+    name = f"vs_sdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        ded.select("event_type", F.col("user_id").cast("long").alias("user_id"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk example packing over a tokenized view of
     documents (word count as n_tok, doc_id%4 as the stream): per-doc
@@ -1195,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "ec2_metadata": _q_ec2_metadata,
         "pack_sequences": _q_pack_sequences,
+        "stream_dedupe": _q_stream_dedupe,
     }
 
 
@@ -1406,6 +1437,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+        """,
+        "stream_dedupe": """
+            SELECT DISTINCT event_type, cast(user_id AS bigint) AS user_id
+            FROM events
         """,
         "pack_sequences": f"""
             WITH seqs AS (
