@@ -1143,6 +1143,45 @@ def _q_ec2_metadata(spark, sf):
     )
 
 
+def _q_datadog_search(spark, sf):
+    """Datadog log-search conditions (src/conditions/datadog_search.rs
+    + lib/datadog/search-syntax) compiled to Catalyst predicates: tag
+    lookups, reserved-field wildcards, numeric facet ranges, word-
+    boundary free text, NOT/AND/OR — three searches evaluated in one
+    pass over a synthesized message/host/tags/facet frame."""
+    from vector_spark.datadog import SearchSchema, compile_datadog_search
+
+    ev = _load(spark, sf, "events")
+    frame = ev.select(
+        "event_id",
+        F.format_string("user %d did %s", F.col("user_id"), F.col("event_type")).alias(
+            "message"
+        ),
+        F.format_string("host-%d", F.pmod(F.col("user_id"), F.lit(20))).alias("host"),
+        F.array(
+            F.format_string("etype:%s", F.col("event_type")),
+            F.format_string("sh%d", F.pmod(F.col("event_id"), F.lit(4))),
+        ).alias("tags"),
+        F.element_at(
+            F.array(F.lit("us-east-1"), F.lit("eu-west-2"), F.lit("ap-east-9")),
+            (F.pmod(F.col("user_id"), F.lit(3)) + F.lit(1)).cast("int"),
+        ).alias("region"),
+        F.col("value"),
+    )
+    schema = SearchSchema(numeric_fields=frozenset({"value"}))
+    q1 = compile_datadog_search("etype:error AND @value:[100 TO *]", schema)
+    q2 = compile_datadog_search("host:host-1* OR (did AND purchase)", schema)
+    q3 = compile_datadog_search(
+        "-tags:sh2 AND _exists_:etype AND @region:*east*", schema
+    )
+    return (
+        frame.select(
+            "event_id", q1.alias("q1"), q2.alias("q2"), q3.alias("q3")
+        )
+        .filter(F.col("q1") | F.col("q2") | F.col("q3"))
+    )
+
+
 def _q_dup_clusters(spark, sf):
     """LSH candidate pairs → duplicate clusters (connected components,
     min-id canonical representative) via iterative min-label
@@ -1226,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec2_metadata": _q_ec2_metadata,
         "pack_sequences": _q_pack_sequences,
         "stream_dedupe": _q_stream_dedupe,
+        "datadog_search": _q_datadog_search,
     }
 
 
@@ -1441,6 +1481,31 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedupe": """
             SELECT DISTINCT event_type, cast(user_id AS bigint) AS user_id
             FROM events
+        """,
+        "datadog_search": r"""
+            WITH frame AS (
+                SELECT event_id,
+                       printf('user %d did %s', user_id, event_type) AS message,
+                       printf('host-%d', user_id % 20) AS host,
+                       [printf('etype:%s', event_type),
+                        printf('sh%d', event_id % 4)] AS tags,
+                       (['us-east-1', 'eu-west-2', 'ap-east-9'])[(user_id % 3) + 1]
+                           AS region,
+                       value
+                FROM events
+            ), judged AS (
+                SELECT event_id,
+                       (list_contains(tags, 'etype:error') AND value >= 100.0) AS q1,
+                       (starts_with(host, 'host-1')
+                        OR (regexp_matches(message, '\bdid\b')
+                            AND regexp_matches(message, '\bpurchase\b'))) AS q2,
+                       (NOT list_contains(tags, 'sh2')
+                        AND len(list_filter(tags,
+                            t -> t = 'etype' OR starts_with(t, 'etype:'))) > 0
+                        AND regexp_matches(region, '^.*east.*$')) AS q3
+                FROM frame
+            )
+            SELECT event_id, q1, q2, q3 FROM judged WHERE q1 OR q2 OR q3
         """,
         "pack_sequences": f"""
             WITH seqs AS (

@@ -504,6 +504,15 @@ def compile_condition(spec: Any) -> Column:
         if typ == "check_fields":
             body = {k: v for k, v in spec.items() if k != "type"}
             return compile_check_fields(body)
+        if typ == "datadog_search":
+            from vector_spark.datadog import SearchSchema, compile_datadog_search
+
+            schema = SearchSchema(
+                message_col=spec.get("message_field", "message"),
+                tags_col=spec.get("tags_field", "tags"),
+                numeric_fields=frozenset(spec.get("numeric_fields", ())),
+            )
+            return compile_datadog_search(spec["source"], schema)
         if typ == "is_log":
             return F.lit(True)  # log-only frames in this engine
         if typ == "is_metric":
