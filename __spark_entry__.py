@@ -1182,6 +1182,76 @@ def _q_datadog_search(spark, sf):
     )
 
 
+def _q_pii_scrub(spark, sf):
+    """PII redaction pass: typed placeholder substitution for emails /
+    IPv4 / phones / long digit runs, plus per-kind match counts. PII is
+    synthesized deterministically onto the documents text so both
+    engines scrub the same spans. Map-only — no shuffle, no UDF."""
+    from vector_spark.dataops.curation import pii_scrub
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " contact user%d@ex%d.org or 10.%d.%d.%d tel 555-%03d-%04d card 4111%012d",
+                F.col("doc_id"),
+                F.pmod(F.col("doc_id"), F.lit(7)),
+                F.pmod(F.col("doc_id"), F.lit(200)),
+                F.pmod(F.col("doc_id") * 3, F.lit(200)),
+                F.pmod(F.col("doc_id") * 7, F.lit(200)),
+                F.pmod(F.col("doc_id"), F.lit(1000)),
+                F.pmod(F.col("doc_id"), F.lit(10000)),
+                F.col("doc_id"),
+            ),
+        ).alias("text"),
+    )
+    out = pii_scrub(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_longnum",
+        F.md5(F.col("text")).alias("scrub_md5"),
+    )
+
+
+def _q_contamination(spark, sf):
+    """Benchmark-decontamination pass: word n-gram overlap between the
+    training split and a held-out 'benchmark' split (doc_id % 97 == 0),
+    broadcast semi-join on 64-bit gram hashes. n=3 here so the tiny
+    synthetic corpus overlaps; production default is 8-13."""
+    from vector_spark.dataops.curation import contamination_check
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_check(train, bench, n=3)
+
+
+def _q_stratified_sample(spark, sf):
+    """Domain-mixing sampler: deterministic per-source keep rates via
+    md5-uniform hashing (engine-portable mode; xxhash64 is the fast
+    path). Map-only, no RNG state, reproducible across runs."""
+    from vector_spark.dataops.curation import stratified_sample
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    out = stratified_sample(
+        docs,
+        "source",
+        {"src1": 0.75, "src2": 0.5, "src3": 0.25},
+        key_col="doc_id",
+        default_rate=0.125,
+        hash_mode="md5",
+    )
+    return out.select("doc_id", "source", "sample_rate")
+
+
 def _q_dup_clusters(spark, sf):
     """LSH candidate pairs → duplicate clusters (connected components,
     min-id canonical representative) via iterative min-label
@@ -1266,6 +1336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "stream_dedupe": _q_stream_dedupe,
         "datadog_search": _q_datadog_search,
+        "pii_scrub": _q_pii_scrub,
+        "contamination": _q_contamination,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -1506,6 +1579,81 @@ def oracle_sql() -> dict[str, str]:
                 FROM frame
             )
             SELECT event_id, q1, q2, q3 FROM judged WHERE q1 OR q2 OR q3
+        """,
+        "pii_scrub": r"""
+            WITH synth AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     text || printf(
+                       ' contact user%d@ex%d.org or 10.%d.%d.%d tel 555-%03d-%04d card 4111%012d',
+                       doc_id, doc_id % 7, doc_id % 200, (doc_id * 3) % 200,
+                       (doc_id * 7) % 200, doc_id % 1000, doc_id % 10000, doc_id
+                     ) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS int) AS n_email,
+                   cast(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS int) AS n_ipv4,
+                   cast(len(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS int) AS n_phone,
+                   cast(len(regexp_extract_all(text,
+                       '\b\d{13,19}\b')) AS int) AS n_longnum,
+                   md5(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                       '\b\d{13,19}\b', '<NUM>', 'g')
+                   ) AS scrub_md5
+            FROM synth
+        """,
+        "contamination": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     string_split({_NORM}, ' ') AS w
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest([array_to_string(w[j+1:j+3], ' ')
+                             for j in range(0, greatest(len(w)-3, 0)+1)]) AS g
+              FROM words
+            ), grams_ne AS (
+              SELECT * FROM grams WHERE len(g) > 0
+            ), bench AS (
+              SELECT DISTINCT g FROM grams_ne WHERE doc_id % 97 = 0
+            ), train AS (
+              SELECT * FROM grams_ne WHERE doc_id % 97 <> 0
+            ), totals AS (
+              SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id
+            ), hits AS (
+              SELECT t.doc_id, count(*) AS n_contaminated
+              FROM train t JOIN bench b USING (g) GROUP BY t.doc_id
+            )
+            SELECT t.doc_id, t.n_grams, h.n_contaminated,
+                   round(h.n_contaminated / t.n_grams, 6) AS contamination
+            FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+        """,
+        "stratified_sample": """
+            WITH d AS (
+              SELECT cast(doc_id AS bigint) AS doc_id, source,
+                     CASE source WHEN 'src1' THEN 'c000'
+                                 WHEN 'src2' THEN '8000'
+                                 WHEN 'src3' THEN '4000'
+                                 ELSE '2000' END AS cutoff,
+                     CASE source WHEN 'src1' THEN 0.75
+                                 WHEN 'src2' THEN 0.5
+                                 WHEN 'src3' THEN 0.25
+                                 ELSE 0.125 END AS r
+              FROM documents
+            )
+            SELECT doc_id, source, cast(r AS double) AS sample_rate
+            FROM d
+            WHERE substr(md5(cast(doc_id AS varchar)), 1, 4) < cutoff
         """,
         "pack_sequences": f"""
             WITH seqs AS (

@@ -1,0 +1,102 @@
+"""Curation operators: PII scrubbing, contamination check, stratified
+sampling — semantics + scale-shape invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.curation import (
+    contamination_check,
+    pii_scrub,
+    stratified_sample,
+)
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.co and 192.168.0.1 twice 10.0.0.255"),
+            (2, "call 555-123-4567 card 4111111111111111"),
+            (3, "clean text with number 42"),
+        ],
+        "id long, text string",
+    )
+    out = pii_scrub(df, "text").orderBy("id").collect()
+    assert out[0].text == "mail <EMAIL> and <IP> twice <IP>"
+    assert (out[0].n_email, out[0].n_ipv4) == (1, 2)
+    assert out[1].text == "call <PHONE> card <NUM>"
+    assert (out[1].n_phone, out[1].n_longnum) == (1, 1)
+    assert out[2].text == "clean text with number 42"
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_phone == out[2].n_longnum == 0
+
+
+def test_pii_scrub_new_column_keeps_original(spark):
+    df = spark.createDataFrame([(1, "x@y.io")], "id long, text string")
+    out = pii_scrub(df, "text", out_col="clean").collect()[0]
+    assert out.text == "x@y.io" and out.clean == "<EMAIL>"
+
+
+def test_contamination_check(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps high today"),  # overlap
+            (2, "completely different words entirely here now"),  # none
+            (3, "the quick brown fox jumps over the lazy dog"),  # full copy
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination_check(docs, bench, n=5).collect()
+    }
+    assert 2 not in rows  # no shared 5-grams -> not reported
+    assert rows[3].contamination == 1.0  # verbatim copy
+    assert 0 < rows[1].contamination < 1.0
+    # sanity: counts are per distinct gram
+    assert rows[3].n_contaminated == rows[3].n_grams
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("books"), F.lit("other")),
+            (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("src"),
+    )
+    rates = {"web": 0.8, "code": 0.25, "books": 0.0}
+    out = stratified_sample(
+        df, "src", rates, key_col="k", default_rate=0.5, hash_mode="md5"
+    )
+    got = (
+        out.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("sample_rate").alias("r"))
+        .collect()
+    )
+    by = {r.src: r for r in got}
+    assert "books" not in by  # rate 0 -> nothing survives
+    assert abs(by["web"].n / 1000 - 0.8) < 0.06 and by["web"].r == 0.8
+    assert abs(by["code"].n / 1000 - 0.25) < 0.06 and by["code"].r == 0.25
+    assert abs(by["other"].n / 1000 - 0.5) < 0.06 and by["other"].r == 0.5
+    # determinism: same inputs -> identical survivor set
+    again = stratified_sample(
+        df, "src", rates, key_col="k", default_rate=0.5, hash_mode="md5"
+    )
+    assert out.select("k").subtract(again.select("k")).count() == 0
+    assert again.select("k").subtract(out.select("k")).count() == 0
+
+
+def test_stratified_sample_xxhash_mode(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit("web").alias("src")
+    )
+    out = stratified_sample(
+        df, "src", {"web": 0.3}, key_col="k", rate_field=None
+    )
+    n = out.count()
+    assert abs(n / 2000 - 0.3) < 0.05
+    assert "sample_rate" not in out.columns

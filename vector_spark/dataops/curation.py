@@ -1,0 +1,176 @@
+"""Training-data curation operators: PII scrubbing, benchmark
+contamination checks, stratified (per-source) sampling.
+
+These extend the engine beyond the reference's transform inventory with
+the curation passes a 100 TB token pipeline runs before training
+(BASELINE.json north rule). All pure Column expressions — one scan, no
+UDFs, no shuffle except where noted — and every operator is portable to
+the DuckDB oracle for the driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Engine-portable regexes (no lookaround: run on Java regex AND RE2).
+# Order matters: emails before phones (emails can embed digit runs),
+# IPs before bare numbers.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "longnum": (r"\b\d{13,19}\b", "<NUM>"),
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone", "longnum"),
+    out_col: str | None = None,
+    count_cols: bool = True,
+) -> DataFrame:
+    """Redact PII-shaped spans with typed placeholder tokens.
+
+    One projection: k chained ``regexp_replace`` calls (all JVM-side,
+    whole-stage codegen) plus optional per-kind match counts for
+    curation stats. Scale shape: map-only — no shuffle, no UDF; at
+    100 TB this is bounded by scan + regex CPU, and the chained
+    replaces run in a single generated function per row batch.
+    """
+    out_col = out_col or text_col
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        if count_cols:
+            counts.append(
+                F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+            )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    keep = [c for c in df.columns if c != text_col or out_col != text_col]
+    return df.select(*keep, scrubbed.alias(out_col), *counts)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination
+# ---------------------------------------------------------------------------
+
+
+def _gram_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram_hash) pairs — word n-grams of the normalized text,
+    distinct within document, hashed to 64-bit for equi-join."""
+    from vector_spark.dataops.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(
+            F.lit(0), F.greatest(F.size(words) - n, F.lit(0))
+        ),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("_cid"), F.explode(grams).alias("_g"))
+        .filter(F.length("_g") > 0)
+        .select("_cid", F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing word ``n``-grams with a
+    held-out benchmark set (decontamination pass).
+
+    Returns (id_col, n_grams, n_contaminated, contamination) per doc
+    with at least one gram overlap. Scale shape: the benchmark gram
+    set is small (eval suites are MBs) → broadcast semi-join against
+    the exploded doc grams; the 100 TB side shuffles once for the
+    per-doc groupBy with map-side partial counts. With
+    ``broadcast_benchmark=False`` it's a plain shuffled equi-join on
+    the 64-bit gram hash (for giant benchmark unions).
+    """
+    doc_grams = _gram_frame(docs, id_col, text_col, n)
+    bench_grams = _gram_frame(benchmark, id_col, text_col, n).select("_gh").distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    totals = doc_grams.groupBy("_cid").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(bench_grams, "_gh")
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(totals, "_cid")
+        .select(
+            F.col("_cid").alias(id_col),
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    rate_field: str | None = "sample_rate",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — domain mixing for training
+    corpora (keep X% of web, Y% of code, ...).
+
+    Keep decision = uniform hash of ``key_col`` compared against the
+    stratum's rate. Deterministic (same input → same survivors, no RNG
+    state), map-only, no shuffle. ``hash_mode='xxhash64'`` is the fast
+    JVM path; ``'md5'`` quantizes the rate to 1/65536 via the first 4
+    hex chars — bit-identical across engines (the oracle mode, same
+    contract as ``operators.core.sample``).
+    """
+    if hash_mode == "md5":
+        # lowercase fixed-width hex compares lexicographically == numerically
+        u = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+        rate_expr = lambda r: F.lit(format(int(r * 65536), "04x"))  # noqa: E731
+        keep_for = lambda r: u < rate_expr(r)  # noqa: E731
+    else:
+        u = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(1_000_000))
+        keep_for = lambda r: u < F.lit(int(r * 1_000_000))  # noqa: E731
+
+    keep = F.lit(False)
+    rate_col = F.lit(default_rate)
+    strata = F.col(strata_col)
+    for value, r in rates.items():
+        keep = F.when(strata == value, keep_for(r)).otherwise(keep)
+        rate_col = F.when(strata == value, F.lit(r)).otherwise(rate_col)
+    if default_rate > 0:
+        keep = F.when(
+            ~strata.isin(*rates.keys()) if rates else F.lit(True),
+            keep_for(default_rate),
+        ).otherwise(keep)
+    out = df.filter(keep)
+    if rate_field:
+        out = out.withColumn(rate_field, rate_col)
+    return out
