@@ -69,15 +69,20 @@ def _gram_frame(
     distinct within document, hashed to 64-bit for equi-join."""
     from vector_spark.dataops.dedup import normalize_text
 
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    # words materialized as a projected attribute BEFORE the lambda
+    # references it — inline expressions inside HOF lambdas are
+    # re-evaluated per element (see dedup.word_shingles note)
+    base = df.select(
+        F.col(id_col).alias("_cid"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    w = F.col("_w")
     grams = F.transform(
-        F.sequence(
-            F.lit(0), F.greatest(F.size(words) - n, F.lit(0))
-        ),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
     )
     return (
-        df.select(F.col(id_col).alias("_cid"), F.explode(grams).alias("_g"))
+        base.select("_cid", F.explode(grams).alias("_g"))
         .filter(F.length("_g") > 0)
         .select("_cid", F.xxhash64("_g").alias("_gh"))
         .distinct()

@@ -97,7 +97,17 @@ def winnow_fingerprints(
     """
     from vector_spark.dataops.dedup import kgram_positions
 
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    # materialize the word array BEFORE the gram lambda references it:
+    # an expression referenced inside a higher-order-function lambda is
+    # re-evaluated per element (no CSE across lambda scopes), so an
+    # inline split(normalize(text)) re-splits the whole document for
+    # every gram — O(n²) characters. As a projected attribute it is
+    # computed once per row (measured 4.5× on the sf0.1 bench).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    words = F.col("_w")
     # indexed transform, not posexplode: generator pos columns have
     # proven unreliable over scan sources (see sources/readers.py note);
     # kgram_positions guards the shorter-than-k case (empty, no crash)
@@ -105,12 +115,10 @@ def winnow_fingerprints(
         kgram_positions(words, k),
         lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(words, i, k))), 1, 16),
     )
-    # materialize the gram array as its own projection: referencing it
-    # from inside the window-min transform lambda directly would
-    # re-evaluate the whole array construction per element (O(n²)
-    # hashing); as an attribute it is computed once per row and
-    # CollapseProject keeps the projection (non-cheap, multi-ref)
-    tmp = df.select(F.col(id_col).alias("id"), grams.alias("_gh"))
+    # same reasoning for the gram-hash array: as an attribute it is
+    # computed once per row and CollapseProject keeps the projection
+    # (non-cheap, multi-ref)
+    tmp = base.select("id", grams.alias("_gh"))
     n = F.size(F.col("_gh"))
     # one window START per gram position — windows past the last full
     # one are partial (slice truncates); the guarantee needs only full

@@ -359,10 +359,18 @@ def _kv_map_separator(
         ),
     )
     pairs = F.filter(pairs, lambda p: p["k"] != "")
-    vals = F.transform(pairs, lambda p: p["v"])
     if strip_quotes:
-        vals = F.transform(vals, lambda v: F.regexp_replace(v, r'^"|"$', ""))
-    return F.map_from_arrays(F.transform(pairs, lambda p: p["k"]), vals)
+        pairs = F.transform(
+            pairs,
+            lambda p: F.struct(
+                p["k"].alias("k"),
+                F.regexp_replace(p["v"], r'^"|"$', "").alias("v"),
+            ),
+        )
+    # map_from_entries: ONE pass over the pairs array — separate
+    # keys/vals projections would re-evaluate the whole
+    # split+regex pipeline once per projection
+    return F.map_from_entries(pairs)
 
 
 def key_value_parser(
