@@ -1252,6 +1252,45 @@ def _q_stratified_sample(spark, sf):
     return out.select("doc_id", "source", "sample_rate")
 
 
+def _q_token_stats(spark, sf):
+    """Per-sequence token statistics over the pre-tokenized shape
+    (doc_id, tokens array<int32>) the 10^12-row target table has —
+    documents are tokenized with the engine-portable word hash so the
+    DuckDB oracle computes the identical arrays. Map-only plan."""
+    from vector_spark.dataops.tokens import token_stats, tokenize_words
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokenize_words(F.col("text"), hash_mode="portable").alias("tokens"),
+    )
+    return token_stats(docs)
+
+
+def _q_vocab_topk(spark, sf):
+    """Corpus vocabulary histogram, top-50: explode → partial hash
+    aggregate → exchange bounded by |vocab| per partition → TakeOrdered
+    heap (no global sort)."""
+    from vector_spark.dataops.tokens import tokenize_words, vocab_histogram
+
+    docs = _load(spark, sf, "documents").select(
+        tokenize_words(F.col("text"), hash_mode="portable").alias("tokens")
+    )
+    return vocab_histogram(docs, top_k=50)
+
+
+def _q_oov_rate(spark, sf):
+    """Out-of-vocabulary occurrence rate per source — the per-row OOV
+    count is an array-side filter size, so the aggregate sums two longs
+    per sequence (no explode, no per-token rows)."""
+    from vector_spark.dataops.tokens import oov_rate, tokenize_words
+
+    docs = _load(spark, sf, "documents").select(
+        "source",
+        tokenize_words(F.col("text"), hash_mode="portable").alias("tokens"),
+    )
+    return oov_rate(docs, vocab_size=1000, group_cols=("source",))
+
+
 def _q_dup_clusters(spark, sf):
     """LSH candidate pairs → duplicate clusters (connected components,
     min-id canonical representative) via iterative min-label
@@ -1339,6 +1378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
+        "token_stats": _q_token_stats,
+        "vocab_topk": _q_vocab_topk,
+        "oov_rate": _q_oov_rate,
     }
 
 
@@ -1654,6 +1696,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, cast(r AS double) AS sample_rate
             FROM d
             WHERE substr(md5(cast(doc_id AS varchar)), 1, 4) < cutoff
+        """,
+        "token_stats": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     [ (length(w)*31 + ascii(substr(w,1,1))*7
+                        + ascii(substr(w,-1,1))) % 32768 for w in ws ] AS t
+              FROM words
+            )
+            SELECT doc_id,
+                   cast(len(t) AS int) AS n_tok,
+                   cast(len(list_distinct(t)) AS int) AS n_unique,
+                   round(len(list_distinct(t)) / greatest(len(t), 1), 6)
+                       AS unique_ratio,
+                   cast(list_max(t) AS int) AS max_token,
+                   cast(list_min(t) AS int) AS min_token
+            FROM toks
+        """,
+        "vocab_topk": f"""
+            WITH words AS (
+              SELECT list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), occ AS (
+              SELECT unnest([ (length(w)*31 + ascii(substr(w,1,1))*7
+                               + ascii(substr(w,-1,1))) % 32768 for w in ws ])
+                     AS token
+              FROM words
+            )
+            SELECT cast(token AS int) AS token, count(*) AS freq
+            FROM occ GROUP BY token
+            ORDER BY freq DESC, token ASC LIMIT 50
+        """,
+        "oov_rate": f"""
+            WITH words AS (
+              SELECT source,
+                     list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), toks AS (
+              SELECT source,
+                     [ (length(w)*31 + ascii(substr(w,1,1))*7
+                        + ascii(substr(w,-1,1))) % 32768 for w in ws ] AS t
+              FROM words
+            ), per AS (
+              SELECT source,
+                     len(list_filter(t, x -> x < 0 OR x >= 1000)) AS o,
+                     len(t) AS n
+              FROM toks
+            )
+            SELECT source, sum(o) AS n_oov, sum(n) AS n_tok,
+                   round(sum(o) / greatest(sum(n), 1), 6) AS oov_rate
+            FROM per GROUP BY source
         """,
         "pack_sequences": f"""
             WITH seqs AS (

@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "syslog5424",
     "winnow_fingerprints",
     "minhash_estimate",
+    # round-3 additions
+    "datadog_search",
+    "pii_scrub",
+    "contamination",
 ]
 
 

@@ -1,0 +1,70 @@
+"""Token-array analytics over the pre-tokenized sequence shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_spark.dataops.tokens import (
+    oov_rate,
+    token_stats,
+    tokenize_words,
+    vocab_histogram,
+)
+
+
+def test_token_stats_basic(spark):
+    df = spark.createDataFrame(
+        [(1, [5, 5, 9, 2]), (2, [7]), (3, [])],
+        "doc_id long, tokens array<int>",
+    )
+    rows = {r.doc_id: r for r in token_stats(df).collect()}
+    assert rows[1].n_tok == 4 and rows[1].n_unique == 3
+    assert rows[1].unique_ratio == 0.75
+    assert (rows[1].max_token, rows[1].min_token) == (9, 2)
+    assert rows[2].unique_ratio == 1.0
+    assert rows[3].n_tok == 0 and rows[3].max_token is None
+    assert rows[3].unique_ratio == 0.0  # guarded denominator
+
+
+def test_oov_rate_grouped_and_global(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2, 99]), ("a", [3]), ("b", [99, 100])],
+        "src string, tokens array<int>",
+    )
+    by = {r.src: r for r in oov_rate(df, 50, group_cols=("src",)).collect()}
+    assert by["a"].n_oov == 1 and by["a"].n_tok == 4 and by["a"].oov_rate == 0.25
+    assert by["b"].oov_rate == 1.0
+    g = oov_rate(df, 50).collect()[0]
+    assert g.n_oov == 3 and g.n_tok == 6 and g.oov_rate == 0.5
+
+
+def test_vocab_histogram_topk(spark):
+    df = spark.createDataFrame(
+        [(1, [7, 7, 7, 3, 3, 5])], "doc_id long, tokens array<int>"
+    )
+    top = vocab_histogram(df, top_k=2).collect()
+    assert [(r.token, r.freq) for r in top] == [(7, 3), (3, 2)]
+
+
+def test_tokenize_words_modes(spark):
+    df = spark.createDataFrame([("Hello  world hello",)], "text string")
+    fast = df.select(tokenize_words(F.col("text")).alias("t")).first().t
+    port = df.select(
+        tokenize_words(F.col("text"), hash_mode="portable").alias("t")
+    ).first().t
+    for toks in (fast, port):
+        assert len(toks) == 3
+        assert toks[0] == toks[2]  # case-normalized duplicates agree
+        assert all(0 <= x < 32768 for x in toks)
+
+
+def test_vocab_histogram_partial_agg_plan(spark):
+    """The explode → count plan must contain a partial aggregate before
+    the exchange (map-side combine) — the property that bounds the
+    shuffle by |vocab| instead of corpus token count."""
+    df = spark.createDataFrame([(1, [1, 2, 2])], "doc_id long, tokens array<int>")
+    plan = vocab_histogram(df)._jdf.queryExecution().executedPlan().toString()
+    # tree dump order is final agg → Exchange → partial agg (leaf-last):
+    # the partial_count below the exchange IS the map-side combine
+    assert "partial_count" in plan
+    assert plan.index("Exchange") < plan.index("partial_count")
