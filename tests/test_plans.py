@@ -145,3 +145,59 @@ def test_regex_parser_single_pass_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_replace") == 1
     assert "RLike" not in plan and "rlike" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    from vector_spark.dataops.curation import pii_scrub
+
+    df = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
+    plan = _plan(pii_scrub(df, "text"))
+    assert "Exchange" not in plan  # map-only projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    from vector_spark.dataops.curation import contamination_check
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    plan = _plan(contamination_check(docs, bench, n=3))
+    # the benchmark gram side ships broadcast; the doc side never
+    # shuffles for the semi-join itself (only the per-doc groupBys)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_no_shuffle_no_python(spark):
+    from vector_spark.dataops.curation import stratified_sample
+
+    df = spark.createDataFrame([(1, "web")], "k long, src string")
+    plan = _plan(stratified_sample(df, "src", {"web": 0.5}, key_col="k"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_datadog_search_filter_pushes_to_scan(events_pq):
+    """A datadog_search condition on a plain column is a Catalyst
+    predicate like any other — it must reach the parquet scan."""
+    from vector_spark.datadog import SearchSchema, compile_datadog_search
+
+    cond = compile_datadog_search(
+        "@event_type:error", SearchSchema(message_col="props", tags_col="props")
+    )
+    plan = _plan(events_pq.filter(cond).select("event_id"))
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:300]
+
+
+def test_winnow_has_no_window_exchange(spark):
+    from vector_spark.dataops.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    plan = _plan(winnow_fingerprints(df))
+    assert "Window" not in plan  # minima computed array-side
+    # exactly one exchange: the final distinct
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final pair
