@@ -1105,6 +1105,57 @@ def _q_stream_dedupe(spark, sf):
     return spark.table(name)
 
 
+def _q_stream_route(spark, sf):
+    """Streaming fan-out driven to completion: ONE readStream, three
+    predicate lanes written per micro-batch through foreachBatch
+    (stream_route_writer — the fanout-channel analogue), then the lane
+    sinks are read back and summarized. Verified on routed-row
+    equality: per-lane counts + exact integer id-sums match the batch
+    oracle regardless of micro-batch boundaries."""
+    import shutil
+    import tempfile
+
+    from vector_spark.streaming.ops import stream_route_writer
+
+    schema = _load(spark, sf, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    routes = {
+        "errors": '.event_type == "error"',
+        "big": ".value >= 150.0",
+        "rest": '.event_type != "error" && .value < 150.0',
+    }
+    work = tempfile.mkdtemp(prefix="vs_stream_route_")
+    sinks = {lane: f"{work}/{lane}" for lane in routes}
+    try:
+        q = stream_route_writer(
+            stream, routes, sinks, checkpoint_dir=f"{work}/_ckpt"
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        frames = []
+        for lane, path in sinks.items():
+            frames.append(
+                spark.read.parquet(path)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("event_id").alias("id_sum"),
+                )
+                .select(F.lit(lane).alias("lane"), "n", "id_sum")
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        # materialize the 3 summary rows before the temp sinks vanish
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk example packing over a tokenized view of
     documents (word count as n_tok, doc_id%4 as the stream): per-doc
@@ -1381,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "vocab_topk": _q_vocab_topk,
         "oov_rate": _q_oov_rate,
+        "stream_route": _q_stream_route,
     }
 
 
@@ -1696,6 +1748,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, cast(r AS double) AS sample_rate
             FROM d
             WHERE substr(md5(cast(doc_id AS varchar)), 1, 4) < cutoff
+        """,
+        "stream_route": """
+            SELECT 'errors' AS lane, count(*) AS n,
+                   cast(sum(event_id) AS bigint) AS id_sum
+            FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'big', count(*), cast(sum(event_id) AS bigint)
+            FROM events WHERE value >= 150.0
+            UNION ALL
+            SELECT 'rest', count(*), cast(sum(event_id) AS bigint)
+            FROM events WHERE event_type <> 'error' AND value < 150.0
         """,
         "token_stats": f"""
             WITH words AS (
