@@ -1,0 +1,73 @@
+"""CLI subcommands (graph.rs / list.rs / validate.rs analogues) —
+driver-side only, no SparkSession."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vector_spark.cli import main
+
+CONFIG = """
+[transforms.parse]
+type = "grok_parser"
+inputs = ["in"]
+pattern = "%{COMMONAPACHELOG}"
+
+[transforms.router]
+type = "route"
+inputs = ["parse"]
+[transforms.router.route]
+hot = '.response == "500"'
+
+[sinks.errors]
+inputs = ["router.hot"]
+path = "/tmp/x"
+"""
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    p = tmp_path / "p.toml"
+    p.write_text(CONFIG)
+    return str(p)
+
+
+def test_graph_dot(cfg, capsys):
+    assert main(["graph", "-c", cfg]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("digraph {") and out.rstrip().endswith("}")
+    assert '"parse" [shape=diamond]' in out
+    assert '"errors" [shape=invtrapezium]' in out
+    assert '"router.hot" -> "errors"' in out
+    assert '"in" -> "parse"' in out
+
+
+def test_validate_ok(cfg, capsys):
+    assert main(["validate", "-c", cfg]) == 0
+    assert "topology valid" in capsys.readouterr().out
+
+
+def test_validate_unknown_input(tmp_path, capsys):
+    p = tmp_path / "bad.toml"
+    p.write_text('[transforms.a]\ntype="filter"\ninputs=["ghost"]\ncondition=".x"\n')
+    assert main(["validate", "-c", str(p)]) == 78
+    assert "unknown input 'ghost'" in capsys.readouterr().err
+
+
+def test_validate_cycle(tmp_path, capsys):
+    p = tmp_path / "cyc.toml"
+    p.write_text(
+        '[transforms.a]\ntype="filter"\ninputs=["b"]\ncondition=".x"\n'
+        '[transforms.b]\ntype="filter"\ninputs=["a"]\ncondition=".x"\n'
+    )
+    assert main(["validate", "-c", str(p)]) == 78
+    assert "cycle" in capsys.readouterr().err
+
+
+def test_list_json(capsys):
+    assert main(["list", "--format", "json"]) == 0
+    data = json.loads(capsys.readouterr().out)
+    assert "remap" in data["transforms"]
+    assert "datadog_search" in data["conditions"]

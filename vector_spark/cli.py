@@ -1,0 +1,183 @@
+"""Operational CLI — the engine's counterpart to Vector's subcommands
+(src/cli.rs): ``graph`` (config topology → Graphviz DOT, graph.rs),
+``list`` (available components, list.rs), ``validate`` (config load +
+topology check, validate.rs), ``test`` (behavior-TOML harness, the
+`vector test` port — delegates to vector_spark.testing).
+
+    python -m vector_spark.cli graph  -c pipeline.toml
+    python -m vector_spark.cli list   [--format text|json]
+    python -m vector_spark.cli validate -c pipeline.toml
+    python -m vector_spark.cli test   tests/behavior_corpus/*.toml
+
+``graph``/``list``/``validate`` are driver-side only (no SparkSession,
+no JVM start): topology is config-level. ``test`` starts a local
+session and runs every [[tests]] block.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tomllib
+
+# The honest component inventory of THIS engine (list.rs analogue).
+COMPONENTS: dict[str, list[str]] = {
+    "sources": [
+        "file (parquet/json/text, glob, multiline folding)",
+        "generator",
+        "kafka (classpath-gated)",
+        "iceberg (classpath-gated)",
+        "stream: rate / file-stream (Structured Streaming)",
+    ],
+    "transforms": [
+        "remap", "filter", "route", "sample", "log_to_metric", "dedupe",
+        "reduce", "aggregate", "grok_parser", "regex_parser", "json_parser",
+        "key_value_parser", "logfmt_parser", "tokenizer", "split", "coercer",
+        "add_fields", "remove_fields", "rename_fields", "concat",
+        "ansi_stripper", "field_filter", "add_tags", "remove_tags", "merge",
+        "metric_to_log", "enrich (geoip analogue)", "aws_ec2_metadata",
+        "json_array_parser (cloudwatch 1->N)", "tag_cardinality_limit",
+        "custom_stage (lua/wasm extension point)",
+    ],
+    "sinks": [
+        "file (parquet/json/csv)", "console", "blackhole",
+        "kafka (classpath-gated)", "iceberg (classpath-gated)",
+    ],
+    "conditions": ["check_fields", "vrl (VRL-lite)", "datadog_search"],
+}
+
+
+def _read_config(path: str) -> dict:
+    with open(path, "rb") as f:
+        return tomllib.load(f)
+
+
+def cmd_graph(args) -> int:
+    """Config topology → DOT (graph.rs:82-105: sources trapezium,
+    transforms diamond, sinks invtrapezium, input edges)."""
+    raw = _read_config(args.config)
+    out = ["digraph {"]
+    for name in raw.get("sources", {}):
+        out.append(f'  "{name}" [shape=trapezium]')
+    for name, spec in raw.get("transforms", {}).items():
+        out.append(f'  "{name}" [shape=diamond]')
+        for inp in spec.get("inputs", []):
+            out.append(f'  "{inp}" -> "{name}"')
+    for name, spec in raw.get("sinks", {}).items():
+        out.append(f'  "{name}" [shape=invtrapezium]')
+        for inp in spec.get("inputs", []):
+            out.append(f'  "{inp}" -> "{name}"')
+    out.append("}")
+    print("\n".join(out))
+    return 0
+
+
+def cmd_list(args) -> int:
+    if args.format == "json":
+        print(json.dumps(COMPONENTS, indent=2))
+    else:
+        for kind, items in COMPONENTS.items():
+            print(f"{kind}:")
+            for it in items:
+                print(f"  - {it}")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Config sanity without a JVM: TOML parses, every input edge
+    points at a declared node (or the implicit 'in'/route lanes), no
+    cycles. Full expression compilation happens lazily at run (and in
+    `test`, which builds real plans)."""
+    try:
+        raw = _read_config(args.config)
+    except (OSError, tomllib.TOMLDecodeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 78  # EX_CONFIG
+    names = set(raw.get("sources", {})) | set(raw.get("transforms", {})) | {"in"}
+    route_lanes = {
+        f"{name}.{lane}"
+        for name, spec in raw.get("transforms", {}).items()
+        if spec.get("type") in ("route", "swimlanes")
+        for lane in (spec.get("route") or spec.get("lanes") or {})
+    }
+    names |= route_lanes
+    errors = []
+    for section in ("transforms", "sinks"):
+        for name, spec in raw.get(section, {}).items():
+            for inp in spec.get("inputs", []):
+                if inp not in names:
+                    errors.append(f"{section}.{name}: unknown input {inp!r}")
+    # cycle check over transform edges (sinks cannot be inputs)
+    graph = {
+        name: [i for i in spec.get("inputs", []) if i in raw.get("transforms", {})]
+        for name, spec in raw.get("transforms", {}).items()
+    }
+    WHITE, GRAY, BLACK = 0, 1, 2
+    color = dict.fromkeys(graph, WHITE)
+
+    def visit(n: str) -> bool:
+        color[n] = GRAY
+        for m in graph[n]:
+            if color[m] == GRAY or (color[m] == WHITE and visit(m)):
+                return True
+        color[n] = BLACK
+        return False
+
+    for n in graph:
+        if color[n] == WHITE and visit(n):
+            errors.append(f"cycle involving transform {n!r}")
+            break
+    if errors:
+        for e in errors:
+            print(f"error: {e}", file=sys.stderr)
+        return 78
+    n_t, n_s = len(raw.get("transforms", {})), len(raw.get("sinks", {}))
+    print(f"OK: {n_t} transforms, {n_s} sinks, topology valid")
+    return 0
+
+
+def cmd_test(args) -> int:
+    from vector_spark import get_spark
+    from vector_spark.testing import run_behavior_file
+
+    spark = get_spark("vector_test", shuffle_partitions=4)
+    failed = 0
+    try:
+        for path in args.files:
+            with open(path) as f:
+                text = f.read()
+            for res in run_behavior_file(spark, text):
+                status = "PASS" if res.passed else "FAIL"
+                if not res.passed:
+                    failed += 1
+                detail = "; ".join(res.failures)
+                print(f"{status} {path}::{res.name}" + (
+                    f"  ({detail})" if not res.passed and detail else ""
+                ))
+    finally:
+        spark.stop()
+    return 1 if failed else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="vector_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("graph", help="render config topology as DOT")
+    g.add_argument("-c", "--config", required=True)
+    g.set_defaults(fn=cmd_graph)
+    l = sub.add_parser("list", help="list available components")
+    l.add_argument("--format", choices=["text", "json"], default="text")
+    l.set_defaults(fn=cmd_list)
+    v = sub.add_parser("validate", help="validate a config topology")
+    v.add_argument("-c", "--config", required=True)
+    v.set_defaults(fn=cmd_validate)
+    t = sub.add_parser("test", help="run behavior-TOML tests")
+    t.add_argument("files", nargs="+")
+    t.set_defaults(fn=cmd_test)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
