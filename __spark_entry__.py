@@ -1156,6 +1156,19 @@ def _q_stream_route(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_winnow_dup_pairs(spark, sf):
+    """Shared-passage near-dup pairs from winnowing fingerprints
+    (MOSS strategy): docs sharing >= 2 fingerprints after pruning
+    boilerplate fingerprints above a document-frequency cap — the
+    stop-shingle defense against d² fan-out on hot fingerprints."""
+    from vector_spark.dataops.textstats import winnow_dup_pairs
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return winnow_dup_pairs(docs, min_shared=2, max_fingerprint_df=50)
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk example packing over a tokenized view of
     documents (word count as n_tok, doc_id%4 as the stream): per-doc
@@ -1433,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "oov_rate": _q_oov_rate,
         "stream_route": _q_stream_route,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
     }
 
 
@@ -2151,6 +2165,34 @@ def oracle_sql() -> dict[str, str]:
                    min(h) OVER (PARTITION BY id ORDER BY pos
                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
             FROM grams
+        """,
+        "winnow_dup_pairs": f"""
+            WITH grams AS (
+              SELECT id, i AS pos,
+                     substring(md5(array_to_string(words[i:i+4], ' ')), 1, 16) AS h
+              FROM (
+                SELECT doc_id AS id, words,
+                       unnest(generate_series(1, greatest(len(words)-4, 0))) AS i
+                FROM (SELECT cast(doc_id AS bigint) AS doc_id,
+                             string_split({_NORM}, ' ') AS words
+                      FROM documents)
+              )
+            ), fp AS (
+              SELECT DISTINCT id,
+                     min(h) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                         AS fingerprint
+              FROM grams
+            ), rare AS (
+              SELECT fingerprint FROM fp GROUP BY fingerprint
+              HAVING count(*) <= 50
+            ), pruned AS (
+              SELECT fp.id, fp.fingerprint FROM fp JOIN rare USING (fingerprint)
+            )
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+            FROM pruned a JOIN pruned b
+              ON a.fingerprint = b.fingerprint AND a.id < b.id
+            GROUP BY a.id, b.id HAVING count(*) >= 2
         """,
         "syslog5424": """
             SELECT event_id,

@@ -317,3 +317,25 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert got[1] == (0, 0) and got[2] == (0, 60) and got[3] == (1, 20)
     # stream t independent: starts at bin 0
     assert got[4] == (0, 0)
+
+
+def test_winnow_dup_pairs_detects_copies_and_prunes_boilerplate(spark):
+    from vector_spark.dataops.textstats import winnow_dup_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"unique one {shared}"),
+        (2, f"{shared} unique two tail"),
+        (3, "completely different text with other words entirely here"),
+    ]
+    # boilerplate: the same header in EVERY doc must not create pairs
+    # once its fingerprints exceed the df cap
+    boiler = "standard license header text common to every document here"
+    rows += [(10 + i, f"{boiler} doc body {i} filler words go here") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_dup_pairs(df, min_shared=2, max_fingerprint_df=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # long shared passage -> detected
+    assert not any(a >= 10 and b >= 10 for a, b in got), (
+        "boilerplate-only overlap must be pruned by the df cap"
+    )

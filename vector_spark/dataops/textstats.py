@@ -139,6 +139,46 @@ def winnow_fingerprints(
     )
 
 
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fingerprint_df: int = 50,
+) -> DataFrame:
+    """MOSS-style near-duplicate PAIRS from winnowing fingerprints:
+    documents sharing ≥ ``min_shared`` fingerprints (each fingerprint
+    witnesses a shared passage of ≥ k + window - 1 words).
+
+    Scale shape: self-equi-join on the fingerprint — a fingerprint in
+    d documents fans out d² candidate rows, so BOILERPLATE fingerprints
+    (license headers, navigation chrome) are pruned first via a
+    document-frequency cap (the stop-shingle strategy from
+    ngram_jaccard, same reasoning). The pair counts then aggregate with
+    map-side partials keyed by (id_a, id_b) — uniform unless the corpus
+    is one giant template, which the cap bounds.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, window)
+    fp = fp.persist()
+    rare = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_fingerprint_df)
+        .select("fingerprint")
+    )
+    pruned = fp.join(rare, "fingerprint")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
