@@ -266,3 +266,11 @@ def test_parse_errors():
 
     with pytest.raises(ValueError):
         parse_datadog_search("(unbalanced")
+
+
+@pytest.mark.parametrize("bad", ["host:", "NOT", "a AND", "-", "(", "b:>"])
+def test_truncated_queries_raise_cleanly(bad):
+    from vector_spark.datadog import parse_datadog_search
+
+    with pytest.raises(ValueError):
+        parse_datadog_search(bad)

@@ -148,6 +148,11 @@ class _P:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError(
+                "datadog_search: unexpected end of query (dangling "
+                "field:, operator, or NOT)"
+            )
         t = self.toks[self.i]
         self.i += 1
         return t
@@ -155,17 +160,25 @@ class _P:
     # query := clause ((AND|OR)? clause)*   — implicit op is AND
     def parse_query(self, stop_at_rparen: bool = False):
         nodes, ops = [], []
+        pending: str | None = None  # explicit op awaiting its right side
         while True:
             t = self.peek()
             if t is None or (stop_at_rparen and t == ")"):
                 break
             if t in ("AND", "OR"):
+                if not nodes or pending is not None:
+                    raise ValueError(
+                        f"datadog_search: misplaced {t} operator"
+                    )
                 self.next()
-                ops.append(t.lower())
+                pending = t.lower()
                 continue
             if nodes:
-                ops.append(None)  # implicit
+                ops.append(pending)  # None = implicit AND
+            pending = None
             nodes.append(self.parse_clause())
+        if pending is not None:
+            raise ValueError("datadog_search: dangling AND/OR operator")
         if not nodes:
             raise ValueError("datadog_search: empty query")
         # left-fold; None (implicit) = and. OR binds looser than AND:
