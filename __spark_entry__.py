@@ -1169,6 +1169,32 @@ def _q_winnow_dup_pairs(spark, sf):
     return winnow_dup_pairs(docs, min_shared=2, max_fingerprint_df=50)
 
 
+def _q_repetition_signals(spark, sf):
+    """Gopher-style per-document quality/repetition signals — all
+    array/string expressions over one scan (no explode, no shuffle),
+    the shape a quality filter needs at 10^12 docs."""
+    from vector_spark.dataops.textstats import repetition_signals
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return repetition_signals(docs)
+
+
+def _q_mix_rates(spark, sf):
+    """Temperature-based domain-mixing rates (kept mass ∝ count^0.5,
+    capped at 1): the bounded driver-side computation verified against
+    the closed form sqrt(min_count/count) in SQL."""
+    from vector_spark.dataops.curation import temperature_rates
+
+    docs = _load(spark, sf, "documents")
+    rates = temperature_rates(docs, "lang", alpha=0.5)
+    return spark.createDataFrame(
+        [(k, float(round(v, 6))) for k, v in sorted(rates.items())],
+        "lang string, rate double",
+    )
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk example packing over a tokenized view of
     documents (word count as n_tok, doc_id%4 as the stream): per-doc
@@ -1447,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "stream_route": _q_stream_route,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
+        "repetition_signals": _q_repetition_signals,
+        "mix_rates": _q_mix_rates,
     }
 
 
@@ -2165,6 +2193,50 @@ def oracle_sql() -> dict[str, str]:
                    min(h) OVER (PARTITION BY id ORDER BY pos
                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
             FROM grams
+        """,
+        "repetition_signals": f"""
+            WITH base AS (
+              SELECT cast(doc_id AS bigint) AS doc_id, text,
+                     string_split({_NORM}, ' ') AS w,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     [array_to_string(w[j:j+1], ' ')
+                      for j in range(1, greatest(len(w)-1, 0)+1)] AS g2,
+                     [array_to_string(w[j:j+2], ' ')
+                      for j in range(1, greatest(len(w)-2, 0)+1)] AS g3
+              FROM base
+            )
+            SELECT b.doc_id,
+                   cast(len(w) AS int) AS n_words,
+                   round(length(array_to_string(w, '')) / greatest(len(w), 1), 6)
+                       AS mean_word_len,
+                   round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                         / greatest(len(w), 1), 6) AS symbol_word_ratio,
+                   round(len(list_filter(lines,
+                         l -> regexp_matches(trim(l), '^[-*•]')))
+                         / greatest(len(lines), 1), 6) AS bullet_ratio,
+                   round(len(list_filter(lines,
+                         l -> ends_with(rtrim(l), '...')))
+                         / greatest(len(lines), 1), 6) AS ellipsis_ratio,
+                   CASE WHEN len(g2) > 0
+                        THEN round((len(g2) - len(list_distinct(g2)))
+                                   / len(g2), 6)
+                        ELSE 0.0 END AS dup_2gram_frac,
+                   CASE WHEN len(g3) > 0
+                        THEN round((len(g3) - len(list_distinct(g3)))
+                                   / len(g3), 6)
+                        ELSE 0.0 END AS dup_3gram_frac
+            FROM base b JOIN grams USING (doc_id)
+        """,
+        "mix_rates": """
+            WITH c AS (
+              SELECT lang, cast(count(*) AS double) AS c
+              FROM documents GROUP BY lang
+            ), m AS (SELECT min(c) AS mc FROM c)
+            SELECT lang, round(least(1.0, round(sqrt(mc / c), 9)), 6) AS rate
+            FROM c, m
         """,
         "winnow_dup_pairs": f"""
             WITH grams AS (

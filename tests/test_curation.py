@@ -100,3 +100,29 @@ def test_stratified_sample_xxhash_mode(spark):
     n = out.count()
     assert abs(n / 2000 - 0.3) < 0.05
     assert "sample_rate" not in out.columns
+
+
+def test_temperature_rates_math(spark):
+    df = spark.createDataFrame(
+        [("en",)] * 64 + [("fr",)] * 16 + [("zh",)] * 4, "lang string"
+    )
+    from vector_spark.dataops.curation import mix_sample, temperature_rates
+
+    rates = temperature_rates(df.select("lang"), "lang", alpha=0.5)
+    # closed form sqrt(min_c / c): power-of-two counts make it exact
+    assert rates == {"en": 0.25, "fr": 0.5, "zh": 1.0}
+    # alpha=1 -> proportional sampling = keep everything
+    assert temperature_rates(df, "lang", alpha=1.0) == {
+        "en": 1.0, "fr": 1.0, "zh": 1.0
+    }
+    # target_fraction scales total kept mass
+    r = temperature_rates(df, "lang", alpha=0.5, target_fraction=0.25)
+    exp_total = 64 * r["en"] + 16 * r["fr"] + 4 * r["zh"]
+    assert abs(exp_total - 0.25 * 84) < 1e-6
+
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("k", F.monotonically_increasing_id())
+    out = mix_sample(keyed, "lang", key_col="k", alpha=0.5, hash_mode="md5")
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept.get("zh") == 4  # rate 1.0 keeps all

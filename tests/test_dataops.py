@@ -339,3 +339,21 @@ def test_winnow_dup_pairs_detects_copies_and_prunes_boilerplate(spark):
     assert not any(a >= 10 and b >= 10 for a, b in got), (
         "boilerplate-only overlap must be pruned by the df cap"
     )
+
+
+def test_repetition_signals(spark):
+    from vector_spark.dataops.textstats import repetition_signals
+
+    rows = [
+        (1, "spam spam spam spam spam"),              # maximal 2-gram dup
+        (2, "all words here are fully distinct now"), # no dup
+        (3, "- bullet one\n- bullet two\nplain line\nwait for it..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].dup_2gram_frac == 0.75  # 4 grams, 1 distinct
+    assert out[2].dup_2gram_frac == 0.0 and out[2].dup_3gram_frac == 0.0
+    assert out[3].bullet_ratio == 0.5      # 2 of 4 lines
+    assert out[3].ellipsis_ratio == 0.25   # 1 of 4 lines
+    assert out[1].n_words == 5 and out[1].mean_word_len == 4.0
+    assert out[2].symbol_word_ratio == 0.0

@@ -136,6 +136,59 @@ def contamination_check(
 # ---------------------------------------------------------------------------
 
 
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.7,
+    target_fraction: float | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-based domain mixing:
+    kept mass ∝ count^alpha (alpha<1 upsamples small domains relative
+    to their share — the standard multilingual/multi-domain mixing
+    rule). Rates are capped at 1.0 (sampling can only downsample;
+    upweighting beyond that is a repeat-epochs decision).
+
+    The per-stratum count aggregate collects |strata| rows to the
+    driver (domains are tens-to-hundreds) — bounded, not data-sized.
+    ``target_fraction`` additionally scales to keep ~that fraction of
+    all rows.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("c")).collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    w = {k: float(c) ** alpha for k, c in counts.items()}
+    base = {k: w[k] / counts[k] for k in counts}
+    if target_fraction is None:
+        s = 1.0 / max(base.values())
+    else:
+        s = min(
+            target_fraction * sum(counts.values()) / sum(w.values()),
+            1.0 / max(base.values()),
+        )
+    return {k: min(1.0, round(s * base[k], 9)) for k in counts}
+
+
+def mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    target_fraction: float | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-mixed corpus sample: ``temperature_rates`` +
+    ``stratified_sample`` in one call. Deterministic, map-only after
+    the one bounded count aggregate."""
+    rates = temperature_rates(df, strata_col, alpha, target_fraction)
+    return stratified_sample(
+        df, strata_col, rates, key_col=key_col, hash_mode=hash_mode
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -156,13 +209,20 @@ def stratified_sample(
     contract as ``operators.core.sample``).
     """
     if hash_mode == "md5":
-        # lowercase fixed-width hex compares lexicographically == numerically
+        # lowercase fixed-width hex compares lexicographically == numerically;
+        # r >= 1 must short-circuit to True — its cutoff would be the
+        # 5-char "10000", which sorts BELOW every 4-char hash
         u = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
-        rate_expr = lambda r: F.lit(format(int(r * 65536), "04x"))  # noqa: E731
-        keep_for = lambda r: u < rate_expr(r)  # noqa: E731
+        keep_for = lambda r: (  # noqa: E731
+            F.lit(True)
+            if r >= 1.0
+            else u < F.lit(format(max(int(r * 65536), 0), "04x"))
+        )
     else:
         u = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(1_000_000))
-        keep_for = lambda r: u < F.lit(int(r * 1_000_000))  # noqa: E731
+        keep_for = lambda r: (  # noqa: E731
+            F.lit(True) if r >= 1.0 else u < F.lit(max(int(r * 1_000_000), 0))
+        )
 
     keep = F.lit(False)
     rate_col = F.lit(default_rate)

@@ -139,6 +139,66 @@ def winnow_fingerprints(
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality/repetition signals (Rae et al. 2021 §A1.1,
+    public): per-document duplicate n-gram fractions, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line ratios. One map-only
+    projection — every signal is an array/string expression over the
+    materialized word array (no explode, no shuffle, no UDF), so the
+    filter runs at scan speed on 10^12 documents.
+
+    Columns: n_words, mean_word_len, symbol_word_ratio, bullet_ratio,
+    ellipsis_ratio, dup_2gram_frac, dup_3gram_frac (1 - distinct/total
+    n-grams; high values = templated/repetitive text).
+    """
+    from vector_spark.dataops.dedup import kgram_positions, normalize_text
+
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    w = F.col("_w")
+    n_words = F.size(w)
+
+    def dup_frac(n: int) -> Column:
+        grams = F.transform(
+            kgram_positions(w, n), lambda i: F.concat_ws(" ", F.slice(w, i, n))
+        )
+        total = F.size(grams)
+        return F.when(
+            total > 0,
+            F.round(
+                (total - F.size(F.array_distinct(grams))) / total, 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    lines = F.col("_lines")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    symbols = F.length(F.regexp_replace(F.col("_txt"), r"[A-Za-z0-9\s]", ""))
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(
+            F.length(F.concat_ws("", w)) / F.greatest(n_words, F.lit(1)), 6
+        ).alias("mean_word_len"),
+        F.round(symbols / F.greatest(n_words, F.lit(1)), 6).alias(
+            "symbol_word_ratio"
+        ),
+        F.round(bullet / n_lines, 6).alias("bullet_ratio"),
+        F.round(ellipsis / n_lines, 6).alias("ellipsis_ratio"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
 def winnow_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
