@@ -1195,6 +1195,16 @@ def _q_mix_rates(spark, sf):
     )
 
 
+def _q_rollup_tiers(spark, sf):
+    """Multi-resolution rollup (5m/1h/1d continuous-aggregate tiers)
+    in ONE pass: single scan + Expand + one partial/final aggregate
+    via GROUPING SETS — not one scan per tier."""
+    from vector_spark.operators.metrics import rollup_metrics
+
+    ev = _load(spark, sf, "events").withColumnRenamed("ts", "timestamp")
+    return rollup_metrics(ev, series_cols=("event_type",))
+
+
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk example packing over a tokenized view of
     documents (word count as n_tok, doc_id%4 as the stream): per-doc
@@ -1475,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "repetition_signals": _q_repetition_signals,
         "mix_rates": _q_mix_rates,
+        "rollup_tiers": _q_rollup_tiers,
     }
 
 
@@ -2229,6 +2240,28 @@ def oracle_sql() -> dict[str, str]:
                                    / len(g3), 6)
                         ELSE 0.0 END AS dup_3gram_frac
             FROM base b JOIN grams USING (doc_id)
+        """,
+        "rollup_tiers": """
+            WITH base AS (
+              SELECT event_type, value,
+                     cast(to_timestamp(cast(floor(epoch(ts)/300) AS bigint)*300)
+                          AS timestamp) AS w5,
+                     cast(to_timestamp(cast(floor(epoch(ts)/3600) AS bigint)*3600)
+                          AS timestamp) AS w1h,
+                     cast(to_timestamp(cast(floor(epoch(ts)/86400) AS bigint)*86400)
+                          AS timestamp) AS w1d
+              FROM events
+            )
+            SELECT CASE WHEN grouping(w5) = 0 THEN '5m'
+                        WHEN grouping(w1h) = 0 THEN '1h'
+                        ELSE '1d' END AS tier,
+                   coalesce(w5, w1h, w1d) AS window_start, event_type,
+                   count(value) AS n,
+                   cast(sum(cast(value AS decimal(38,6))) AS double) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM base
+            GROUP BY GROUPING SETS ((event_type, w5), (event_type, w1h),
+                                    (event_type, w1d))
         """,
         "mix_rates": """
             WITH c AS (

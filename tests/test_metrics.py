@@ -256,3 +256,32 @@ def test_aggregate_metrics_rate_weighted(spark):
     legacy = df.drop("rate")
     r2 = aggregate_metrics(legacy).first()
     assert r2["count"] == 2 and r2["sum"] == 6.0
+
+
+def test_rollup_metrics_one_pass_grouping_sets(spark):
+    from vector_spark.operators.metrics import rollup_metrics
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 1), "a", 1.0),
+        (dt.datetime(2024, 1, 1, 0, 7), "a", 2.0),
+        (dt.datetime(2024, 1, 1, 1, 1), "a", 4.0),
+        (dt.datetime(2024, 1, 2, 0, 0), "b", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "timestamp timestamp, name string, value double")
+    out = rollup_metrics(df)
+    rows_by = {(r.tier, r.name, str(r.window_start)): r for r in out.collect()}
+    # 5m tier: three windows for 'a'
+    assert rows_by[("5m", "a", "2024-01-01 00:00:00")].sum_value == 1.0
+    assert rows_by[("5m", "a", "2024-01-01 00:05:00")].sum_value == 2.0
+    # 1h tier folds the first two
+    assert rows_by[("1h", "a", "2024-01-01 00:00:00")].sum_value == 3.0
+    assert rows_by[("1h", "a", "2024-01-01 01:00:00")].n == 1
+    # 1d tier folds all of Jan 1 for 'a'
+    assert rows_by[("1d", "a", "2024-01-01 00:00:00")].sum_value == 7.0
+    assert rows_by[("1d", "b", "2024-01-02 00:00:00")].max_value == 8.0
+    # one pass over the input: the optimized plan has a single Expand
+    # over a single relation (AQE's physical dump repeats subtrees)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("LogicalRDD") == 1

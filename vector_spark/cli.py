@@ -137,6 +137,57 @@ def cmd_validate(args) -> int:
     return 0
 
 
+# TOML config skeletons for `generate` (generate.rs analogue). Each
+# transform prints with its required keys and a chained `inputs`.
+_GENERATE_SNIPPETS: dict[str, str] = {
+    "remap": 'source = """\n.field = .other_field\n"""',
+    "filter": 'condition = ".status == 200"',
+    "route": '[transforms.{name}.route]\nhot = \'.source == "web"\'\nrest = \'.source != "web"\'',
+    "sample": "rate = 10\nkey_field = \"doc_id\"",
+    "grok_parser": 'pattern = "%{COMMONAPACHELOG}"',
+    "regex_parser": "patterns = ['^(?P<level>\\S+) (?P<msg>.*)$']",
+    "json_parser": "drop_invalid = false",
+    "key_value_parser": 'field_split = "="',
+    "logfmt_parser": "",
+    "dedupe": '[transforms.{name}.fields]\nmatch = ["message"]',
+    "reduce": 'group_by = ["request_id"]',
+    "log_to_metric": '[[transforms.{name}.metrics]]\ntype = "counter"\nfield = "status"\nname = "events_total"',
+    "add_fields": '[transforms.{name}.fields]\nenv = "prod"',
+    "coercer": '[transforms.{name}.types]\nstatus = "int"',
+    "datadog_search": "# condition usage: {{type=\"datadog_search\", source=\"@status:error\"}}",
+}
+
+
+def cmd_generate(args) -> int:
+    """Print a config skeleton from an expression like
+    '/grok_parser,filter/file' (sources/transforms/sinks divided by
+    slashes, generate.rs:22-44; names default to transform1..N)."""
+    parts = (args.expression.split("/") + ["", "", ""])[:3]
+    srcs, transforms, sinks = (
+        [x for x in p.split(",") if x] for p in parts
+    )
+    out, prev = [], "in"
+    for i, s in enumerate(srcs, 1):
+        out.append(f'[sources.source{i}]\ntype = "{s}"\n')
+        prev = f"source{i}"
+    for i, t in enumerate(transforms, 1):
+        name = f"transform{i}"
+        body = _GENERATE_SNIPPETS.get(t, "")
+        body = body.replace("{name}", name)
+        out.append(
+            f'[transforms.{name}]\ntype = "{t}"\ninputs = ["{prev}"]\n'
+            + (body + "\n" if body else "")
+        )
+        prev = name
+    for i, s in enumerate(sinks, 1):
+        out.append(
+            f'[sinks.sink{i}]\ntype = "{s}"\ninputs = ["{prev}"]\n'
+            f'path = "/data/out{i}"\n'
+        )
+    print("\n".join(out).rstrip())
+    return 0
+
+
 def cmd_test(args) -> int:
     from vector_spark import get_spark
     from vector_spark.testing import run_behavior_file
@@ -175,6 +226,11 @@ def main(argv: list[str] | None = None) -> int:
     t = sub.add_parser("test", help="run behavior-TOML tests")
     t.add_argument("files", nargs="+")
     t.set_defaults(fn=cmd_test)
+    ge = sub.add_parser(
+        "generate", help="print a config skeleton from 'src/t1,t2/sink'"
+    )
+    ge.add_argument("expression")
+    ge.set_defaults(fn=cmd_generate)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -440,3 +440,77 @@ def summary_quantiles(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def rollup_metrics(
+    df: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "timestamp",
+    series_cols: tuple[str, ...] = ("name",),
+    tiers: dict[str, int] | None = None,
+    sum_decimal: str | None = "decimal(38,6)",
+) -> DataFrame:
+    """Multi-resolution time rollup — every retention tier (5m/1h/1d
+    continuous-aggregate style) computed in ONE pass via GROUPING SETS.
+
+    The naive design scans once per tier (3 scans, 3 shuffles). With
+    GROUPING SETS Catalyst plans a single scan + one Expand (each input
+    row emitted once per tier) + one partial/final hash aggregate, so
+    at 100 TB the input is read once and the shuffle carries per-tier
+    partial aggregates bounded by series-cardinality x windows, not row
+    count. ``tiers`` maps tier label -> window seconds (default
+    5m/1h/1d). Sum routes through a fixed-point decimal by default
+    (addition-order-insensitive — deterministic across partitionings
+    and engines; same tradeoff as summary_quantiles).
+
+    Output: tier, window_start, *series_cols, n, sum_value, min_value,
+    max_value.
+    """
+    tiers = tiers or {"5m": 300, "1h": 3600, "1d": 86400}
+    ts = F.col(ts_col).cast("timestamp")
+    epoch = F.unix_timestamp(ts)
+    work = df
+    wcols = []
+    for label, secs in tiers.items():
+        wname = f"_w_{label}"
+        work = work.withColumn(
+            wname, F.timestamp_seconds(F.floor(epoch / secs) * secs)
+        )
+        wcols.append((label, wname))
+    v = F.col(value_col)
+    sum_expr = (
+        F.sum(v.try_cast(sum_decimal)).cast("double")
+        if sum_decimal
+        else F.sum(v)
+    )
+    sets = [[*series_cols, wname] for _, wname in wcols]
+    # grouping() flags must be computed INSIDE the aggregate; exactly
+    # one window column is grouped per output row, and the flag (not
+    # null-ness) identifies it, so NULL timestamps stay correct
+    grouped = work.groupingSets(
+        sets, *[F.col(c) for c in series_cols], *[F.col(w) for _, w in wcols]
+    ).agg(
+        F.count(v).alias("n"),
+        sum_expr.alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        *[
+            F.grouping(F.col(w)).alias(f"_g_{label}")
+            for label, w in wcols
+        ],
+    )
+    tier_expr = None
+    for label, _ in wcols:
+        cond = F.col(f"_g_{label}") == 0
+        tier_expr = (
+            F.when(cond, label) if tier_expr is None else tier_expr.when(cond, label)
+        )
+    return grouped.select(
+        tier_expr.alias("tier"),
+        F.coalesce(*[F.col(w) for _, w in wcols]).alias("window_start"),
+        *series_cols,
+        "n",
+        "sum_value",
+        "min_value",
+        "max_value",
+    )
