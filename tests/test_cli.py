@@ -71,3 +71,27 @@ def test_list_json(capsys):
     data = json.loads(capsys.readouterr().out)
     assert "remap" in data["transforms"]
     assert "datadog_search" in data["conditions"]
+
+
+def test_top_summarizes_checkpoint(tmp_path, capsys):
+    import json as _json
+
+    for i in range(2):
+        (tmp_path / f"shard-{i}.json").write_text(_json.dumps({
+            "run_id": "r", "shard_id": i, "lineage_files": ["a", "b"],
+            "telemetry": {"events_in": 10}, "sink_counts": {"hot": 4},
+            "wall_seconds": 1.5 + i,
+        }))
+    assert main(["top", "-c", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "shards committed: 2" in out
+    assert "events_in" in out and "20" in out
+    assert "sink.hot" in out and "8" in out
+
+
+def test_generate_roundtrips_validate(tmp_path, capsys):
+    assert main(["generate", "/grok_parser,route/file"]) == 0
+    cfg = capsys.readouterr().out
+    p = tmp_path / "gen.toml"
+    p.write_text(cfg)
+    assert main(["validate", "-c", str(p)]) == 0

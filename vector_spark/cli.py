@@ -211,6 +211,45 @@ def cmd_test(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_top(args) -> int:
+    """`vector top` analogue (src/top/): summarize a run's per-stage
+    telemetry from the checkpoint directory — no JVM, reads the
+    committed shard records. Totals per counter plus per-shard rows
+    sorted by wall time (slowest first)."""
+    import os
+
+    recs = []
+    try:
+        for fn in sorted(os.listdir(args.checkpoint)):
+            if fn.startswith("shard-") and fn.endswith(".json"):
+                with open(os.path.join(args.checkpoint, fn)) as f:
+                    recs.append(json.load(f))
+    except OSError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 66  # EX_NOINPUT
+    if not recs:
+        print("no committed shards")
+        return 0
+    totals: dict[str, float] = {}
+    for r in recs:
+        for k, v in (r.get("telemetry") or {}).items():
+            totals[k] = totals.get(k, 0) + v
+        for k, v in (r.get("sink_counts") or {}).items():
+            totals[f"sink.{k}"] = totals.get(f"sink.{k}", 0) + v
+    wall = sum(r.get("wall_seconds", 0.0) for r in recs)
+    print(f"shards committed: {len(recs)}   total wall: {wall:.1f}s")
+    for k in sorted(totals):
+        print(f"  {k:32s} {int(totals[k])}")
+    slowest = sorted(recs, key=lambda r: -r.get("wall_seconds", 0.0))[:10]
+    print("slowest shards:")
+    for r in slowest:
+        print(
+            f"  shard {r['shard_id']:>4}  {r.get('wall_seconds', 0):7.1f}s  "
+            f"{len(r.get('lineage_files') or [])} files"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vector_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -231,6 +270,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ge.add_argument("expression")
     ge.set_defaults(fn=cmd_generate)
+    tp = sub.add_parser(
+        "top", help="summarize run telemetry from a checkpoint dir"
+    )
+    tp.add_argument("-c", "--checkpoint", required=True)
+    tp.set_defaults(fn=cmd_top)
     args = p.parse_args(argv)
     return args.fn(args)
 
