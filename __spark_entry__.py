@@ -1195,6 +1195,55 @@ def _q_mix_rates(spark, sf):
     )
 
 
+def _q_resumable_run(spark, sf):
+    """Checkpointed sharded execution driven end-to-end TWICE: the
+    first run processes every shard and commits lineage records; the
+    rerun with the same checkpoint dir must skip every shard (resume
+    without loss or duplication — the north rule's resumability
+    contract). Output: per-type counts read back from the shard-scoped
+    sinks, plus the rerun's all-skipped witness."""
+    import shutil
+    import tempfile
+
+    from vector_spark.checkpoint import resumable_run, shard_output_path
+
+    work = tempfile.mkdtemp(prefix="vs_resume_gate_")
+    out_root = f"{work}/out"
+    try:
+
+        class _Res:
+            def __init__(self, telemetry, sink_counts):
+                self.telemetry = telemetry
+                self.sink_counts = sink_counts
+
+        def process(df, sid):
+            kept = df.filter(F.col("value") >= 50.0)
+            kept.write.mode("overwrite").parquet(shard_output_path(out_root, sid))
+            return _Res({"events_in": df.count()}, {})
+
+        first = resumable_run(
+            spark, f"{sf}/events.parquet", f"{work}/ckpt", process, n_shards=2
+        )
+        second = resumable_run(
+            spark, f"{sf}/events.parquet", f"{work}/ckpt", process, n_shards=2
+        )
+        all_skipped = bool(second) and all(r.skipped for r in second)
+        ran_first = bool(first) and not any(r.skipped for r in first)
+        agg = (
+            spark.read.parquet(out_root)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "resume_contract",
+                F.lit(all_skipped and ran_first),
+            )
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_rollup_tiers(spark, sf):
     """Multi-resolution rollup (5m/1h/1d continuous-aggregate tiers)
     in ONE pass: single scan + Expand + one partial/final aggregate
@@ -1486,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "mix_rates": _q_mix_rates,
         "rollup_tiers": _q_rollup_tiers,
+        "resumable_run": _q_resumable_run,
     }
 
 
@@ -2240,6 +2290,10 @@ def oracle_sql() -> dict[str, str]:
                                    / len(g3), 6)
                         ELSE 0.0 END AS dup_3gram_frac
             FROM base b JOIN grams USING (doc_id)
+        """,
+        "resumable_run": """
+            SELECT event_type, count(*) AS cnt, true AS resume_contract
+            FROM events WHERE value >= 50.0 GROUP BY event_type
         """,
         "rollup_tiers": """
             WITH base AS (
