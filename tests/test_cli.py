@@ -95,3 +95,17 @@ def test_generate_roundtrips_validate(tmp_path, capsys):
     p = tmp_path / "gen.toml"
     p.write_text(cfg)
     assert main(["validate", "-c", str(p)]) == 0
+
+
+def test_explain_prints_plan(tmp_path, capsys, spark):
+    p = tmp_path / "e.toml"
+    p.write_text(
+        '[transforms.keep]\ntype="filter"\ninputs=["in"]\ncondition=".n_tok >= 4"\n'
+        '[sinks.all]\ninputs=["keep"]\n'
+    )
+    # reuse the session fixture's JVM: call the handler directly
+    from vector_spark.cli import main as cli_main
+
+    assert cli_main(["explain", "-c", str(p), "--mode", "simple"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out

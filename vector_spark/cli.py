@@ -211,6 +211,36 @@ def cmd_test(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_explain(args) -> int:
+    """Show the Catalyst plan a config compiles to: load the pipeline,
+    build the single-scan fan-out frame over the input (or the built-in
+    sequences fixture), and print the formatted physical plan — the
+    pushdown/broadcast/codegen evidence for THIS config."""
+    from vector_spark import get_spark
+    from vector_spark.plans.config import load_pipeline
+
+    with open(args.config) as f:
+        pipe = load_pipeline(f.read())
+    spark = get_spark("vector_explain", shuffle_partitions=4)
+    try:
+        if args.input:
+            df = spark.read.parquet(args.input)
+        else:
+            from vector_spark.fixtures import sequences
+
+            df = sequences(spark, 100)
+        frame = pipe.lanes_exploded(df)
+        plan = frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                args.mode
+            )
+        )
+        print(plan.strip())
+    finally:
+        spark.stop()
+    return 0
+
+
 def cmd_top(args) -> int:
     """`vector top` analogue (src/top/): summarize a run's per-stage
     telemetry from the checkpoint directory — no JVM, reads the
@@ -275,6 +305,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     tp.add_argument("-c", "--checkpoint", required=True)
     tp.set_defaults(fn=cmd_top)
+    ex = sub.add_parser(
+        "explain", help="print the Catalyst plan a config compiles to"
+    )
+    ex.add_argument("-c", "--config", required=True)
+    ex.add_argument("-i", "--input", help="parquet input (default: fixture)")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost"],
+    )
+    ex.set_defaults(fn=cmd_explain)
     args = p.parse_args(argv)
     return args.fn(args)
 
