@@ -1244,6 +1244,34 @@ def _q_resumable_run(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_session_windows(spark, sf):
+    """Spark-native session windows (F.session_window) in batch: per
+    user, events merge while gaps stay under 1 hour; session end =
+    last event + gap. Verified against a DuckDB gaps-and-islands
+    oracle (lag + running break-sum) — the same shape Structured
+    Streaming uses for stream_reduce_sessions."""
+    ev = _load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "1 hour").alias("s"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").try_cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def _q_rollup_tiers(spark, sf):
     """Multi-resolution rollup (5m/1h/1d continuous-aggregate tiers)
     in ONE pass: single scan + Expand + one partial/final aggregate
@@ -1536,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_rates": _q_mix_rates,
         "rollup_tiers": _q_rollup_tiers,
         "resumable_run": _q_resumable_run,
+        "session_windows": _q_session_windows,
     }
 
 
@@ -2294,6 +2323,27 @@ def oracle_sql() -> dict[str, str]:
         "resumable_run": """
             SELECT event_type, count(*) AS cnt, true AS resume_contract
             FROM events WHERE value >= 50.0 GROUP BY event_type
+        """,
+        "session_windows": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), g AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 1 HOUR AS session_end,
+                   cast(user_id AS bigint) AS user_id,
+                   count(*) AS n,
+                   cast(sum(cast(value AS decimal(38,6))) AS double) AS sum_value
+            FROM g GROUP BY user_id, sid
         """,
         "rollup_tiers": """
             WITH base AS (
