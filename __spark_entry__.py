@@ -1244,6 +1244,29 @@ def _q_resumable_run(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_dedup_resolution(spark, sf):
+    """The complete dedup decision pipeline: MinHash signatures → LSH
+    candidate pairs → connected-component clusters → ONE keeper per
+    cluster (longest document, ties to smaller id). Output
+    (id, cluster, keep) is the actionable drop set."""
+    from vector_spark.dataops.dedup import (
+        dup_clusters,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        resolve_keepers,
+    )
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    sigs = minhash_signatures(docs, k=8)
+    pairs = minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
+    clusters = dup_clusters(pairs)
+    return resolve_keepers(
+        clusters, docs, length_col="n_chars", policy="longest"
+    )
+
+
 def _q_session_windows(spark, sf):
     """Spark-native session windows (F.session_window) in batch: per
     user, events merge while gaps stay under 1 hour; session end =
@@ -1565,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_tiers": _q_rollup_tiers,
         "resumable_run": _q_resumable_run,
         "session_windows": _q_session_windows,
+        "dedup_resolution": _q_dedup_resolution,
     }
 
 
@@ -2323,6 +2347,43 @@ def oracle_sql() -> dict[str, str]:
         "resumable_run": """
             SELECT event_type, count(*) AS cnt, true AS resume_contract
             FROM events WHERE value >= 50.0 GROUP BY event_type
+        """,
+        "dedup_resolution": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES}),
+            sig AS (
+              SELECT id, seed,
+                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+              FROM sh, range(0, 8) s(seed) GROUP BY id, seed
+            ),
+            banded AS (
+              SELECT id, cast(floor(seed / 2) AS int) AS band,
+                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY id, band
+            ),
+            pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, src AS label FROM edges
+              UNION
+              SELECT e.dst AS id, r.label
+              FROM edges e JOIN reach r ON e.src = r.id
+            ),
+            clusters AS (
+              SELECT id, min(label) AS cluster FROM reach GROUP BY id
+            )
+            SELECT c.id, c.cluster,
+                   (row_number() OVER (PARTITION BY c.cluster
+                                       ORDER BY d.n_chars DESC, c.id ASC) = 1)
+                       AS keep
+            FROM clusters c
+            JOIN documents d ON c.id = cast(d.doc_id AS bigint)
         """,
         "session_windows": """
             WITH o AS (

@@ -357,3 +357,25 @@ def test_repetition_signals(spark):
     assert out[3].ellipsis_ratio == 0.25   # 1 of 4 lines
     assert out[1].n_words == 5 and out[1].mean_word_len == 4.0
     assert out[2].symbol_word_ratio == 0.0
+
+
+def test_resolve_keepers_policies(spark):
+    from vector_spark.dataops.dedup import resolve_keepers
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)], "id long, cluster long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (9, 50)],
+        "doc_id long, n_chars long",
+    )
+    # min_id: canonical representative wins, no join needed
+    kept = {r.id for r in resolve_keepers(clusters).filter("keep").collect()}
+    assert kept == {1, 7}
+    # longest: max length wins, ties break to the smaller id
+    out = resolve_keepers(clusters, docs, length_col="n_chars", policy="longest")
+    kept = {r.id for r in out.filter("keep").collect()}
+    assert kept == {2, 9}  # 2 beats 3 on the tie; 9 beats 7 on length
+    # exactly one keeper per cluster
+    per = out.filter("keep").groupBy("cluster").count().collect()
+    assert all(r["count"] == 1 for r in per)

@@ -387,3 +387,42 @@ def dup_clusters(
     if prev is not None:
         prev.unpersist()
     return out
+
+
+def resolve_keepers(
+    clusters: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    length_col: str | None = None,
+    policy: str = "min_id",
+) -> DataFrame:
+    """Pick ONE keeper per duplicate cluster — the keep/drop decision
+    that ends a dedup pass. Input: ``dup_clusters`` output
+    (id, cluster). Output: (id, cluster, keep).
+
+    ``policy='min_id'`` (default) keeps the canonical representative —
+    a pure column comparison, no extra join or shuffle.
+    ``policy='longest'`` keeps the longest document (ties break to the
+    smaller id): one join to fetch ``length_col`` + a per-cluster
+    row_number window. Clusters from banded LSH are small (near-dup
+    groups), so the window partitions stay tiny; a corpus where one
+    cluster holds millions of copies should pre-aggregate with max
+    instead — or use min_id, which never shuffles by cluster.
+    """
+    if policy == "min_id":
+        return clusters.withColumn("keep", F.col("id") == F.col("cluster"))
+    if policy != "longest":
+        raise ValueError(f"unknown keeper policy {policy!r}")
+    if docs is None or length_col is None:
+        raise ValueError("policy='longest' needs docs and length_col")
+    from pyspark.sql import Window
+
+    joined = clusters.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(length_col).alias("_len"),
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("_len"), F.asc("id"))
+    return joined.withColumn("keep", F.row_number().over(w) == 1).drop("_len")
