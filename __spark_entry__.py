@@ -1267,6 +1267,42 @@ def _q_dedup_resolution(spark, sf):
     )
 
 
+def _q_curation_pipeline(spark, sf):
+    """The curation FLAGSHIP: quality gate (repetition signals) →
+    exact dedup (min-id keeper) → deterministic stratified sample →
+    per-source survivor counts. One composed Catalyst plan — each
+    stage is a narrow projection or single hash aggregate, so the
+    whole pipeline is two shuffles (dedup groupBy + final rollup) no
+    matter the corpus size."""
+    from vector_spark.dataops.curation import stratified_sample
+    from vector_spark.dataops.dedup import exact_dedup, normalize_text
+    from vector_spark.dataops.textstats import repetition_signals
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    sig = repetition_signals(docs).select("doc_id", "n_words", "dup_3gram_frac")
+    quality = (
+        docs.join(sig, "doc_id")
+        .filter((F.col("n_words") >= 5) & (F.col("dup_3gram_frac") < 0.5))
+    )
+    keepers = exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
+    survivors = quality.join(keepers, "doc_id")
+    sampled = stratified_sample(
+        survivors,
+        "source",
+        {"src1": 0.75, "src2": 0.5},
+        key_col="doc_id",
+        default_rate=1.0,
+        rate_field=None,
+        hash_mode="md5",
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars"),
+    )
+
+
 def _q_session_windows(spark, sf):
     """Spark-native session windows (F.session_window) in batch: per
     user, events merge while gaps stay under 1 hour; session end =
@@ -1589,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resumable_run": _q_resumable_run,
         "session_windows": _q_session_windows,
         "dedup_resolution": _q_dedup_resolution,
+        "curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -2347,6 +2384,40 @@ def oracle_sql() -> dict[str, str]:
         "resumable_run": """
             SELECT event_type, count(*) AS cnt, true AS resume_contract
             FROM events WHERE value >= 50.0 GROUP BY event_type
+        """,
+        "curation_pipeline": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS doc_id, text, source, n_chars,
+                     string_split({_NORM}, ' ') AS w
+              FROM documents
+            ), sig AS (
+              SELECT doc_id, text, source, n_chars,
+                     len(w) AS n_words,
+                     CASE WHEN greatest(len(w)-2, 0) > 0 THEN
+                       round((greatest(len(w)-2, 0)
+                        - len(list_distinct([array_to_string(w[j:j+2], ' ')
+                            for j in range(1, greatest(len(w)-2, 0)+1)])))
+                       / greatest(len(w)-2, 0), 6)
+                     ELSE 0.0 END AS dup3
+              FROM words
+            ), quality AS (
+              SELECT * FROM sig WHERE n_words >= 5 AND dup3 < 0.5
+            ), keepers AS (
+              SELECT min(doc_id) AS doc_id
+              FROM quality
+              GROUP BY md5({_NORM})
+            ), survivors AS (
+              SELECT q.* FROM quality q JOIN keepers k USING (doc_id)
+            ), sampled AS (
+              SELECT * FROM survivors
+              WHERE CASE source
+                      WHEN 'src1' THEN substr(md5(cast(doc_id AS varchar)), 1, 4) < 'c000'
+                      WHEN 'src2' THEN substr(md5(cast(doc_id AS varchar)), 1, 4) < '8000'
+                      ELSE true END
+            )
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(n_chars) AS bigint) AS chars
+            FROM sampled GROUP BY source
         """,
         "dedup_resolution": f"""
             WITH RECURSIVE sh AS ({_SHINGLES}),
