@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "datadog_search",
     "pii_scrub",
     "contamination",
+    "rollup_tiers",
+    "session_windows",
+    "curation_pipeline",
 ]
 
 
