@@ -109,3 +109,7 @@ def test_explain_prints_plan(tmp_path, capsys, spark):
     assert cli_main(["explain", "-c", str(p), "--mode", "simple"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+    # REGRESSION: explain must not stop a session it did not create —
+    # it once killed the harness's session-scoped SparkSession and
+    # took down every test that ran after this module
+    assert spark.range(1).count() == 1

@@ -189,9 +189,12 @@ def cmd_generate(args) -> int:
 
 
 def cmd_test(args) -> int:
+    from pyspark.sql import SparkSession
+
     from vector_spark import get_spark
     from vector_spark.testing import run_behavior_file
 
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("vector_test", shuffle_partitions=4)
     failed = 0
     try:
@@ -207,7 +210,8 @@ def cmd_test(args) -> int:
                     f"  ({detail})" if not res.passed and detail else ""
                 ))
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
     return 1 if failed else 0
 
 
@@ -216,11 +220,16 @@ def cmd_explain(args) -> int:
     build the single-scan fan-out frame over the input (or the built-in
     sequences fixture), and print the formatted physical plan — the
     pushdown/broadcast/codegen evidence for THIS config."""
+    from pyspark.sql import SparkSession
+
     from vector_spark import get_spark
     from vector_spark.plans.config import load_pipeline
 
     with open(args.config) as f:
         pipe = load_pipeline(f.read())
+    # getOrCreate may hand back a session the CALLER owns (e.g. a test
+    # harness or notebook) — only stop what this command created
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("vector_explain", shuffle_partitions=4)
     try:
         if args.input:
@@ -237,7 +246,8 @@ def cmd_explain(args) -> int:
         )
         print(plan.strip())
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
     return 0
 
 
