@@ -126,3 +126,33 @@ def test_temperature_rates_math(spark):
     out = mix_sample(keyed, "lang", key_col="k", alpha=0.5, hash_mode="md5")
     kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert kept.get("zh") == 4  # rate 1.0 keeps all
+
+
+def test_null_inputs_never_abort(spark):
+    """Engine-wide invariant: dirty rows (null text/key/strata/tokens)
+    are per-row nulls or drops, never a job abort."""
+    from vector_spark.dataops.curation import (
+        contamination_check,
+        pii_scrub,
+        stratified_sample,
+    )
+    from vector_spark.dataops.textstats import repetition_signals, winnow_fingerprints
+    from vector_spark.dataops.tokens import oov_rate, token_stats, tokenize_words
+
+    docs = spark.createDataFrame(
+        [(1, None, None), (2, "ok text here", "web")],
+        "doc_id long, text string, source string",
+    )
+    assert pii_scrub(docs, "text").count() == 2
+    assert contamination_check(docs, docs.limit(1), n=2).count() >= 0
+    assert stratified_sample(
+        docs, "source", {"web": 1.0}, key_col="doc_id"
+    ).count() == 1  # null strata dropped, web kept
+    assert repetition_signals(docs).count() == 2
+    assert winnow_fingerprints(docs).count() >= 0
+    toks = spark.createDataFrame(
+        [(1, None), (2, [1, 2])], "doc_id long, tokens array<int>"
+    )
+    assert token_stats(toks).count() == 2
+    assert oov_rate(toks, 10).count() == 1
+    assert docs.select(tokenize_words(F.col("text"))).count() == 2
