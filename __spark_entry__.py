@@ -1274,20 +1274,45 @@ def _q_curation_pipeline(spark, sf):
     stage is a narrow projection or single hash aggregate, so the
     whole pipeline is two shuffles (dedup groupBy + final rollup) no
     matter the corpus size."""
+    from pyspark.sql import Window
+
     from vector_spark.dataops.curation import stratified_sample
-    from vector_spark.dataops.dedup import exact_dedup, normalize_text
-    from vector_spark.dataops.textstats import repetition_signals
+    from vector_spark.dataops.dedup import kgram_positions, normalize_text
 
     docs = _load(spark, sf, "documents").withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
-    sig = repetition_signals(docs).select("doc_id", "n_words", "dup_3gram_frac")
-    quality = (
-        docs.join(sig, "doc_id")
-        .filter((F.col("n_words") >= 5) & (F.col("dup_3gram_frac") < 0.5))
+    # signals as COLUMNS on one scan; the signal frame is PERSISTED
+    # before the filter because PushDownPredicate substitutes alias
+    # definitions into the predicate per referenced field — filtering
+    # directly on the derived dup3 re-evaluates the gram subtree ~5×
+    # (measured 0.5 s → 17.9 s at sf0.1). Persist is the same
+    # lineage-cut the dedup ops use (reuse_shingles/staging_path); at
+    # 100 TB stage to parquet instead of memory.
+    base = docs.withColumn("_w", F.split(normalize_text(F.col("text")), " "))
+    w = F.col("_w")
+    grams3 = F.transform(
+        kgram_positions(w, 3), lambda i: F.concat_ws(" ", F.slice(w, i, 3))
     )
-    keepers = exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
-    survivors = quality.join(keepers, "doc_id")
+    base = base.withColumn("_g3", grams3)
+    total3 = F.size(F.col("_g3"))
+    dup3 = F.when(
+        total3 > 0,
+        F.round((total3 - F.size(F.array_distinct(F.col("_g3")))) / total3, 6),
+    ).otherwise(F.lit(0.0))
+    sig = (
+        base.withColumn("n_words", F.size(w))
+        .withColumn("dup3", dup3)
+        .drop("_w", "_g3")
+        .persist()
+    )
+    quality = sig.filter((F.col("n_words") >= 5) & (F.col("dup3") < 0.5))
+    # exact dedup in ONE shuffle: rank within fingerprint, keep min id
+    # (same keeper as exact_dedup's min(doc_id), no self-join)
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    )
+    survivors = quality.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
     sampled = stratified_sample(
         survivors,
         "source",

@@ -152,6 +152,13 @@ def repetition_signals(
     Columns: n_words, mean_word_len, symbol_word_ratio, bullet_ratio,
     ellipsis_ratio, dup_2gram_frac, dup_3gram_frac (1 - distinct/total
     n-grams; high values = templated/repetitive text).
+
+    FILTERING ON THESE COLUMNS: persist (or stage) this frame before a
+    ``filter`` that references the signal columns — PushDownPredicate
+    substitutes each referenced alias's DEFINITION into the predicate,
+    re-evaluating the gram subtree once per reference (measured ~5×,
+    0.5 s → 17.9 s at sf0.1). The persist is the same lineage cut the
+    dedup ops use (``reuse_shingles``/``staging_path``).
     """
     from vector_spark.dataops.dedup import kgram_positions, normalize_text
 
