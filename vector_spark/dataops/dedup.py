@@ -284,6 +284,10 @@ def embedding_near_dups(
         F.col("b.id").alias("id_b"),
         F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos"),
     )
+    # the threshold predicate substitutes the cosine definition into
+    # the filter (PushDownPredicate), so cosine evaluates ~2× per pair;
+    # acceptable here — persisting/staging the pairs frame halves it at
+    # the cost of materializing O(pairs) rows
     return pairs.filter(F.col("cos") >= threshold)
 
 
