@@ -1267,6 +1267,19 @@ def _q_dedup_resolution(spark, sf):
     )
 
 
+def _q_unigram_logprob(spark, sf):
+    """Perplexity-style quality scoring: mean unigram -log p(token)
+    under the corpus's own distribution (add-0.5 smoothing). The freq
+    table broadcasts; the big side never shuffles for the join."""
+    from vector_spark.dataops.tokens import tokenize_words, unigram_logprob
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokenize_words(F.col("text"), hash_mode="portable").alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+    return unigram_logprob(docs)
+
+
 def _q_curation_pipeline(spark, sf):
     """The curation FLAGSHIP: quality gate (repetition signals) →
     exact dedup (min-id keeper) → deterministic stratified sample →
@@ -1651,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "dedup_resolution": _q_dedup_resolution,
         "curation_pipeline": _q_curation_pipeline,
+        "unigram_logprob": _q_unigram_logprob,
     }
 
 
@@ -2409,6 +2423,31 @@ def oracle_sql() -> dict[str, str]:
         "resumable_run": """
             SELECT event_type, count(*) AS cnt, true AS resume_contract
             FROM events WHERE value >= 50.0 GROUP BY event_type
+        """,
+        "unigram_logprob": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     [ (length(w)*31 + ascii(substr(w,1,1))*7
+                        + ascii(substr(w,-1,1))) % 32768 for w in ws ] AS t
+              FROM words
+              WHERE len(ws) > 0
+            ), occ AS (
+              SELECT doc_id, unnest(t) AS token FROM toks
+            ), freqs AS (
+              SELECT token, count(*) AS freq FROM occ GROUP BY token
+            ), scal AS (
+              SELECT sum(freq) AS total, count(*) AS vocab FROM freqs
+            )
+            SELECT o.doc_id, count(*) AS n_tok,
+                   round(avg(-ln((f.freq + 0.5)
+                                 / (s.total + 0.5 * s.vocab))), 6)
+                       AS mean_neg_logprob
+            FROM occ o JOIN freqs f USING (token), scal s
+            GROUP BY o.doc_id
         """,
         "curation_pipeline": f"""
             WITH words AS (

@@ -68,3 +68,16 @@ def test_vocab_histogram_partial_agg_plan(spark):
     # the partial_count below the exchange IS the map-side combine
     assert "partial_count" in plan
     assert plan.index("Exchange") < plan.index("partial_count")
+
+
+def test_unigram_logprob_ranks_rarity(spark):
+    from vector_spark.dataops.tokens import unigram_logprob
+
+    # doc 1 = all common tokens, doc 2 = all rare tokens
+    rows = [(1, [7] * 10), (2, [99, 98]), (3, [7] * 5 + [99])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].mean_neg_logprob < out[3].mean_neg_logprob < out[2].mean_neg_logprob
+    assert out[1].n_tok == 10 and out[2].n_tok == 2
+    # scores are positive, finite
+    assert all(0 < r.mean_neg_logprob < 50 for r in out.values())

@@ -111,3 +111,45 @@ def tokenize_words(
     else:
         tok = lambda w: F.pmod(F.xxhash64(w), F.lit(vocab_size)).cast("int")  # noqa: E731
     return F.transform(F.filter(words, lambda w: w != ""), tok)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-sequence mean unigram negative log-probability under the
+    corpus's own token distribution — the cheap perplexity-style
+    quality signal (documents of improbable tokens score high;
+    boilerplate scores low).
+
+    Two-pass shape: (1) corpus frequency table via the partial-agg
+    histogram (shuffle bounded by |vocab|); (2) explode → broadcast
+    join tokens to their frequencies (vocab is ~10^5 rows → broadcast,
+    the 10^14-token side never shuffles for the join) → one per-doc
+    aggregate. ``alpha`` is add-alpha smoothing so unseen-in-corpus
+    tokens (possible when scoring a subset) stay finite.
+
+    Output: (id_col, n_tok, mean_neg_logprob).
+    """
+    freqs = vocab_histogram(df, tokens_col)
+    total = freqs.agg(F.sum("freq").alias("t")).collect()[0]["t"] or 1
+    vocab = freqs.count() or 1
+    occ = df.select(
+        F.col(id_col), F.explode(F.col(tokens_col)).alias("token")
+    )
+    denom = float(total) + alpha * float(vocab)
+    scored = occ.join(F.broadcast(freqs), "token", "left").select(
+        F.col(id_col),
+        (
+            -F.log(
+                (F.coalesce(F.col("freq"), F.lit(0)) + F.lit(alpha))
+                / F.lit(denom)
+            )
+        ).alias("_nlp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.avg("_nlp"), 6).alias("mean_neg_logprob"),
+    )
