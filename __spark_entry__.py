@@ -1267,6 +1267,21 @@ def _q_dedup_resolution(spark, sf):
     )
 
 
+def _q_simhash_near_dups(spark, sf):
+    """SimHash Hamming-radius near-dup pairs via pigeonhole banding:
+    4 nibble bands guarantee every pair within distance 3 shares an
+    intact band, so the candidate set is a band equi-join (never
+    all-pairs) and the exact bit_count(xor) filter keeps true
+    neighbors. Oracle = literal all-pairs Hamming filter — identical
+    result set by the pigeonhole guarantee."""
+    from vector_spark.dataops.dedup import simhash_near_dups
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return simhash_near_dups(docs, max_hamming=3)
+
+
 def _q_unigram_logprob(spark, sf):
     """Perplexity-style quality scoring: mean unigram -log p(token)
     under the corpus's own distribution (add-0.5 smoothing). The freq
@@ -1665,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_resolution": _q_dedup_resolution,
         "curation_pipeline": _q_curation_pipeline,
         "unigram_logprob": _q_unigram_logprob,
+        "simhash_near_dups": _q_simhash_near_dups,
     }
 
 
@@ -2423,6 +2439,32 @@ def oracle_sql() -> dict[str, str]:
         "resumable_run": """
             SELECT event_type, count(*) AS cnt, true AS resume_contract
             FROM events WHERE value >= 50.0 GROUP BY event_type
+        """,
+        "simhash_near_dups": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS id,
+                     unnest(string_split({_NORM}, ' ')) AS w
+              FROM documents
+            ),
+            bits AS (
+              SELECT id, j,
+                     cast(floor((strpos('0123456789abcdef',
+                                        substr(md5(w), cast(floor(j/4) AS int) + 1, 1)) - 1)
+                                / pow(2, 3 - (j % 4))) AS bigint) % 2 AS bit
+              FROM words, range(0, 16) t(j)
+            ),
+            maj AS (
+              SELECT id, j, CASE WHEN sum(2*bit - 1) >= 0 THEN 1 ELSE 0 END AS mbit
+              FROM bits GROUP BY id, j
+            ),
+            s AS (
+              SELECT id, cast(sum(mbit * cast(pow(2, j) AS bigint)) AS bigint) AS simhash
+              FROM maj GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+            FROM s a JOIN s b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "unigram_logprob": f"""
             WITH words AS (

@@ -379,3 +379,28 @@ def test_resolve_keepers_policies(spark):
     # exactly one keeper per cluster
     per = out.filter("keep").groupBy("cluster").count().collect()
     assert all(r["count"] == 1 for r in per)
+
+
+def test_simhash_near_dups_matches_brute_force(spark):
+    from vector_spark.dataops.dedup import simhash16, simhash_near_dups
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+        .limit(120)
+    )
+    banded = simhash_near_dups(docs, max_hamming=3)
+    sims = simhash16(docs)
+    a, b = sims.alias("a"), sims.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    # pigeonhole guarantee: band join finds EXACTLY the brute-force set
+    assert banded.exceptAll(brute).count() == 0
+    assert brute.exceptAll(banded).count() == 0

@@ -430,3 +430,55 @@ def resolve_keepers(
     )
     w = Window.partitionBy("cluster").orderBy(F.desc("_len"), F.asc("id"))
     return joined.withColumn("keep", F.row_number().over(w) == 1).drop("_len")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: split the 16-bit hash into ``bands`` nibbles;
+    two hashes within Hamming distance bands-1 share at least one
+    intact band, so candidates come from a BAND EQUI-JOIN (never
+    all-pairs), then the exact ``bit_count(xor)`` distance filters.
+    For max_hamming >= bands the guarantee weakens (documented recall
+    tradeoff — raise ``bands`` or the hash width for tighter radii).
+
+    Output: (id_a, id_b, hamming) distinct pairs, a < b.
+    """
+    assert 16 % bands == 0, "bands must divide 16"
+    width = 16 // bands
+    sims = simhash16(df, text_col, id_col)
+    sims = sims.persist()
+    keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width) % F.lit(2**width)
+            for b in range(bands)
+        ]
+    )
+    banded = sims.select(
+        "id", "simhash", F.posexplode(keys).alias("band", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
