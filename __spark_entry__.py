@@ -1932,27 +1932,36 @@ def oracle_sql() -> dict[str, str]:
                      ) AS text
               FROM documents
             )
+            -- counts are progressive: each kind counted on the text
+            -- AFTER earlier kinds were redacted (matches pii_scrub)
             SELECT doc_id,
                    cast(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS int) AS n_email,
-                   cast(len(regexp_extract_all(text,
+                   cast(len(regexp_extract_all(t1,
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS int) AS n_ipv4,
-                   cast(len(regexp_extract_all(text,
+                   cast(len(regexp_extract_all(t2,
                        '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS int) AS n_phone,
-                   cast(len(regexp_extract_all(text,
+                   cast(len(regexp_extract_all(t3,
                        '\b\d{13,19}\b')) AS int) AS n_longnum,
-                   md5(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(text,
-                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                             '<EMAIL>', 'g'),
-                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-                       '\b\d{13,19}\b', '<NUM>', 'g')
-                   ) AS scrub_md5
-            FROM synth
+                   md5(regexp_replace(t3, '\b\d{13,19}\b', '<NUM>', 'g')) AS scrub_md5
+            FROM (
+              SELECT doc_id, text, t1, t2,
+                     regexp_replace(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                                    '<PHONE>', 'g') AS t3
+              FROM (
+                SELECT doc_id, text, t1,
+                       regexp_replace(t1,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '<IP>', 'g') AS t2
+                FROM (
+                  SELECT doc_id, text,
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                  FROM synth
+                )
+              )
+            )
         """,
         "contamination": f"""
             WITH words AS (
@@ -1960,10 +1969,12 @@ def oracle_sql() -> dict[str, str]:
                      string_split({_NORM}, ' ') AS w
               FROM documents
             ), grams AS (
+              -- docs shorter than n words emit no grams (shingle
+              -- convention; matches curation._gram_frame)
               SELECT DISTINCT doc_id,
                      unnest([array_to_string(w[j+1:j+3], ' ')
-                             for j in range(0, greatest(len(w)-3, 0)+1)]) AS g
-              FROM words
+                             for j in range(0, len(w)-3+1)]) AS g
+              FROM words WHERE len(w) >= 3
             ), grams_ne AS (
               SELECT * FROM grams WHERE len(g) > 0
             ), bench AS (

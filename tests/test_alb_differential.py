@@ -41,6 +41,15 @@ LINES = [
     BASE.format(rtype="http", target="10.0.0.3:8080", tpt="0.002", tsc="301",
                 sent="99", method="HEAD", agent="x", cipher="c1", domain="d2",
                 redirect="-", tail=' "reason" "future1" future2'),
+    # connection failed before a request was read: the request field is
+    # the literal '"- - -"' and each component must map to null
+    (
+        "http 2018-11-30T22:23:00.186641Z app/lb/1 192.168.131.39:2817 - "
+        "-1 -1 -1 503 - 0 0 "
+        '"- - -" "-" - - '
+        'arn:aws:elasticloadbalancing:tg "Root=1-abc" "-" "-" 0 '
+        '2018-11-30T22:22:48.364000Z "forward" "-"'
+    ),
     "completely unparseable garbage line",
     "",
 ]

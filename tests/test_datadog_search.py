@@ -165,6 +165,24 @@ CASES = [
         {"host": "bar", "tags": ["x"]},
     ),
     ("*:*", {"message": "anything"}, None),
+    # Field-scoped grouping (grammar.pest `field? ~ LPAREN ~ query ~
+    # RPAREN`): the field distributes over the inner atoms.
+    ("host:(foo OR bar)", {"host": "bar"}, {"host": "baz"}),
+    ("a:(bla OR blub)", {"tags": ["a:blub"]}, {"tags": ["a:x"]}),
+    ("-host:(foo OR bar)", {"host": "baz"}, {"host": "foo"}),
+    (
+        "host:(foo OR bar) AND tags:x",
+        {"host": "foo", "tags": ["x"]},
+        {"host": "foo"},
+    ),
+    # Multiterm merge boundaries (parser.rs tests): 'foo bar baz AND
+    # qux quux quuz' → terms 'foo bar', 'baz', 'qux', 'quux quuz' —
+    # the term before AND and the first clause after it stay unmerged.
+    (
+        "foo bar baz AND qux quux quuz",
+        {"message": "baz foo bar qux quux quuz"},
+        {"message": "foo bar baz qux quux zzz quuz"},
+    ),
 ]
 
 FACETS = ["a", "b", "c", "f", "title"]

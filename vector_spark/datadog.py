@@ -175,8 +175,9 @@ class _P:
                 continue
             if nodes:
                 ops.append(pending)  # None = implicit AND
+            was_explicit = pending is not None
             pending = None
-            nodes.append(self.parse_clause())
+            nodes.append(self.parse_clause(after_conj=was_explicit))
         if pending is not None:
             raise ValueError("datadog_search: dangling AND/OR operator")
         if not nodes:
@@ -194,7 +195,7 @@ class _P:
         or_nodes = [g[0] if len(g) == 1 else Bool("and", g) for g in groups]
         return or_nodes[0] if len(or_nodes) == 1 else Bool("or", or_nodes)
 
-    def parse_clause(self):
+    def parse_clause(self, after_conj: bool = False):
         t = self.peek()
         if t in ("NOT", "-"):
             self.next()
@@ -210,9 +211,9 @@ class _P:
                 raise ValueError("datadog_search: unbalanced parens")
             self.next()
             return q
-        return self.parse_atom()
+        return self.parse_atom(after_conj=after_conj)
 
-    def parse_atom(self):
+    def parse_atom(self, after_conj: bool = False):
         t = self.next()
         field: str | None = None
         if t.endswith(":") and len(t) > 1:
@@ -220,6 +221,17 @@ class _P:
             if field == "*" and self.peek() == "*":  # *:*
                 self.next()
                 return Atom(None, "matchall")
+            if self.peek() == "(":
+                # field-scoped grouping: status:(error OR warn) — the
+                # reference grammar allows `field? ~ LPAREN ~ query ~
+                # RPAREN` (grammar.pest) and distributes the field over
+                # the inner atoms.
+                self.next()
+                q = self.parse_query(stop_at_rparen=True)
+                if self.peek() != ")":
+                    raise ValueError("datadog_search: unbalanced parens")
+                self.next()
+                return _distribute_field(q, field)
             t = self.next()  # the value token
         elif ":" in t and not t.startswith('"') and not t.startswith("["):
             field, t = t.split(":", 1)
@@ -244,8 +256,13 @@ class _P:
                 incl_upper=incl_u,
             )
         # multiterm merge: consecutive bare terms on the default field
-        # become one space-joined term (parser.rs:141-170)
-        if field is None:
+        # become one space-joined term (parser.rs:141-170). Two boundary
+        # rules from the reference's multitermlookahead/query grammar
+        # ('foo bar baz AND qux quux quuz' → 'foo bar', 'baz', 'qux',
+        # 'quux quuz' per parser.rs tests): (a) a term immediately
+        # before an explicit AND/OR stays out of the merge, and (b) the
+        # first clause after an explicit conjunction does not start one.
+        if field is None and not after_conj:
             parts = [t]
             while True:
                 nt = self.peek()
@@ -259,9 +276,36 @@ class _P:
                     or nt.startswith("-")
                 ):
                     break
+                after = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                if after in ("AND", "OR"):
+                    break  # rule (a): leave nt as its own clause
                 parts.append(self.next())
             t = " ".join(parts)
         return Atom(field, "term", value=t)
+
+
+def _distribute_field(node, field: str):
+    """Push a scoping field onto every default-field atom under *node*.
+
+    Implements `field:(query)` from the reference grammar: the field
+    applies to each inner atom that did not name its own field
+    (`status:(error OR warn)` ≡ `status:error OR status:warn`).
+    """
+    if isinstance(node, Atom):
+        if node.field is None and node.kind != "matchall":
+            node.field = field
+        return node
+    if isinstance(node, Not):
+        node.node = _distribute_field(node.node, field)
+        return node
+    if isinstance(node, Bool):
+        node.nodes = [_distribute_field(n, field) for n in node.nodes]
+        return node
+    return node
 
 
 def _unquote(s: str) -> str:

@@ -39,9 +39,13 @@ def pii_scrub(
 
     One projection: k chained ``regexp_replace`` calls (all JVM-side,
     whole-stage codegen) plus optional per-kind match counts for
-    curation stats. Scale shape: map-only — no shuffle, no UDF; at
-    100 TB this is bounded by scan + regex CPU, and the chained
-    replaces run in a single generated function per row batch.
+    curation stats. Each ``n_<kind>`` is counted against the text
+    AFTER kinds earlier in the chain were already redacted, so the
+    counts agree with what the replace chain actually consumed (a
+    digit run inside an email does not double-count as longnum).
+    Scale shape: map-only — no shuffle, no UDF; at 100 TB this is
+    bounded by scan + regex CPU, and codegen subexpression elimination
+    shares the replace chain between the counts and the output column.
     """
     out_col = out_col or text_col
     scrubbed = F.col(text_col)
@@ -49,11 +53,13 @@ def pii_scrub(
     for kind in kinds:
         pat, repl = PII_PATTERNS[kind]
         if count_cols:
-            counts.append(
-                F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
-            )
+            counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{kind}"))
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
-    keep = [c for c in df.columns if c != text_col or out_col != text_col]
+    keep = [
+        c
+        for c in df.columns
+        if c != out_col and (c != text_col or out_col != text_col)
+    ]
     return df.select(*keep, scrubbed.alias(out_col), *counts)
 
 
@@ -77,10 +83,16 @@ def _gram_frame(
         F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
     )
     w = F.col("_w")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-    )
+    # documents shorter than n words emit NO grams (same convention as
+    # dedup's shingles) — a truncated partial gram would let short docs
+    # flag as contaminated on trivially common word runs
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         base.select("_cid", F.explode(grams).alias("_g"))
         .filter(F.length("_g") > 0)

@@ -208,11 +208,18 @@ def parse_aws_alb_log(df: DataFrame, field: str = "message", drop_field: bool = 
             c = c.try_cast("double")
         cols[name] = c
     # request token: '"METHOD url protocol"' → three fields (the
-    # reference captures \S+ \S+ [^"]* inside the quotes)
+    # reference captures \S+ \S+ [^"]* inside the quotes). A failed
+    # connection logs the request as '"- - -"' — each '-' component
+    # maps to null, same as top-level '-' fields.
     req = F.split(tok(12), " ", 3)
-    cols["request_method"] = F.get(req, 0)
-    cols["request_url"] = F.get(req, 1)
-    cols["request_protocol"] = F.get(req, 2)
+
+    def req_part(i: int) -> Column:
+        c = F.get(req, i)
+        return F.when(c != "-", c)
+
+    cols["request_method"] = req_part(0)
+    cols["request_url"] = req_part(1)
+    cols["request_protocol"] = req_part(2)
     out = base.withColumns(cols).drop("_alb_t")
     if drop_field:
         out = out.drop(field)
