@@ -1396,9 +1396,11 @@ def _q_rollup_tiers(spark, sf):
 
 def _q_pack_sequences(spark, sf):
     """Concat-and-chunk example packing over a tokenized view of
-    documents (word count as n_tok, doc_id%4 as the stream): per-doc
-    (bin, offset) assignments from a running-total window — the
-    LLM-training packing step, deterministic by construction."""
+    documents (word count as n_tok, doc_id%4 as the stream), run
+    through the SHARDED path: shard_expr splits each stream into 3
+    parallel window sorts (the 100 TB shape — no single-task sort per
+    source), with a portable shard derivation so the oracle matches
+    bit-for-bit."""
     from vector_spark.dataops.textstats import pack_sequences, word_count
 
     docs = _load(spark, sf, "documents")
@@ -1407,7 +1409,12 @@ def _q_pack_sequences(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         word_count(F.col("text")).cast("int").alias("n_tok"),
     )
-    return pack_sequences(seqs, 256, stream_cols=["stream"])
+    return pack_sequences(
+        seqs,
+        256,
+        stream_cols=["stream"],
+        shard_expr=F.pmod(F.floor(F.col("doc_id") / 4), F.lit(3)).cast("long"),
+    )
 
 
 def _q_ec2_metadata(spark, sf):
@@ -2079,15 +2086,20 @@ def oracle_sql() -> dict[str, str]:
                        cast(doc_id AS bigint) AS doc_id,
                        cast(len(string_split({_NORM}, ' ')) AS int) AS n_tok
                 FROM documents
+            ), sharded AS (
+                SELECT stream,
+                       cast(floor(doc_id / 4) % 3 AS bigint) AS shard,
+                       doc_id, n_tok
+                FROM seqs
             ), cum AS (
-                SELECT stream, doc_id, n_tok,
+                SELECT stream, shard, doc_id, n_tok,
                        cast(coalesce(sum(n_tok) OVER (
-                           PARTITION BY stream ORDER BY doc_id
+                           PARTITION BY stream, shard ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                        ), 0) AS bigint) AS cumb
-                FROM seqs
+                FROM sharded
             )
-            SELECT stream, doc_id, n_tok,
+            SELECT stream, shard, doc_id, n_tok,
                    cast(floor(cumb / 256) AS bigint) AS bin,
                    cast(cumb % 256 AS bigint) AS offset
             FROM cum
@@ -2452,30 +2464,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value >= 50.0 GROUP BY event_type
         """,
         "simhash_near_dups": f"""
+            -- 64-bit simhash as four 16-bit limbs (limb k = md5 hex
+            -- digits 4k+1..4k+4); oracle = literal all-pairs Hamming
+            -- filter, equal to the banded join by pigeonhole (<=3
+            -- differing bits leave >=1 of 4 limbs intact)
             WITH words AS (
               SELECT cast(doc_id AS bigint) AS id,
                      unnest(string_split({_NORM}, ' ')) AS w
               FROM documents
             ),
             bits AS (
-              SELECT id, j,
+              SELECT id, k, j,
                      cast(floor((strpos('0123456789abcdef',
-                                        substr(md5(w), cast(floor(j/4) AS int) + 1, 1)) - 1)
+                                        substr(md5(w), 4*k + cast(floor(j/4) AS int) + 1, 1)) - 1)
                                 / pow(2, 3 - (j % 4))) AS bigint) % 2 AS bit
-              FROM words, range(0, 16) t(j)
+              FROM words, range(0, 4) tk(k), range(0, 16) tj(j)
             ),
             maj AS (
-              SELECT id, j, CASE WHEN sum(2*bit - 1) >= 0 THEN 1 ELSE 0 END AS mbit
-              FROM bits GROUP BY id, j
+              SELECT id, k, j, CASE WHEN sum(2*bit - 1) >= 0 THEN 1 ELSE 0 END AS mbit
+              FROM bits GROUP BY id, k, j
             ),
             s AS (
-              SELECT id, cast(sum(mbit * cast(pow(2, j) AS bigint)) AS bigint) AS simhash
+              SELECT id,
+                     cast(sum(CASE WHEN k = 0 THEN mbit * cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS s0,
+                     cast(sum(CASE WHEN k = 1 THEN mbit * cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS s1,
+                     cast(sum(CASE WHEN k = 2 THEN mbit * cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS s2,
+                     cast(sum(CASE WHEN k = 3 THEN mbit * cast(pow(2, j) AS bigint) ELSE 0 END) AS bigint) AS s3
               FROM maj GROUP BY id
             )
             SELECT a.id AS id_a, b.id AS id_b,
-                   cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+                   cast(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+                      + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS int) AS hamming
             FROM s a JOIN s b ON a.id < b.id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+                + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 3
         """,
         "unigram_logprob": f"""
             WITH words AS (

@@ -319,6 +319,43 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert got[4] == (0, 0)
 
 
+def test_pack_sequences_sharded_parallel_sorts(spark):
+    """n_shards=K derives a deterministic shard column and adds it to
+    the window partition — K parallel window sorts per stream instead
+    of one task sorting a whole source (the 100 TB fix, in code)."""
+    from vector_spark.dataops.textstats import pack_sequences
+
+    rows = [("s", i, 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+    out = pack_sequences(df, 64, stream_cols=["source"], n_shards=8)
+    # plan: the window exchange hash-partitions on (source, shard)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan and "hashpartitioning" in plan.lower()
+    got = out.collect()
+    assert {r.shard for r in got} == set(range(8))
+    # per (stream, shard): bins are an exact running-sum chunking in
+    # ascending id order, restarting at 0 per shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in got:
+        by_shard[(r.source, r.shard)].append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows_:
+            assert (r.bin, r.offset) == (cum // 64, cum % 64)
+            cum += r.n_tok
+    # deterministic: same (input, K) -> identical bins
+    again = {
+        (r.doc_id): (r.shard, r.bin, r.offset)
+        for r in pack_sequences(
+            df, 64, stream_cols=["source"], n_shards=8
+        ).collect()
+    }
+    assert again == {r.doc_id: (r.shard, r.bin, r.offset) for r in got}
+
+
 def test_winnow_dup_pairs_detects_copies_and_prunes_boilerplate(spark):
     from vector_spark.dataops.textstats import winnow_dup_pairs
 
@@ -382,7 +419,7 @@ def test_resolve_keepers_policies(spark):
 
 
 def test_simhash_near_dups_matches_brute_force(spark):
-    from vector_spark.dataops.dedup import simhash16, simhash_near_dups
+    from vector_spark.dataops.dedup import simhash64, simhash_near_dups
 
     docs = (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -390,17 +427,58 @@ def test_simhash_near_dups_matches_brute_force(spark):
         .limit(120)
     )
     banded = simhash_near_dups(docs, max_hamming=3)
-    sims = simhash16(docs)
+    sims = simhash64(docs)
     a, b = sims.alias("a"), sims.alias("b")
+    hamming = None
+    for k in range(4):
+        h = F.bit_count(F.col(f"a.s{k}").bitwiseXOR(F.col(f"b.s{k}")))
+        hamming = h if hamming is None else (hamming + h)
     brute = (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
     )
     # pigeonhole guarantee: band join finds EXACTLY the brute-force set
     assert banded.exceptAll(brute).count() == 0
     assert brute.exceptAll(banded).count() == 0
+
+
+def test_simhash64_band_key_cardinality(spark):
+    """The scale fix over the 16-bit variant: band keys are the four
+    16-bit limbs, so each band's key space is 2^16 — on a diverse
+    corpus the per-band distinct-key count must far exceed the old
+    nibble-band ceiling of 16 (which made every band bucket hold ~N/16
+    of the corpus and the self-join ~N^2/256 pairs per band)."""
+    from vector_spark.dataops.dedup import simhash64
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn("doc_id", F.col("doc_id").cast("long"))
+    n = docs.count()
+    sims = simhash64(docs)
+    per_band = (
+        sims.select(
+            F.posexplode(
+                F.array(*[F.col(f"s{k}") for k in range(4)])
+            ).alias("band", "band_key")
+        )
+        .groupBy("band")
+        .agg(F.countDistinct("band_key").alias("nk"))
+        .collect()
+    )
+    assert len(per_band) == 4
+    for r in per_band:
+        # old ceiling was 16 distinct keys per band; with 2^16-way keys
+        # a diverse corpus spreads to nearly one key per distinct doc
+        assert r.nk > 16, f"band {r.band} has only {r.nk} keys"
+        assert r.nk > n // 4
+    # limbs are in the 16-bit range
+    rng = sims.agg(
+        F.min(F.least(*[F.col(f"s{k}") for k in range(4)])).alias("lo"),
+        F.max(F.greatest(*[F.col(f"s{k}") for k in range(4)])).alias("hi"),
+    ).first()
+    assert rng.lo >= 0 and rng.hi < 65536

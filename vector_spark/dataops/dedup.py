@@ -254,6 +254,53 @@ def simhash16(
     return maj.select("id", simhash.alias("simhash"))
 
 
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash as FOUR 16-bit limbs (portable, bandable).
+
+    Limb k (k=0..3) is a 16-bit simhash whose bit source is md5 hex
+    digits 4k+1..4k+4 of each word — together the four limbs are a
+    64-bit simhash of the document. Keeping the hash as limbs (instead
+    of one bigint) sidesteps signed-64 overflow on bit 63 AND makes
+    the LSH band keys free: each limb IS a 16-bit band, so banding has
+    2^16-way key cardinality (the 16-bit version's nibble bands had
+    only 2^4 = 16 distinct values per band — bucket sizes ~N/16, a
+    disguised all-pairs join at corpus scale).
+
+    Output (id, s0, s1, s2, s3) — limbs as longs in [0, 65536).
+
+    Scale shape: all 64 bit-majorities are aggregate columns over the
+    word rows — ONE shuffle of the word frame, map-side partials. The
+    bit formula is plain arithmetic (portable to the DuckDB oracle).
+    """
+    words = F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    base = df.select(F.col(id_col).alias("id"), words).select(
+        "id", F.substring(F.md5(F.col("w")), 1, 16).alias("h16")
+    )
+
+    def bit(k: int, j: int) -> Column:
+        # bit j of limb k: hex digit 4k + j//4, bit (3 - j%4)
+        hexval = _hex_char_val(F.substring(F.col("h16"), 4 * k + j // 4 + 1, 1))
+        return F.floor(hexval / F.lit(float(2 ** (3 - j % 4)))) % 2
+
+    maj = base.groupBy("id").agg(
+        *[
+            (F.sum(bit(k, j) * 2 - 1) >= 0).cast("long").alias(f"_b{k}_{j}")
+            for k in range(4)
+            for j in range(16)
+        ]
+    )
+    limbs = []
+    for k in range(4):
+        s = None
+        for j in range(16):
+            term = F.col(f"_b{k}_{j}") * F.lit(1 << j).cast("long")
+            s = term if s is None else (s + term)
+        limbs.append(s.alias(f"s{k}"))
+    return maj.select("id", *limbs)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,
@@ -437,33 +484,38 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+    """Near-dup pairs by 64-bit SimHash Hamming distance <= ``max_hamming``.
 
-    Pigeonhole banding: split the 16-bit hash into ``bands`` nibbles;
-    two hashes within Hamming distance bands-1 share at least one
-    intact band, so candidates come from a BAND EQUI-JOIN (never
-    all-pairs), then the exact ``bit_count(xor)`` distance filters.
-    For max_hamming >= bands the guarantee weakens (documented recall
-    tradeoff — raise ``bands`` or the hash width for tighter radii).
+    Pigeonhole banding over the four 16-bit limbs of ``simhash64``:
+    two 64-bit hashes within Hamming distance 3 differ in at most 3 of
+    the 4 limbs, so they share at least one intact limb — candidates
+    come from a BAND EQUI-JOIN on (band, limb value), then the exact
+    ``bit_count(xor)`` distance over all four limbs filters. Band-key
+    cardinality is 2^16 per band (the earlier 16-bit/nibble variant
+    had 2^4 = 16 — bucket sizes ~N/16 ⇒ ~N²/256 candidate pairs per
+    band, an all-pairs join in disguise at corpus scale). For
+    max_hamming >= 4 the pigeonhole guarantee weakens (recall
+    tradeoff — widen the hash or add bands).
 
     Output: (id_a, id_b, hamming) distinct pairs, a < b.
     """
-    assert 16 % bands == 0, "bands must divide 16"
-    width = 16 // bands
-    sims = simhash16(df, text_col, id_col)
-    sims = sims.persist()
-    keys = F.array(
-        *[
-            F.shiftright(F.col("simhash"), b * width) % F.lit(2**width)
-            for b in range(bands)
-        ]
+    assert max_hamming < 4, (
+        "pigeonhole guarantee holds for max_hamming <= 3 with 4 bands; "
+        "widen the hash for larger radii"
     )
+    sims = simhash64(df, text_col, id_col)
+    sims = sims.persist()
+    limbs = [F.col(f"s{k}") for k in range(4)]
     banded = sims.select(
-        "id", "simhash", F.posexplode(keys).alias("band", "band_key")
+        "id", "s0", "s1", "s2", "s3",
+        F.posexplode(F.array(*limbs)).alias("band", "band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    hamming = None
+    for k in range(4):
+        h = F.bit_count(F.col(f"a.s{k}").bitwiseXOR(F.col(f"b.s{k}")))
+        hamming = h if hamming is None else (hamming + h)
     pairs = (
         a.join(
             b,
@@ -474,9 +526,7 @@ def simhash_near_dups(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

@@ -252,6 +252,8 @@ def pack_sequences(
     stream_cols: list[str] = ("source",),
     id_col: str = "doc_id",
     n_col: str = "n_tok",
+    n_shards: int | None = None,
+    shard_expr: Column | None = None,
 ) -> DataFrame:
     """Concat-and-chunk example packing — the LLM-training step that
     lays variable-length tokenized documents into fixed-capacity
@@ -268,15 +270,29 @@ def pack_sequences(
     first bin.
 
     Scale shape: ONE window (running sum) per stream, ordered by id —
-    streams are the parallel unit, so feed this pre-sharded streams
-    (e.g. add a ``shard = pmod(xxhash64(id), K)`` stream column) when
-    one logical source is too large for a single task's sort; the
-    packing stays deterministic per (stream, shard).
+    streams are the parallel unit. When one logical source is too
+    large for a single task's sort, pass ``n_shards=K``: a
+    deterministic ``shard = pmod(xxhash64(id), K)`` column is derived
+    and added to the window partition, giving K parallel window sorts
+    per stream. Bins are then identified by (*stream_cols, shard,
+    bin) — bin ids restart per shard, and ``shard`` is emitted so the
+    mapping stays explicit. Packing remains deterministic: the same
+    (input, K) always yields the same bins.
     """
     from pyspark.sql import Window
 
+    parts = list(stream_cols)
+    extra: list[str] = []
+    if shard_expr is not None or (n_shards is not None and n_shards > 1):
+        if shard_expr is None:
+            shard_expr = F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)
+            )
+        df = df.withColumn("shard", shard_expr)
+        parts.append("shard")
+        extra = ["shard"]
     w = (
-        Window.partitionBy(*stream_cols)
+        Window.partitionBy(*parts)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -285,6 +301,7 @@ def pack_sequences(
     )
     return df.select(
         *stream_cols,
+        *extra,
         id_col,
         F.col(n_col),
         F.floor(cum_before / max_tokens).cast("long").alias("bin"),
