@@ -182,6 +182,50 @@ def _q_remap(spark, sf):
     return out.select("event_id", "etype_up", "value2", "vnz")
 
 
+def _q_remap_program(spark, sf):
+    """Multi-statement VRL PROGRAM (control flow, local variables, del,
+    abort) compiled to ONE projection by symbolic execution — the
+    remap.rs `source` surface with if/else statements
+    (lib/vrl/compiler/src/expression/if_statement.rs, assignment.rs,
+    block.rs). Abort keeps remap's rollback semantics: 'purchase'
+    events pass through with NO assignments applied."""
+    from vector_spark.operators import remap_program
+
+    ev = _load(spark, sf, "events")
+    prog = """
+    hi = 100.0
+    if .value > hi {
+        .tier = "high"
+        .score = .value * 2.0
+    } else if .value > hi / 2.0 {
+        .tier = "mid"
+        .score = .value
+    } else {
+        .tier = "low"
+        .score = 0.0
+    }
+    if .event_type == "error" {
+        .flag = true
+        del(.props)
+    } else {
+        .flag = false
+    }
+    .label = .event_type + "/" + .tier
+    if .event_type == "purchase" { abort }
+    """
+    out = remap_program(ev, prog)
+    return out.select(
+        "event_id",
+        "tier",
+        F.round(F.col("score"), 2).alias("score"),
+        # int, not boolean: a NULL boolean round-trips differently
+        # through the two engines' pandas bridges
+        F.col("flag").cast("int").alias("flag"),
+        "label",
+        F.col("props").alias("props_left"),
+    )
+
+
 def _q_json_parser(spark, sf):
     from vector_spark.operators import json_parser
 
@@ -1613,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route": _q_route,
         "sample": _q_sample,
         "remap": _q_remap,
+        "remap_program": _q_remap_program,
         "json_parser": _q_json_parser,
         "grok_parser": _q_grok,
         "kv_parser": _q_kv_parser,
@@ -1734,6 +1779,32 @@ def oracle_sql() -> dict[str, str]:
                    round(value * 2.0 + 1.0, 2) AS value2,
                    coalesce(value, 0.0) AS vnz
             FROM events
+        """,
+        "remap_program": """
+            -- mirrors the symbolic execution of the VRL program:
+            -- abort ('purchase') rolls back every assignment; the
+            -- branch-local del(.props) nulls props for 'error' rows
+            WITH t AS (
+              SELECT *,
+                     CASE WHEN value > 100.0 THEN 'high'
+                          WHEN value > 50.0 THEN 'mid'
+                          ELSE 'low' END AS tier0,
+                     CASE WHEN value > 100.0 THEN value * 2.0
+                          WHEN value > 50.0 THEN value
+                          ELSE 0.0 END AS score0
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN event_type = 'purchase' THEN NULL ELSE tier0 END AS tier,
+                   CASE WHEN event_type = 'purchase' THEN NULL
+                        ELSE round(score0, 2) END AS score,
+                   CASE WHEN event_type = 'purchase' THEN NULL
+                        ELSE cast(event_type = 'error' AS int) END AS flag,
+                   CASE WHEN event_type = 'purchase' THEN NULL
+                        ELSE event_type || '/' || tier0 END AS label,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE props END AS props_left
+            FROM t
         """,
         "json_parser": """
             SELECT event_id,

@@ -241,7 +241,34 @@ _FUNCS = {
     "assert_eq": lambda a, b, *msg: a == b,
     # log (log.rs): side-effect in the reference; pass-through here
     "log": lambda a, *rest: a,
+    # parse_json.rs: a PLAN-TIME literal argument becomes a typed
+    # literal tree (runtime JSON needs a schema — use from_json via
+    # the json_parser operator for that path)
+    "parse_json": lambda a: _json_literal(__import__("json").loads(_as_py_val(a))),
 }
+
+
+def _json_literal(v) -> Column:
+    """Python JSON value → Column literal tree. Heterogeneous lists
+    become positional structs (_0.._n) — the same convention as VRL
+    program array literals (functions/vrl_program.py)."""
+    if isinstance(v, dict):
+        if not v:
+            return F.create_map()
+        return F.struct(*[_json_literal(x).alias(k) for k, x in v.items()])
+    if isinstance(v, list):
+        if not v:
+            return F.array().cast("array<string>")
+        types = {type(x) for x in v if x is not None}
+        if len(types) <= 1 or types <= {int, float}:
+            return F.array(*[_json_literal(x) for x in v])
+        return F.struct(
+            *[_json_literal(x).alias(f"_{i}") for i, x in enumerate(v)]
+        )
+    c = F.lit(v)
+    if isinstance(v, (str, int, float, bool)):
+        c._vs_pyval = v
+    return c
 
 
 def _strftime(fmt: str) -> str:
@@ -262,6 +289,15 @@ def _to_regex(a) -> Column:
     col = F.lit(pat)
     col._vs_pyval = pat  # downstream match()/split() unwrap the literal
     return col
+
+
+def _is_strish(c) -> bool:
+    """Plan-time 'this is a string' tag: a string literal, or a value
+    derived from one by concat. Column.__getattr__ fabricates nested-
+    field Columns for unknown attributes, so only the instance dict is
+    consulted."""
+    d = getattr(c, "__dict__", None) or {}
+    return isinstance(d.get("_vs_pyval"), str) or bool(d.get("_vs_isstr"))
 
 
 def _as_py_val(col_or_val):
@@ -387,7 +423,23 @@ class _Parser:
         while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
             _, v = self.next()
             right = self.parse_mul()
-            left = F.try_add(left, right) if v == "+" else F.try_subtract(left, right)
+            if v == "+" and (_is_strish(left) or _is_strish(right)):
+                # VRL `+` on strings is concatenation (expression/op.rs);
+                # plan-time type info is limited to literal/derived
+                # tags, so a string operand anywhere in the chain flips
+                # the whole chain to concat. Null operands contribute
+                # nothing (VRL: null + "bar" == "bar").
+                left = F.concat(
+                    F.coalesce(left.cast("string"), F.lit("")),
+                    F.coalesce(right.cast("string"), F.lit("")),
+                )
+                left._vs_isstr = True
+            else:
+                left = (
+                    F.try_add(left, right)
+                    if v == "+"
+                    else F.try_subtract(left, right)
+                )
         return left
 
     def parse_mul(self):
@@ -395,7 +447,13 @@ class _Parser:
         while self.peek()[1] in ("*", "/", "%") and self.peek()[0] == "op":
             _, v = self.next()
             right = self.parse_unary()
-            if v == "*":
+            if v == "*" and (_is_strish(left) or _is_strish(right)):
+                # VRL `*` with a string operand is repetition
+                # (expression/op.rs: "foo" * 2 == "foofoo")
+                s, n = (left, right) if _is_strish(left) else (right, left)
+                left = F.repeat(s, n.cast("int"))
+                left._vs_isstr = True
+            elif v == "*":
                 left = F.try_multiply(self._promote(left), right)
             elif v == "/":
                 left = F.try_divide(left, right)
@@ -425,17 +483,18 @@ class _Parser:
             lit._vs_pyval = _unescape(v)
             return lit
         if k == "num":
+            v = v.replace("_", "")  # VRL numeric literals allow 1_000
             pyval = float(v) if "." in v else int(v)
             lit = F.lit(pyval)
             lit._vs_pyval = pyval
             return lit
         if k == "path":
-            return _field(v[1:])
+            return self.resolve_path(v[1:])
         if k == "ident":
-            if v == "true":
-                return F.lit(True)
-            if v == "false":
-                return F.lit(False)
+            if v in ("true", "false"):
+                lit = F.lit(v == "true")
+                lit._vs_pyval = v == "true"
+                return lit
             if v == "null":
                 return F.lit(None)
             # VRL fallible-call marker `fn!(...)`: errors are already
@@ -458,9 +517,18 @@ class _Parser:
                 if v not in _FUNCS:
                     raise ValueError(f"VRL-lite: unknown function {v}()")
                 return _FUNCS[v](*args)
-            # bare identifier = column reference
-            return _field(v)
+            # bare identifier = column reference (or, in program mode,
+            # a local variable — see vrl_program._ProgramParser)
+            return self.resolve_ident(v)
         raise ValueError(f"VRL-lite: unexpected token {v!r}")
+
+    # resolution hooks — the program compiler (functions/vrl_program.py)
+    # overrides these so paths/idents see earlier program assignments
+    def resolve_path(self, name: str) -> Column:
+        return _field(name)
+
+    def resolve_ident(self, name: str) -> Column:
+        return _field(name)
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}

@@ -43,4 +43,4 @@ from vector_spark.operators.metrics import (  # noqa: F401
 )
 from vector_spark.operators.reduce import merge_partial, reduce_events  # noqa: F401
 from vector_spark.operators.enrich import enrich  # noqa: F401
-from vector_spark.operators.remap import remap  # noqa: F401
+from vector_spark.operators.remap import remap, remap_program  # noqa: F401

@@ -114,6 +114,30 @@ def remap(
     return df
 
 
+def remap_program(
+    df: DataFrame,
+    source: str,
+    drop_on_abort: bool = False,
+    abort_flag_field: str | None = None,
+) -> DataFrame:
+    """Run a multi-statement VRL program (``if``/``else`` control flow,
+    local variables, ``del``, ``abort`` — remap.rs's `source` field)
+    against the frame as ONE Catalyst projection.
+
+    The program is symbolically executed at plan time
+    (functions/vrl_program.py): branches become when/otherwise trees,
+    locals fold into the expressions that read them, and abort keeps
+    the reference's rollback semantics (aborting events pass through
+    unmodified unless ``drop_on_abort``). No per-event interpreter —
+    the compiled program runs inside whole-stage codegen.
+    """
+    from vector_spark.functions.vrl_program import compile_vrl_program
+
+    return compile_vrl_program(source).apply(
+        df, drop_on_abort=drop_on_abort, abort_flag_field=abort_flag_field
+    )
+
+
 def explode_events(df: DataFrame, array_field: str, target: str | None = None) -> DataFrame:
     """Root-array → N events (vrl_target.rs:42-51 into_events): one
     output row per array element; other columns are carried along.
