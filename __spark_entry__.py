@@ -235,6 +235,10 @@ def _q_json_parser(spark, sf):
 
 
 def _q_grok(spark, sf):
+    """Grok vocabulary gate: three pattern families in one composite —
+    HTTPD_COMMONLOG (apache), SYSLOGLINE and HAPROXYHTTPBASE (both
+    outside the round-3 registry). Each parse is a map-only regexp
+    projection; the three results equi-join back on event_id."""
     from vector_spark.operators import grok_parser
 
     ev = _load(spark, sf, "events")
@@ -246,11 +250,55 @@ def _q_grok(spark, sf):
         F.lit(200) + F.pmod(F.col("event_id"), F.lit(3)) * 100,
         (F.col("value") * 100).cast("long"),
     )
-    logs = ev.select("event_id", msg.alias("message"))
-    out = grok_parser(
-        logs, "%{HTTPD_COMMONLOG}", types={"response": "int", "bytes": "int"}
+    apache = grok_parser(
+        ev.select("event_id", msg.alias("message")),
+        "%{HTTPD_COMMONLOG}",
+        types={"response": "int", "bytes": "int"},
+    ).select("event_id", "clientip", "verb", "request", "response", "bytes")
+
+    sysmsg = F.format_string(
+        "Oct %d 22:14:15 host%d cron[%d]: job %d finished",
+        F.lit(1) + F.pmod(F.col("event_id"), F.lit(28)),
+        F.col("user_id"),
+        F.pmod(F.col("event_id"), F.lit(1000)),
+        F.col("event_id"),
     )
-    return out.select("event_id", "clientip", "verb", "request", "response", "bytes")
+    syslog = grok_parser(
+        ev.select("event_id", sysmsg.alias("message")),
+        "%{SYSLOGLINE}",
+        types={"pid": "int"},
+    ).select(
+        "event_id",
+        F.col("logsource").alias("sys_host"),
+        F.col("program").alias("sys_prog"),
+        F.col("pid").alias("sys_pid"),
+        F.col("message").alias("sys_msg"),
+    )
+
+    hamsg = F.format_string(
+        '10.1.%d.%d:%d [09/Feb/2024:10:00:01.123] ft_web bk_web/srv%d '
+        '0/0/1/%d/3 %d 1024 - - ---- 10/10/5/5/0 0/0 "GET /page/%d HTTP/1.1"',
+        F.pmod(F.col("user_id"), F.lit(200)),
+        F.pmod(F.col("event_id"), F.lit(200)),
+        F.lit(40000) + F.pmod(F.col("event_id"), F.lit(1000)),
+        F.lit(1) + F.pmod(F.col("event_id"), F.lit(4)),
+        F.pmod(F.col("event_id"), F.lit(50)),
+        F.lit(200) + F.pmod(F.col("event_id"), F.lit(4)) * 100,
+        F.col("event_id"),
+    )
+    haproxy = grok_parser(
+        ev.select("event_id", hamsg.alias("message")),
+        "%{HAPROXYHTTPBASE}",
+        types={"http_status_code": "int", "time_backend_response": "int"},
+    ).select(
+        "event_id",
+        F.col("client_ip").alias("ha_client_ip"),
+        F.col("server_name").alias("ha_server"),
+        F.col("time_backend_response").alias("ha_t_resp"),
+        F.col("http_status_code").alias("ha_status"),
+        F.col("http_request").alias("ha_request"),
+    )
+    return apache.join(syslog, "event_id").join(haproxy, "event_id")
 
 
 def _q_kv_parser(spark, sf):
@@ -1817,7 +1865,16 @@ def oracle_sql() -> dict[str, str]:
                    'GET' AS verb,
                    printf('/api/%d', event_id) AS request,
                    cast(200 + (event_id % 3) * 100 AS bigint) AS response,
-                   cast(trunc(value * 100) AS bigint) AS bytes
+                   cast(trunc(value * 100) AS bigint) AS bytes,
+                   printf('host%d', user_id) AS sys_host,
+                   'cron' AS sys_prog,
+                   cast(event_id % 1000 AS bigint) AS sys_pid,
+                   printf('job %d finished', event_id) AS sys_msg,
+                   printf('10.1.%d.%d', user_id % 200, event_id % 200) AS ha_client_ip,
+                   printf('srv%d', 1 + event_id % 4) AS ha_server,
+                   cast(event_id % 50 AS bigint) AS ha_t_resp,
+                   cast(200 + (event_id % 4) * 100 AS bigint) AS ha_status,
+                   printf('/page/%d', event_id) AS ha_request
             FROM events
         """,
         "kv_parser": """

@@ -159,6 +159,66 @@ def test_grok_widened_vocabulary(spark):
     assert out.cls == "com.example.Main"
 
 
+def test_grok_round4_vocabulary(spark):
+    """Round-4 families: SYSLOGLINE, SYSLOG5424LINE, HAPROXYHTTPBASE,
+    CISCOTIMESTAMP, HTTPD_ERRORLOG, JAVASTACKTRACEPART all resolve and
+    extract; every registry entry expands to a compilable regex."""
+    import re as _re
+
+    from vector_spark.operators.grok import (
+        GROK_PATTERNS,
+        grok_parser,
+        grok_to_regex,
+    )
+
+    for name in GROK_PATTERNS:
+        _re.compile(grok_to_regex("%{" + name + "}"))
+
+    df = spark.createDataFrame(
+        [("Oct 11 22:14:15 host123 sshd[345]: Failed password for root",)],
+        "message string",
+    )
+    out = grok_parser(df, "%{SYSLOGLINE}", types={"pid": "int"}).first()
+    assert (out.logsource, out.program, out.pid) == ("host123", "sshd", 345)
+    assert out.message == "Failed password for root"
+
+    df = spark.createDataFrame(
+        [
+            (
+                '192.168.1.10:52341 [09/Feb/2024:10:00:01.123] ft_web '
+                'bk_web/srv1 0/0/1/2/3 200 1024 - - ---- 10/10/5/5/0 0/0 '
+                '"GET /index.html HTTP/1.1"',
+            )
+        ],
+        "message string",
+    )
+    out = grok_parser(
+        df, "%{HAPROXYHTTPBASE}", types={"http_status_code": "int"}
+    ).first()
+    assert out.client_ip == "192.168.1.10"
+    assert (out.frontend_name, out.server_name) == ("ft_web", "srv1")
+    assert (out.http_status_code, out.http_verb) == (200, "GET")
+
+    df = spark.createDataFrame(
+        [('<34>1 2024-02-09T10:00:00Z h.example app 12 ID47 - hello msg',)],
+        "message string",
+    )
+    out = grok_parser(df, "%{SYSLOG5424LINE}").first()
+    assert (out.syslog5424_ver, out.syslog5424_app) == ("1", "app")
+    assert out.syslog5424_msg == "hello msg"
+
+    df = spark.createDataFrame(
+        [("[Wed Oct 11 14:32:52 2000] [error] [client 127.0.0.1] denied",)],
+        "message string",
+    )
+    out = grok_parser(df, "%{HTTPD_ERRORLOG}").first()
+    assert (out.loglevel, out.clientip, out.message) == (
+        "error",
+        "127.0.0.1",
+        "denied",
+    )
+
+
 def test_infer_json_schema_drives_typed_parse(spark):
     """Bounded-sample schema inference → typed single-pass parse: the
     merged schema covers fields absent from some documents."""

@@ -87,6 +87,67 @@ GROK_PATTERNS: dict[str, str] = {
     "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
     "JAVAFILE": r"(?:[A-Za-z0-9_. -]+)",
     "JAVALOGMESSAGE": r"(?:.*)",
+    # round-4 widening: remaining high-traffic logstash families
+    # (syslog line, RFC5424 line, cisco, haproxy, java stacks, extra
+    # datestamps) — public pattern vocabulary, re-expressed
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "TZ": r"(?:[A-Z]{3,4}|[+-]\d{4})",
+    "BASE16NUM": r"(?:0[xX])?[0-9A-Fa-f]+",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+=:-]+",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+)",
+    # syslog (RFC3164) full line
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
+    "SYSLOGLINE": r"%{SYSLOGBASE} %{GREEDYDATA:message}",
+    # syslog (RFC5424) full line
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOG5424PRI": r"<%{NONNEGINT}>",
+    "SYSLOG5424SD": r"\[%{DATA}\]+",
+    "SYSLOG5424BASE": (
+        r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} +"
+        r"(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) +"
+        r"(?:%{IPORHOST:syslog5424_host}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_app}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_proc}|-) +"
+        r"(?:%{SYSLOG5424PRINTASCII:syslog5424_msgid}|-) +"
+        r"(?:%{SYSLOG5424SD:syslog5424_sd}|-|)"
+    ),
+    "SYSLOG5424LINE": r"%{SYSLOG5424BASE} +%{GREEDYDATA:syslog5424_msg}",
+    # cisco
+    "CISCOTIMESTAMP": r"%{MONTH} +%{MONTHDAY}(?: %{YEAR})? %{TIME}",
+    "CISCOTAG": r"[A-Z0-9]+-%{INT}-(?:[A-Z0-9_]+)",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    # haproxy HTTP log (the standard captured-field layout)
+    "HAPROXYTIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "HAPROXYDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{HAPROXYTIME}\.%{INT}",
+    "HAPROXYHTTPBASE": (
+        r"%{IP:client_ip}:%{INT:client_port} \[%{HAPROXYDATE:accept_date}\] "
+        r"%{NOTSPACE:frontend_name} %{NOTSPACE:backend_name}/%{NOTSPACE:server_name} "
+        r"%{INT:time_request}/%{INT:time_queue}/%{INT:time_backend_connect}/"
+        r"%{INT:time_backend_response}/%{NOTSPACE:time_duration} "
+        r"%{INT:http_status_code} %{NOTSPACE:bytes_read} "
+        r"%{DATA:captured_request_cookie} %{DATA:captured_response_cookie} "
+        r"%{NOTSPACE:termination_state} "
+        r"%{INT:actconn}/%{INT:feconn}/%{INT:beconn}/%{INT:srvconn}/%{NOTSPACE:retries} "
+        r"%{INT:srv_queue}/%{INT:backend_queue} "
+        r'"(?:%{WORD:http_verb} %{NOTSPACE:http_request}(?: HTTP/%{NUMBER:http_version})?|<BADREQ>)"'
+    ),
+    "HAPROXYHTTP": r"%{SYSLOGTIMESTAMP:syslog_timestamp} %{IPORHOST:syslog_server} %{SYSLOGPROG}: %{HAPROXYHTTPBASE}",
+    # java / tomcat
+    "JAVATHREAD": r"(?:[A-Z]{2}-Processor\d+)",
+    "JAVASTACKTRACEPART": r"\s+at %{JAVACLASS:class}\.%{WORD:method}\(%{JAVAFILE:file}(?::%{INT:line})?\)",
+    "CATALINA_DATESTAMP": r"%{MONTH} %{MONTHDAY}, %{YEAR} %{HOUR}:%{MINUTE}:%{SECOND} (?:AM|PM)",
+    "TOMCAT_DATESTAMP": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND}(?:[.,]\d+)? %{ISO8601_TIMEZONE}",
+    # additional datestamps
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    # apache error log
+    "HTTPD_ERRORLOG": (
+        r"\[%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}\] "
+        r"\[%{LOGLEVEL:loglevel}\] (?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
+    ),
 }
 
 _GROK_REF_RE = re.compile(r"%\{(?P<pat>[A-Z0-9_]+)(?::(?P<name>[^}:]+))?(?::[^}]+)?\}")
