@@ -136,7 +136,11 @@ def _q_filter(spark, sf):
 
 
 def _q_route(spark, sf):
+    """Non-exclusive route lanes + a field_filter lane (field_filter.rs
+    is route's single-predicate ancestor) — one gate covers both
+    condition-driven fan-out operators."""
     from vector_spark.operators import route_split
+    from vector_spark.operators.core import field_filter
 
     ev = _load(spark, sf, "events")
     lanes = route_split(
@@ -150,6 +154,11 @@ def _q_route(spark, sf):
     parts = [
         df.select(F.lit(name).alias("lane"), "event_id") for name, df in lanes.items()
     ]
+    parts.append(
+        field_filter(ev, "event_type", "purchase").select(
+            F.lit("purchases").alias("lane"), "event_id"
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1698,7 +1707,433 @@ def _q_dup_clusters(spark, sf):
     return dup_clusters(pairs)
 
 
+# ---------------------------------------------------------------------------
+# Composite (family) gates — the driver's CORRECTNESS artifact records
+# only the FIRST 50 entries of queries(), so each composite folds several
+# single-operator gates into one oracle-backed DataFrame; the original
+# fine-grained gates remain in all_queries() for bench + local parity.
+# ---------------------------------------------------------------------------
+
+
+def _q_json_parsers(spark, sf):
+    """json_parser (object → typed columns) + 1→N JSON-array explode
+    (cloudwatch-style subscription parse) in one gate: every exploded
+    row carries the object-parsed prop_k alongside rec_id/body."""
+    from vector_spark.operators import json_parser
+    from vector_spark.operators.parsers import json_array_parser
+
+    ev = _load(spark, sf, "events")
+    obj = json_parser(
+        ev, field="props", schema="k long", target_field=None, drop_field=False
+    )
+    payload = F.format_string(
+        '[{"rec_id": %d, "body": "%s"}, {"rec_id": %d, "body": "%s-tail"}]',
+        F.col("event_id"),
+        F.col("event_type"),
+        F.col("event_id") + 10_000_000,
+        F.col("event_type"),
+    )
+    df = obj.select("event_id", F.col("k").alias("prop_k"), payload.alias("message"))
+    out = json_array_parser(df, field="message", element_schema="rec_id long, body string")
+    return out.select("event_id", "prop_k", "rec_id", "body")
+
+
+def _q_kv_logfmt(spark, sf):
+    """key_value_parser + logfmt_parser + encode_logfmt on one frame —
+    the three k=v codecs (parse generic, parse quoted logfmt, encode)
+    verified as one wide projection."""
+    from vector_spark.functions.vrl import encode_logfmt
+    from vector_spark.operators import key_value_parser, logfmt_parser
+
+    ev = _load(spark, sf, "events")
+    kvmsg = F.format_string(
+        "status=%d time=%d",
+        F.lit(200) + F.pmod(F.col("event_id"), F.lit(5)),
+        (F.col("value") * 10).cast("long"),
+    )
+    lfmsg = F.format_string(
+        'level=info msg="evt %s done" dur=%dms', F.col("event_type"), F.col("user_id")
+    )
+    base = ev.select(
+        "event_id", "event_type", "user_id",
+        kvmsg.alias("kvmsg"), lfmsg.alias("lfmsg"),
+    )
+    out = key_value_parser(
+        base, field="kvmsg", fields=["status", "time"],
+        types={"status": "int", "time": "int"},
+    )
+    out = logfmt_parser(out, field="lfmsg", fields=["level", "msg", "dur"])
+    enc = encode_logfmt(
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("msg"), F.format_string("user %d", F.col("user_id")),
+        )
+    )
+    return out.select(
+        "event_id", "status", "time", "level", "msg", "dur", enc.alias("line")
+    )
+
+
+def _q_tokenize_split(spark, sf):
+    """tokenizer (quote/bracket-aware) + split (literal separator)
+    positional field assignment over the same text, one projection."""
+    from vector_spark.operators import split_fields, tokenizer
+
+    docs = _load(spark, sf, "documents")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("text").alias("message")
+    )
+    out = tokenizer(base, ["tok1", "tok2", "tok3"], drop_field=False)
+    out = split_fields(out, ["w1", "w2"], separator=" ")
+    return out.select("doc_id", "tok1", "tok2", "tok3", "w1", "w2")
+
+
+def _q_shaper_suite(spark, sf):
+    """The event-shaping family in one pass: add_fields (templated),
+    concat (substring specs), rename_fields, coercer, ansi_stripper."""
+    from vector_spark.operators import (
+        add_fields,
+        ansi_stripper,
+        coercer,
+        concat_fields,
+        rename_fields,
+    )
+
+    ev = _load(spark, sf, "events")
+    colored = F.concat(
+        F.lit("\x1b[31m"), F.col("event_type"), F.lit("\x1b[0m"), F.lit(" done")
+    )
+    base = ev.withColumn("value_s", F.col("value").cast("string")).withColumn(
+        "message", colored
+    )
+    out = add_fields(base, {"app": "pipeline", "label": "{{event_type}}-{{user_id}}"})
+    out = concat_fields(out, "etype_head", ["event_type[0..3]"], joiner="")
+    out = rename_fields(out, {"event_type": "etype"})
+    out = coercer(out, {"value_s": "float"})
+    out = ansi_stripper(out)
+    return out.select(
+        "event_id", "app", "label", "etype_head", "etype",
+        F.col("value_s").alias("value_f"), F.col("message").alias("clean"),
+    )
+
+
+def _q_reduce_modes(spark, sf):
+    """The reduce/merge family: plain grouped reduce, ends_when
+    session close, expire_gap sessionization, and partial-event merge
+    — four strategies unioned with a mode discriminator."""
+    nul = F.lit(None).cast("double")
+    r = _q_reduce(spark, sf).select(
+        F.lit("reduce").alias("mode"), "user_id",
+        F.col("first_ord").alias("anchor"), F.col("etypes").alias("text"),
+        F.col("sum_value"),
+    )
+    e = _q_reduce_ends_when(spark, sf).select(
+        F.lit("ends_when").alias("mode"), "user_id",
+        F.col("session_start").alias("anchor"), F.col("etypes").alias("text"),
+        nul.alias("sum_value"),
+    )
+    g = _q_reduce_expire_gap(spark, sf).select(
+        F.lit("expire_gap").alias("mode"), "user_id",
+        F.col("session_start").alias("anchor"), F.col("etypes").alias("text"),
+        nul.alias("sum_value"),
+    )
+    m = _q_merge_partial(spark, sf).select(
+        F.lit("merge").alias("mode"), "user_id",
+        F.col("closed_at").alias("anchor"), F.col("merged").alias("text"),
+        nul.alias("sum_value"),
+    )
+    return r.unionByName(e).unionByName(g).unionByName(m)
+
+
+def _q_metric_aggregate(spark, sf):
+    """log_to_metric → aggregate (instant flush) and the same stream
+    through a 1-hour tumbling aggregate window — counter semantics at
+    both flush granularities (aggregate.rs + log_to_metric.rs)."""
+    a = _q_log_to_metric(spark, sf).select(
+        F.lit("by_type").alias("part"), F.col("type_tag").alias("key"), "cnt"
+    )
+    b = _q_aggregate_window(spark, sf).select(
+        F.lit("hourly").alias("part"), F.col("hour").cast("string").alias("key"), "cnt"
+    )
+    return a.unionByName(b)
+
+
+def _q_metric_statistics(spark, sf):
+    """The distribution-statistic family joined on series key:
+    histogram buckets + exact summary quantiles + rate-weighted
+    distribution stats (statistic.rs) — one row per event_type."""
+    h = _q_histogram(spark, sf).select(
+        "event_type", "le_5_0", "le_10_0", "le_15_0",
+        F.col("count").alias("h_count"), F.col("sum").alias("h_sum"),
+    )
+    s = _q_summary_quantiles(spark, sf).select(
+        "event_type", "q5", "q9",
+        F.col("count").alias("s_count"), F.col("sum").alias("s_sum"),
+    )
+    d = _q_distribution(spark, sf).select(
+        "event_type", F.col("min").alias("d_min"), F.col("max").alias("d_max"),
+        F.col("median").alias("d_median"), F.col("q95").alias("d_q95"),
+        F.col("count").alias("d_count"), F.col("sum").alias("d_sum"),
+    )
+    return h.join(s, "event_type").join(d, "event_type")
+
+
+def _q_metric_tags_log(spark, sf):
+    """add_tags / remove_tags / metric_to_log chained: counter tagged
+    with a template + a scrub-me tag, env added, tmp removed, then
+    serialized to the log shape."""
+    from vector_spark.operators import (
+        add_tags,
+        aggregate_metrics,
+        log_to_metric,
+        metric_to_log,
+        remove_tags,
+    )
+
+    ev = _load(spark, sf, "events").withColumnRenamed("ts", "timestamp")
+    m = log_to_metric(
+        ev,
+        [
+            {
+                "type": "counter",
+                "field": "event_type",
+                "name": "events_total",
+                "tags": {"etype": "{{event_type}}", "tmp": "scrub-me"},
+            }
+        ],
+    )
+    m = add_tags(m, {"env": "prod"})
+    m = remove_tags(m, ["tmp"])
+    agg = aggregate_metrics(m)
+    logs = metric_to_log(agg)
+    # tags_json key order is the map's construction order (etype from
+    # the template, env appended by add_tags, tmp scrubbed) — stable,
+    # and asserted verbatim by the oracle
+    return logs.select(
+        "name", "kind", "metric_type",
+        F.col("value").cast("long").alias("cnt"),
+        "tags_json",
+    )
+
+
+def _q_enrich_full(spark, sf):
+    """Broadcast-join enrichment + aws_ec2_metadata-style constant
+    enrichment on the same event stream."""
+    from vector_spark.operators import enrich
+    from vector_spark.operators.enrich import enrich_constants
+
+    ev = _load(spark, sf, "events")
+    dim = spark.createDataFrame(_ENRICH_ROWS, "event_type string, category string, weight int")
+    out = enrich(ev, dim, on="event_type")
+    out = enrich_constants(
+        out,
+        {
+            "instance_id": "i-0123456789abcdef0",
+            "region": "us-east-1",
+            "availability_zone": "us-east-1a",
+            "instance_type": "m5.2xlarge",
+        },
+    )
+    return out.select(
+        "event_id", "event_type", "category", "weight",
+        "instance_id", "region", "availability_zone", "instance_type",
+    )
+
+
+def _q_vrl_stdlib(spark, sf):
+    """VRL stdlib sweep — parse_url, parse_duration, syslog level and
+    severity conversions, parse_csv, percent encode/decode,
+    parse_ruby_hash, encode_key_value, IP family conversions — all as
+    ONE map-only projection over events (18 derived columns, one scan,
+    whole-stage codegen)."""
+    from vector_spark.functions.vrl import (
+        decode_percent,
+        encode_key_value,
+        encode_percent,
+        ip_to_ipv6,
+        ipv6_to_ipv4,
+        parse_csv,
+        parse_duration_seconds,
+        parse_ruby_hash,
+        parse_url,
+        to_syslog_level,
+        to_syslog_severity,
+    )
+
+    ev = _load(spark, sf, "events")
+    url = F.format_string(
+        "https://host%d.example.com/api/%s/%d?page=%d",
+        F.pmod(F.col("user_id"), F.lit(10)),
+        F.col("event_type"),
+        F.col("event_id"),
+        F.pmod(F.col("event_id"), F.lit(7)),
+    )
+    u = parse_url(url)
+    dur = F.format_string("%dms", (F.col("value") * 10).cast("long"))
+    level = F.element_at(
+        F.array(*[F.lit(x) for x in ("emerg", "alert", "crit", "err", "warning", "notice", "info", "debug")]),
+        (F.pmod(F.col("event_id"), F.lit(8)) + 1).cast("int"),
+    )
+    csvmsg = F.format_string(
+        '%s,%d,"%s, Inc."', F.col("event_type"), F.col("event_id"), F.col("event_type")
+    )
+    fields = parse_csv(csvmsg)
+    raw = F.concat(F.col("event_type"), F.lit(" x y"))
+    rh = F.format_string(
+        '{ "etype" => "%s", "n" => %d, "x" => nil }', F.col("event_type"), F.col("event_id")
+    )
+    parsed = parse_ruby_hash(rh)
+    ip = F.format_string(
+        "10.%d.%d.%d",
+        F.pmod(F.col("event_id"), F.lit(250)),
+        F.pmod(F.col("user_id"), F.lit(250)),
+        F.pmod(F.col("event_id") * 7, F.lit(250)),
+    )
+    return ev.select(
+        "event_id",
+        u["scheme"].alias("scheme"),
+        u["host"].alias("host"),
+        u["path"].alias("path"),
+        u["query"].alias("query"),
+        F.round(parse_duration_seconds(dur), 6).alias("dur_s"),
+        level.alias("level"),
+        to_syslog_severity(level).alias("severity"),
+        to_syslog_level(F.pmod(F.col("event_id"), F.lit(8))).alias("roundtrip"),
+        F.element_at(fields, 1).alias("f1"),
+        F.element_at(fields, 2).alias("f2"),
+        F.element_at(fields, 3).alias("f3"),
+        encode_percent(raw).alias("enc"),
+        decode_percent(encode_percent(raw)).alias("dec"),
+        F.element_at(parsed, "etype").alias("etype"),
+        F.element_at(parsed, "n").alias("n"),
+        encode_key_value(
+            F.create_map(F.lit("lvl"), F.col("event_type"), F.lit("id"), F.col("event_id").cast("string"))
+        ).alias("kv"),
+        ip_to_ipv6(ip).alias("v6"),
+        ipv6_to_ipv4(ip_to_ipv6(ip)).alias("v4_back"),
+    )
+
+
+def _q_ann_topk(spark, sf):
+    """The ANN family — brute-force cosine top-k (cross-validation
+    baseline), sign-LSH bucketed top-k, and IVF multi-probe top-k —
+    unioned with a method discriminator. Bucket/cell candidate
+    generation is exercised transitively (both prune before scoring)."""
+    b = _q_embed_topk(spark, sf).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos"
+    )
+    l = _q_embed_lsh_topk(spark, sf).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "cos"
+    )
+    i = _q_ivf_topk(spark, sf).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos"
+    )
+    return b.unionByName(l).unionByName(i)
+
+
+def _q_text_doc_signals(spark, sf):
+    """Per-document text-analysis family: stats/quality/lang-guess
+    fingerprint + Gopher-style repetition signals + match_any regex-set
+    hit — joined on doc_id (all map-only; join collapses to one
+    projection per side + one shuffle-free zip at equal partitioning)."""
+    ts = _q_text_stats(spark, sf)
+    rep = _q_repetition_signals(spark, sf).drop("n_words")
+    ma = _q_match_any(spark, sf)
+    return ts.join(rep, "doc_id").join(ma, "doc_id")
+
+
+def _q_tokens_doc(spark, sf):
+    """Per-sequence token family over the pre-tokenized shape: token
+    stats + unigram-LM mean negative logprob, joined on doc_id."""
+    t = _q_token_stats(spark, sf)
+    u = _q_unigram_logprob(spark, sf).select("doc_id", "mean_neg_logprob")
+    return t.join(u, "doc_id")
+
+
+def _q_sampling_mix(spark, sf):
+    """Curation sampling family: temperature-based mixing rates
+    (corpus-level, |langs| rows) + deterministic stratified sampling
+    (per-doc keep decisions) — unioned on a canonical schema."""
+    mix = _q_mix_rates(spark, sf).select(
+        F.lit("mix").alias("part"), F.col("lang").alias("k"),
+        F.col("rate"), F.lit(None).cast("long").alias("doc_id"),
+    )
+    samp = _q_stratified_sample(spark, sf).select(
+        F.lit("sample").alias("part"), F.col("source").alias("k"),
+        F.col("sample_rate").alias("rate"), "doc_id",
+    )
+    return mix.unionByName(samp)
+
+
+# The 50 driver-window gates, in artifact order: the driver records the
+# FIRST 50 entries of queries() in CORRECTNESS_r{N}.json, so this list
+# IS the hard correctness artifact. Every operator family has a row —
+# composites fold the fine-grained gates (kept in all_queries() for
+# bench + local parity runs; tools/check_oracles.py verifies ALL gates).
+_WINDOW = [
+    "flagship_pipeline",
+    "filter",
+    "route",
+    "sample",
+    "remap",
+    "remap_program",
+    "json_parsers",
+    "grok_parser",
+    "kv_logfmt",
+    "tokenize_split",
+    "shaper_suite",
+    "dedupe",
+    "reduce_modes",
+    "session_windows",
+    "metric_aggregate",
+    "metric_statistics",
+    "metric_tags_log",
+    "rollup_tiers",
+    "enrich_full",
+    "tag_cardinality",
+    "salted_agg",
+    "regex_multi",
+    "syslog5424",
+    "parse_aws_alb_log",
+    "parse_aws_vpc_flow_log",
+    "datadog_search",
+    "vrl_stdlib",
+    "dedup_exact",
+    "ngram_jaccard",
+    "minhash_estimate",
+    "simhash",
+    "simhash_near_dups",
+    "dedup_resolution",
+    "ann_topk",
+    "embed_near_dups",
+    "text_doc_signals",
+    "winnow_dup_pairs",
+    "tokens_doc",
+    "vocab_topk",
+    "oov_rate",
+    "sampling_mix",
+    "pii_scrub",
+    "contamination",
+    "pack_sequences",
+    "curation_pipeline",
+    "multimodal_features",
+    "stream_aggregate",
+    "stream_dedupe",
+    "stream_route",
+    "resumable_run",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-window gates (exactly 50, every operator family)."""
+    allq = all_queries()
+    return {k: allq[k] for k in _WINDOW}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every gate — driver-window composites plus the fine-grained
+    per-operator gates they fold (bench.py times the fine-grained set
+    so per-query numbers stay comparable across rounds)."""
     return {
         "flagship_pipeline": _flagship,
         "filter": _q_filter,
@@ -1781,6 +2216,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "unigram_logprob": _q_unigram_logprob,
         "simhash_near_dups": _q_simhash_near_dups,
+        # composite family gates (driver window)
+        "json_parsers": _q_json_parsers,
+        "kv_logfmt": _q_kv_logfmt,
+        "tokenize_split": _q_tokenize_split,
+        "shaper_suite": _q_shaper_suite,
+        "reduce_modes": _q_reduce_modes,
+        "metric_aggregate": _q_metric_aggregate,
+        "metric_statistics": _q_metric_statistics,
+        "metric_tags_log": _q_metric_tags_log,
+        "enrich_full": _q_enrich_full,
+        "vrl_stdlib": _q_vrl_stdlib,
+        "ann_topk": _q_ann_topk,
+        "text_doc_signals": _q_text_doc_signals,
+        "tokens_doc": _q_tokens_doc,
+        "sampling_mix": _q_sampling_mix,
     }
 
 
@@ -1804,6 +2254,174 @@ _SHINGLES = """
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracles for the 50 driver-window gates (same keys/order as
+    queries())."""
+    allo = all_oracle_sql()
+    return {k: allo[k] for k in _WINDOW}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    o = _legacy_oracle_sql()
+    o.update(_composite_oracles(o))
+    return o
+
+
+def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
+    """Oracles for the composite family gates, built FROM the
+    fine-grained oracles so both stay definitionally in lockstep."""
+    return {
+        "json_parsers": """
+            SELECT event_id,
+                   cast(regexp_extract(props, '"k": (\\d+)', 1) AS bigint) AS prop_k,
+                   event_id AS rec_id, event_type AS body
+            FROM events
+            UNION ALL
+            SELECT event_id,
+                   cast(regexp_extract(props, '"k": (\\d+)', 1) AS bigint) AS prop_k,
+                   event_id + 10000000 AS rec_id, event_type || '-tail' AS body
+            FROM events
+        """,
+        "kv_logfmt": """
+            SELECT event_id,
+                   cast(200 + event_id % 5 AS bigint) AS status,
+                   cast(trunc(value * 10) AS bigint) AS time,
+                   'info' AS level,
+                   printf('evt %s done', event_type) AS msg,
+                   printf('%dms', user_id) AS dur,
+                   printf('etype=%s msg="user %d"', event_type, user_id) AS line
+            FROM events
+        """,
+        "tokenize_split": """
+            SELECT cast(doc_id AS bigint) AS doc_id,
+                   split_part(text, ' ', 1) AS tok1,
+                   split_part(text, ' ', 2) AS tok2,
+                   split_part(text, ' ', 3) AS tok3,
+                   split_part(text, ' ', 1) AS w1,
+                   split_part(text, ' ', 2) AS w2
+            FROM documents
+        """,
+        "shaper_suite": """
+            SELECT event_id, 'pipeline' AS app,
+                   event_type || '-' || cast(user_id AS varchar) AS label,
+                   substr(event_type, 1, 3) AS etype_head,
+                   event_type AS etype,
+                   cast(cast(value AS varchar) AS double) AS value_f,
+                   event_type || ' done' AS clean
+            FROM events
+        """,
+        "reduce_modes": f"""
+            SELECT 'reduce' AS mode, user_id, first_ord AS anchor,
+                   etypes AS text, sum_value
+            FROM ({o["reduce"]})
+            UNION ALL
+            SELECT 'ends_when' AS mode, user_id, session_start AS anchor,
+                   etypes AS text, cast(NULL AS double) AS sum_value
+            FROM ({o["reduce_ends_when"]})
+            UNION ALL
+            SELECT 'expire_gap' AS mode, user_id, session_start AS anchor,
+                   etypes AS text, cast(NULL AS double) AS sum_value
+            FROM ({o["reduce_expire_gap"]})
+            UNION ALL
+            SELECT 'merge' AS mode, user_id, closed_at AS anchor,
+                   merged AS text, cast(NULL AS double) AS sum_value
+            FROM ({o["merge_partial"]})
+        """,
+        "metric_aggregate": f"""
+            SELECT 'by_type' AS part, type_tag AS key, cnt
+            FROM ({o["log_to_metric"]})
+            UNION ALL
+            SELECT 'hourly' AS part, cast(hour AS varchar) AS key, cnt
+            FROM ({o["aggregate_window"]})
+        """,
+        "metric_statistics": f"""
+            SELECT h.event_type, h.le_5_0, h.le_10_0, h.le_15_0,
+                   h.count AS h_count, h.sum AS h_sum,
+                   s.q5, s.q9, s.count AS s_count, s.sum AS s_sum,
+                   d.min AS d_min, d.max AS d_max, d.median AS d_median,
+                   d.q95 AS d_q95, d.count AS d_count, d.sum AS d_sum
+            FROM ({o["histogram"]}) h
+            JOIN ({o["summary_quantiles"]}) s USING (event_type)
+            JOIN ({o["distribution"]}) d USING (event_type)
+        """,
+        "metric_tags_log": """
+            SELECT 'events_total' AS name, 'incremental' AS kind,
+                   'counter' AS metric_type, cast(count(*) AS bigint) AS cnt,
+                   printf('{"etype":"%s","env":"prod"}', event_type) AS tags_json
+            FROM events GROUP BY event_type
+        """,
+        "enrich_full": f"""
+            SELECT event_id, event_type, category, weight,
+                   'i-0123456789abcdef0' AS instance_id,
+                   'us-east-1' AS region,
+                   'us-east-1a' AS availability_zone,
+                   'm5.2xlarge' AS instance_type
+            FROM ({o["enrich"]})
+        """,
+        "vrl_stdlib": """
+            WITH lv AS (
+              SELECT *,
+                     ['emerg','alert','crit','err','warning','notice','info','debug']
+                       [cast(event_id % 8 AS int) + 1] AS level
+              FROM events
+            )
+            SELECT event_id,
+                   'https' AS scheme,
+                   printf('host%d.example.com', user_id % 10) AS host,
+                   printf('/api/%s/%d', event_type, event_id) AS path,
+                   printf('page=%d', event_id % 7) AS query,
+                   round(cast(trunc(value * 10) AS bigint) * 0.001, 6) AS dur_s,
+                   level,
+                   CASE level WHEN 'emerg' THEN 0 WHEN 'alert' THEN 1 WHEN 'crit' THEN 2
+                        WHEN 'err' THEN 3 WHEN 'warning' THEN 4 WHEN 'notice' THEN 5
+                        WHEN 'info' THEN 6 WHEN 'debug' THEN 7 END AS severity,
+                   level AS roundtrip,
+                   event_type AS f1,
+                   cast(event_id AS varchar) AS f2,
+                   event_type || ', Inc.' AS f3,
+                   event_type || '%20x%20y' AS enc,
+                   event_type || ' x y' AS dec,
+                   event_type AS etype,
+                   cast(event_id AS varchar) AS n,
+                   printf('id=%d lvl=%s', event_id, event_type) AS kv,
+                   printf('::ffff:10.%d.%d.%d', event_id % 250, user_id % 250,
+                          (event_id * 7) % 250) AS v6,
+                   printf('10.%d.%d.%d', event_id % 250, user_id % 250,
+                          (event_id * 7) % 250) AS v4_back
+            FROM lv
+        """,
+        "ann_topk": f"""
+            SELECT 'brute' AS method, query_id, neighbor_id, cos
+            FROM ({o["embed_topk"]})
+            UNION ALL
+            SELECT 'lsh' AS method, query_id, neighbor_id, cos
+            FROM ({o["embed_lsh_topk"]})
+            UNION ALL
+            SELECT 'ivf' AS method, query_id, neighbor_id, cos
+            FROM ({o["ivf_topk"]})
+        """,
+        "text_doc_signals": f"""
+            SELECT t.*, r.mean_word_len, r.symbol_word_ratio, r.bullet_ratio,
+                   r.ellipsis_ratio, r.dup_2gram_frac, r.dup_3gram_frac, m.hit
+            FROM ({o["text_stats"]}) t
+            JOIN ({o["repetition_signals"]}) r USING (doc_id)
+            JOIN ({o["vrl_match_any"]}) m USING (doc_id)
+        """,
+        "tokens_doc": f"""
+            SELECT t.*, u.mean_neg_logprob
+            FROM ({o["token_stats"]}) t
+            JOIN ({o["unigram_logprob"]}) u USING (doc_id)
+        """,
+        "sampling_mix": f"""
+            SELECT 'mix' AS part, lang AS k, rate, cast(NULL AS bigint) AS doc_id
+            FROM ({o["mix_rates"]})
+            UNION ALL
+            SELECT 'sample' AS part, source AS k, sample_rate AS rate, doc_id
+            FROM ({o["stratified_sample"]})
+        """,
+    }
+
+
+def _legacy_oracle_sql() -> dict[str, str]:
     return {
         "flagship_pipeline": _FLAGSHIP_ORACLE,
         "filter": """
@@ -1817,6 +2435,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'rest' AS lane, event_id FROM events
             WHERE event_type <> 'error' AND value < 15.0
+            UNION ALL
+            SELECT 'purchases' AS lane, event_id FROM events
+            WHERE event_type = 'purchase'
         """,
         "sample": """
             SELECT event_id, event_type, 4 AS sample_rate FROM events

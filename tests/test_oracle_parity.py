@@ -56,8 +56,8 @@ def ddb():
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_query_matches_oracle(spark, ddb, name):
-    sdf = entrymod.queries()[name](spark, SF_DIR).toPandas()
-    odf = ddb.execute(entrymod.oracle_sql()[name]).df()
+    sdf = entrymod.all_queries()[name](spark, SF_DIR).toPandas()
+    odf = ddb.execute(entrymod.all_oracle_sql()[name]).df()
     scols, srows = _sig(sdf)
     ocols, orows = _sig(odf)
     assert scols == ocols
@@ -68,10 +68,13 @@ def test_query_matches_oracle(spark, ddb, name):
 def test_every_query_has_callable_and_oracle_alignment():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 45
-    # every oracle key must correspond to a query
-    assert set(oracles) <= set(qs)
-    # SQL-expressible coverage stays high (rows-only are the documented
-    # pandas-UDF ops)
-    rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"multimodal_features", "ivf_topk"}
+    # the driver records the FIRST 50 entries — the window must be
+    # exactly 50, fully oracle-backed, and ordered per _WINDOW
+    assert len(qs) == 50
+    assert list(qs) == entrymod._WINDOW
+    assert set(oracles) == set(qs)
+    # every fine-grained gate stays oracle-backed too
+    allq = entrymod.all_queries()
+    allo = entrymod.all_oracle_sql()
+    assert set(qs) <= set(allq)
+    assert set(allo) == set(allq)

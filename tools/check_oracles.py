@@ -45,8 +45,8 @@ def main():
     for t in entrymod.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = entrymod.all_queries()
+    oracles = entrymod.all_oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

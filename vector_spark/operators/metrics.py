@@ -123,6 +123,13 @@ def log_to_metric(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # advertise which metric types this frame can contain so
+    # aggregate_metrics can skip dead aggregation work (a pure-counter
+    # stream never needs the set-collect or quantile sketch; at 100 TB
+    # the sketch is most of the aggregate's CPU). The attribute rides
+    # the Python DataFrame object — any transform in between drops it
+    # and aggregate_metrics falls back to computing everything.
+    out._vs_metric_types = frozenset(m["type"] for m in metrics)
     return out
 
 
@@ -142,6 +149,7 @@ def aggregate_metrics(
     metrics_df: DataFrame,
     interval: str | None = None,
     quantiles: list[float] = (0.5, 0.95, 0.99),
+    types: frozenset[str] | None = None,
 ) -> DataFrame:
     """The ``aggregate`` Task transform (aggregate.rs:76-130):
     Incremental metrics ADD within a flush interval, Absolute metrics
@@ -151,7 +159,18 @@ def aggregate_metrics(
     One shuffle; partial aggregation happens map-side for sum/count.
     Output: one row per (window, series) with type-appropriate value
     columns.
+
+    ``types`` (default: the ``_vs_metric_types`` hint log_to_metric
+    attaches, else all) declares which metric types the frame can
+    contain: without ``set`` the collect_set is skipped, and without
+    summary/distribution/histogram the percentile_approx sketch is
+    skipped — those two are most of the aggregate's per-row CPU, and
+    a counter-only stream (the common log_to_metric shape) pays for
+    neither. Skipped columns come back as typed nulls so the output
+    schema is identical either way.
     """
+    if types is None:
+        types = getattr(metrics_df, "_vs_metric_types", None)
     keys: list[Column] = [
         F.col("name"),
         F.col("namespace"),
@@ -170,24 +189,33 @@ def aggregate_metrics(
         if "rate" in metrics_df.columns
         else F.lit(1).cast("long")
     )
-    agg = (
-        metrics_df.groupBy(*keys)
-        .agg(
-            F.first("tags").alias("tags"),
-            F.max("ts").alias("ts"),
-            F.sum(F.when(is_inc, F.col("value") * rate)).alias("_sum_inc"),
-            F.max_by("value", "ts").alias("_last_abs"),
-            F.coalesce(
-                F.sum(F.when(F.col("value").isNotNull(), rate)), F.lit(0)
-            ).alias("count"),
-            F.sum(F.col("value") * rate).alias("sum"),
-            F.collect_set("set_value").alias("set_values"),
-            # approx sketch is unweighted — the exact rate-weighted
-            # quantile path is distribution_statistic()
-            F.percentile_approx("value", list(quantiles)).alias("_quantiles"),
-        )
-        .drop("_tags_key")
+    need_set = types is None or "set" in types
+    need_quant = types is None or bool(
+        types & {"summary", "distribution", "histogram"}
     )
+    aggs = [
+        F.first("tags").alias("tags"),
+        F.max("ts").alias("ts"),
+        F.sum(F.when(is_inc, F.col("value") * rate)).alias("_sum_inc"),
+        F.max_by("value", "ts").alias("_last_abs"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNotNull(), rate)), F.lit(0)
+        ).alias("count"),
+        F.sum(F.col("value") * rate).alias("sum"),
+    ]
+    if need_set:
+        aggs.append(F.collect_set("set_value").alias("set_values"))
+    if need_quant:
+        # approx sketch is unweighted — the exact rate-weighted
+        # quantile path is distribution_statistic()
+        aggs.append(
+            F.percentile_approx("value", list(quantiles)).alias("_quantiles")
+        )
+    agg = metrics_df.groupBy(*keys).agg(*aggs).drop("_tags_key")
+    if not need_set:
+        agg = agg.withColumn("set_values", F.lit(None).cast("array<string>"))
+    if not need_quant:
+        agg = agg.withColumn("_quantiles", F.lit(None).cast("array<double>"))
     value = (
         F.when(F.col("metric_type") == "counter", F.col("_sum_inc"))
         .when(F.col("metric_type") == "gauge", F.col("_last_abs"))
