@@ -134,20 +134,30 @@ def unigram_logprob(
     Output: (id_col, n_tok, mean_neg_logprob).
     """
     freqs = vocab_histogram(df, tokens_col)
-    total = freqs.agg(F.sum("freq").alias("t")).collect()[0]["t"] or 1
-    vocab = freqs.count() or 1
+    # corpus total + vocab size as a broadcast 1-row frame: no driver
+    # action serializes ahead of the scoring job (the old shape ran a
+    # collect() and a count() as two blocking jobs first)
+    scalars = freqs.agg(
+        (
+            F.coalesce(F.sum("freq"), F.lit(0)).cast("double")
+            + F.lit(alpha) * F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+        ).alias("_denom")
+    )
     occ = df.select(
         F.col(id_col), F.explode(F.col(tokens_col)).alias("token")
     )
-    denom = float(total) + alpha * float(vocab)
-    scored = occ.join(F.broadcast(freqs), "token", "left").select(
-        F.col(id_col),
-        (
-            -F.log(
-                (F.coalesce(F.col("freq"), F.lit(0)) + F.lit(alpha))
-                / F.lit(denom)
-            )
-        ).alias("_nlp"),
+    scored = (
+        occ.join(F.broadcast(freqs), "token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("freq"), F.lit(0)) + F.lit(alpha))
+                    / F.col("_denom")
+                )
+            ).alias("_nlp"),
+        )
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tok"),

@@ -193,8 +193,13 @@ def aggregate_metrics(
     need_quant = types is None or bool(
         types & {"summary", "distribution", "histogram"}
     )
+    # tags is functionally determined by the _tags_key group key — a
+    # from_json roundtrip after the aggregate instead of first(map):
+    # a map-typed aggregation buffer is not hash-aggregable, and with
+    # the sketch aggs gone it would demote the WHOLE aggregate from
+    # HashAggregate to sort-based SortAggregate (measured in
+    # test_plans; a per-partition sort is the opposite of the goal)
     aggs = [
-        F.first("tags").alias("tags"),
         F.max("ts").alias("ts"),
         F.sum(F.when(is_inc, F.col("value") * rate)).alias("_sum_inc"),
         F.max_by("value", "ts").alias("_last_abs"),
@@ -211,7 +216,14 @@ def aggregate_metrics(
         aggs.append(
             F.percentile_approx("value", list(quantiles)).alias("_quantiles")
         )
-    agg = metrics_df.groupBy(*keys).agg(*aggs).drop("_tags_key")
+    agg = (
+        metrics_df.groupBy(*keys)
+        .agg(*aggs)
+        .withColumn(
+            "tags", F.from_json(F.col("_tags_key"), "map<string,string>")
+        )
+        .drop("_tags_key")
+    )
     if not need_set:
         agg = agg.withColumn("set_values", F.lit(None).cast("array<string>"))
     if not need_quant:
