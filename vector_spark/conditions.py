@@ -195,12 +195,21 @@ _FUNCS = {
     "now": lambda: F.current_timestamp(),
     "md5": lambda a: F.md5(a.cast("string")),
     "sha1": lambda a: F.sha1(a.cast("string")),
-    "sha2": lambda a, *bits: F.sha2(a.cast("string"), _as_py_int(bits[0]) if bits else 256),
+    # variant accepts the VRL spelling ("SHA-224") or a bit count
+    "sha2": lambda a, *bits: F.sha2(a.cast("string"), _sha2_bits(bits[0]) if bits else 256),
     "uuid_v4": lambda: F.expr("uuid()"),
     "encode_base64": lambda a: F.base64(a.cast("binary")),
     "decode_base64": lambda a: F.unbase64(a).cast("string"),
     "encode_json": lambda a: F.to_json(a),
     "flatten": lambda a: F.flatten(a),
+    # merge.rs — shallow object merge (see _merge_cols); the
+    # `a | b` operator compiles through the same helper
+    "merge": lambda a, b: _merge_cols(a, b),
+    # object!/array! type guards: on a typed schema the kind is
+    # schema-static, so the guard is an identity (mismatch surfaces
+    # at Catalyst analysis instead of per-event)
+    "object": lambda a: a,
+    "array": lambda a: a,
     "compact": lambda a: F.array_compact(a),
     "includes": lambda a, v: F.array_contains(a, v),
     "append": lambda a, b: F.concat(a, b),
@@ -300,6 +309,145 @@ def _is_strish(c) -> bool:
     return isinstance(d.get("_vs_pyval"), str) or bool(d.get("_vs_isstr"))
 
 
+# ---------------------------------------------------------------------------
+# Static (plan-time) VRL type/error model
+#
+# VRL type-checks programs at compile time and represents operation
+# failures as first-class ERROR VALUES (lib/vrl/compiler/src/value/
+# arithmetic.rs + error.rs). Spark Columns carry no VRL types, but
+# literals do: the parser tags every literal with its Python value
+# (``_vs_pyval``) and/or VRL kind (``_vs_stype``), propagates kinds
+# through operators, and computes the reference's exact error strings
+# when an operation between known kinds is invalid. An error value
+# compiles to a NULL literal tagged ``_vs_error`` — `??`, `ok, err =`
+# and the logical operators give it VRL semantics. Unknown-kind
+# operands (real columns) keep the existing checked-arithmetic
+# behavior (try_* → null), the documented fixed-schema stance.
+# ---------------------------------------------------------------------------
+
+_MISSING = object()
+_NUMERIC = {"integer", "float"}
+
+
+def _col_tags(c) -> dict:
+    return getattr(c, "__dict__", None) or {}
+
+
+def _stype(c) -> str | None:
+    """Static VRL kind of an expression, or None when unknown."""
+    d = _col_tags(c)
+    if "_vs_stype" in d:
+        return d["_vs_stype"]
+    v = d.get("_vs_pyval", _MISSING)
+    if v is not _MISSING:
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "integer"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "string"
+    if d.get("_vs_isstr"):
+        return "string"
+    return None
+
+
+def _pyv(c):
+    """Static Python value, or _MISSING. A known-null is None."""
+    d = _col_tags(c)
+    if d.get("_vs_stype") == "null" and "_vs_error" not in d:
+        return None
+    return d.get("_vs_pyval", _MISSING)
+
+
+def _static_err(c) -> str | None:
+    return _col_tags(c).get("_vs_error")
+
+
+def _err_value(msg: str, ok_default=None) -> Column:
+    c = F.lit(None)
+    c._vs_error = msg
+    if ok_default is not None:
+        c._vs_okdefault = ok_default
+    return c
+
+
+def _tag(c: Column, stype=None, pyval=_MISSING) -> Column:
+    if stype is not None:
+        c._vs_stype = stype
+    if pyval is not _MISSING:
+        c._vs_pyval = pyval
+    return c
+
+
+def _lit_static(v) -> Column:
+    """Literal Column from a Python value, fully tagged."""
+    if v is None:
+        return _tag(F.lit(None), "null")
+    c = F.lit(v)
+    c._vs_pyval = v
+    return c
+
+
+def _obj_fields(c) -> dict | None:
+    """Field→Column map of a plan-time object (struct literal, parsed
+    static JSON, merged object), or None."""
+    return _col_tags(c).get("_vs_obj")
+
+
+def _obj_struct(fields: dict) -> Column:
+    """Tagged object struct from a field→Column map."""
+    if not fields:
+        c = F.create_map()
+        c._vs_obj = {}
+        return _tag(c, "object")
+    st = F.struct(*[col.alias(k) for k, col in fields.items()])
+    st._vs_obj = dict(fields)
+    return _tag(st, "object")
+
+
+def _merge_cols(left: Column, right: Column) -> Column:
+    """VRL object merge `|` (value/arithmetic.rs try_merge): shallow,
+    right wins. Both objects plan-time → merged struct literal; a
+    runtime struct column on the left merges a plan-time object via
+    withField (no shuffle, stays in codegen)."""
+    if _static_err(left) is not None:
+        return left
+    if _static_err(right) is not None:
+        return right
+    lt, rt = _stype(left), _stype(right)
+    lf, rf = _obj_fields(left), _obj_fields(right)
+    if rt is not None and rt != "object":
+        return _err_value(
+            f"can't merge type \"{rt}\" into \"{lt or 'object'}\""
+        )
+    if lt is not None and lt != "object":
+        return _err_value(f"can't merge type \"{rt}\" into \"{lt}\"")
+    if lf is not None and rf is not None:
+        merged = dict(lf)
+        merged.update(rf)
+        return _obj_struct(merged)
+    if rf is not None:
+        # runtime struct ⊕ known fields → withField chain
+        out = left
+        for k, col in rf.items():
+            out = out.withField(k, col)
+        return _tag(out, "object")
+    raise ValueError(
+        "VRL-lite: merge requires the right-hand object's fields to be "
+        "known at plan time (object literal or parsed literal)"
+    )
+
+
+def _fold_int_ok(v) -> bool:
+    """A folded integer must fit i64 (VRL ints are i64; a wider fold
+    would also be unrepresentable as a Spark literal). Out-of-range →
+    caller falls back to try_* runtime arithmetic, which nulls —
+    the engine's overflow-is-error-value contract."""
+    return not isinstance(v, int) or isinstance(v, bool) or -(2**63) <= v < 2**63
+
+
 def _as_py_val(col_or_val):
     """Literal argument (string/number) for PySpark APIs that do not
     accept a Column (rlike, array_join separator, date_format pattern).
@@ -310,6 +458,15 @@ def _as_py_val(col_or_val):
     if v is None:
         raise ValueError("expected a literal (non-column) argument")
     return v
+
+
+def _sha2_bits(variant) -> int:
+    """sha2 variant: VRL passes "SHA-224"/"SHA-256"/…; also accept a
+    plain bit count (sha2.rs variant parameter)."""
+    v = _as_py_val(variant)
+    if isinstance(v, str):
+        v = int(v.rsplit("-", 1)[-1])
+    return int(v)
 
 
 def _as_py_int(col_or_int) -> int:
@@ -359,26 +516,86 @@ class _Parser:
             raise ValueError(f"VRL-lite: trailing tokens at {self.peek()!r}")
         return e
 
+    def _discard(self, fn):
+        """Parse-and-discard: consume the tokens of a statically dead
+        branch. The program parser overrides this to also roll back
+        environment side effects (VRL short-circuit: `true || (.foo =
+        true)` must not assign)."""
+        return fn()
+
     def parse_coalesce(self):
         left = self.parse_or()
         while self.peek()[1] == "??":
             self.next()
-            left = F.coalesce(left, self.parse_or())
+            if _static_err(left) is not None:
+                # statically errored lhs → the fallback, unconditionally
+                left = self.parse_or()
+            elif _pyv(left) is not _MISSING:
+                # lhs VALUE statically known (literal or folded) →
+                # infallible, fallback is dead code. Kind-only tags do
+                # NOT qualify: a runtime try_add can still overflow-null
+                self._discard(self.parse_or)
+            else:
+                left = F.coalesce(left, self.parse_or())
         return left
 
     def parse_or(self):
         left = self.parse_and()
         while self.peek()[1] == "||":
             self.next()
-            left = left | self.parse_and()
+            lp = _pyv(left)
+            if _static_err(left) is not None:
+                self._discard(self.parse_and)  # lhs error propagates
+            elif lp is None or lp is False:
+                # VRL try_or: null / false → rhs VALUE (side effects live)
+                left = self.parse_and()
+            elif lp is not _MISSING:
+                # statically truthy VALUE (true, "foo", 1, …) → lhs
+                self._discard(self.parse_and)
+            else:
+                left = left | self.parse_and()
         return left
 
     def parse_and(self):
         left = self.parse_cmp()
         while self.peek()[1] == "&&":
             self.next()
-            left = left & self.parse_cmp()
+            lt, lp = _stype(left), _pyv(left)
+            if _static_err(left) is not None:
+                self._discard(self.parse_cmp)  # lhs error propagates
+            elif lp is None or lp is False:
+                # VRL try_and: null/false lhs → false, rhs dead
+                self._discard(self.parse_cmp)
+                left = _lit_static(False)
+            elif lp is not _MISSING and lt != "boolean":
+                self._discard(self.parse_cmp)
+                left = _err_value(
+                    f"can't apply an AND to types \"{lt}\" and \"boolean\""
+                )
+            else:
+                right = self.parse_cmp()
+                re_ = _static_err(right)
+                rt, rp = _stype(right), _pyv(right)
+                if re_ is not None:
+                    left = right  # rhs error propagates (try_and is eager)
+                elif rp is None:
+                    left = _lit_static(False)
+                elif rp is not _MISSING and rt != "boolean":
+                    left = _err_value(
+                        f"can't apply an AND to types \"boolean\" and \"{rt}\""
+                    )
+                elif lp is True and rp is not _MISSING:
+                    left = _lit_static(bool(rp))
+                else:
+                    left = left & right
         return left
+
+    _CMP_ERR = {
+        "<": "can't compare {l} < {r}",
+        "<=": "can't compare {l} <= {r}",
+        ">": "can't compare {l} > {r}",
+        ">=": "can't compare {l} >= {r}",
+    }
 
     def parse_cmp(self):
         left = self.parse_add()
@@ -386,6 +603,39 @@ class _Parser:
         if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
             right = self.parse_add()
+            if _static_err(left) is not None:
+                return left
+            if _static_err(right) is not None:
+                return right
+            lt, rt = _stype(left), _stype(right)
+            lp, rp = _pyv(left), _pyv(right)
+            if lt is not None and rt is not None:
+                comparable = (lt in _NUMERIC and rt in _NUMERIC) or (
+                    lt == rt and lt in ("string", "boolean")
+                )
+                if v in ("==", "!="):
+                    # eq_lossy: cross-kind (outside the numeric pair)
+                    # is FALSE, never an error ("true" == true → false)
+                    if lt != rt and not (lt in _NUMERIC and rt in _NUMERIC):
+                        return _lit_static(v == "!=")
+                    if lp is not _MISSING and rp is not _MISSING:
+                        eq = lp == rp
+                        return _lit_static(eq if v == "==" else not eq)
+                else:
+                    if not comparable:
+                        return _err_value(
+                            self._CMP_ERR[v].format(
+                                l=f'"{lt}"', r=f'"{rt}"'
+                            )
+                        )
+                    if lp is not _MISSING and rp is not _MISSING:
+                        res = {
+                            "<": lp < rp,
+                            "<=": lp <= rp,
+                            ">": lp > rp,
+                            ">=": lp >= rp,
+                        }[v]
+                        return _lit_static(bool(res))
             return {
                 "==": lambda a, b: a == b,
                 "!=": lambda a, b: a != b,
@@ -418,11 +668,68 @@ class _Parser:
     def _promote(c: Column) -> Column:
         return F.try_add(c, F.lit(0).cast("bigint"))
 
+    @staticmethod
+    def _add_static(v, left, right):
+        """Static kind check for + and - (value/arithmetic.rs try_add /
+        try_sub). Returns the replacement Column, or None to use the
+        runtime path."""
+        if _static_err(left) is not None:
+            return left
+        if _static_err(right) is not None:
+            return right
+        lt, rt = _stype(left), _stype(right)
+        if lt is None or rt is None:
+            return None
+        lp, rp = _pyv(left), _pyv(right)
+        if v == "+":
+            ok = (lt in _NUMERIC and rt in _NUMERIC) or (
+                lt == "string" and rt in ("string", "null")
+            ) or (lt == "null" and rt == "string")
+            if not ok:
+                return _err_value(f"can't add type \"{rt}\" to \"{lt}\"")
+            if lt in _NUMERIC and lp is not _MISSING and rp is not _MISSING:
+                if _fold_int_ok(lp + rp):
+                    return _lit_static(lp + rp)
+                return None
+            if lp is not _MISSING and rp is not _MISSING and "string" in (lt, rt):
+                # string concat / null-absorbing concat, statically
+                return _lit_static((lp or "") + (rp or ""))
+        else:
+            if not (lt in _NUMERIC and rt in _NUMERIC):
+                return _err_value(
+                    f"can't subtract type \"{rt}\" from \"{lt}\""
+                )
+            if lp is not _MISSING and rp is not _MISSING:
+                if _fold_int_ok(lp - rp):
+                    return _lit_static(lp - rp)
+                return None
+        return None
+
     def parse_add(self):
         left = self.parse_mul()
-        while self.peek() == ("op", "+") or self.peek() == ("op", "-"):
+        while self.peek() in (("op", "+"), ("op", "-"), ("op", "|")):
             _, v = self.next()
             right = self.parse_mul()
+            if v == "|":
+                # object merge (value/arithmetic.rs try_merge; only the
+                # program tokenizer emits a single `|`)
+                left = _merge_cols(left, right)
+                continue
+            static = self._add_static(v, left, right)
+            if static is not None:
+                left = static
+                continue
+            lt, rt = _stype(left), _stype(right)
+            if lt in _NUMERIC and rt in _NUMERIC:
+                # kinds known, values not: tag the result kind
+                out_kind = (
+                    "integer" if lt == rt == "integer" else "float"
+                )
+                if v == "+":
+                    left = _tag(F.try_add(left, right), out_kind)
+                else:
+                    left = _tag(F.try_subtract(left, right), out_kind)
+                continue
             if v == "+" and (_is_strish(left) or _is_strish(right)):
                 # VRL `+` on strings is concatenation (expression/op.rs);
                 # plan-time type info is limited to literal/derived
@@ -442,11 +749,83 @@ class _Parser:
                 )
         return left
 
+    @staticmethod
+    def _mul_static(v, left, right):
+        """Static kind check for * / % (try_mul / try_div / try_rem).
+        Division by a literal zero is the DivideByZero error with the
+        reference's float-default ok value."""
+        if _static_err(left) is not None:
+            return left
+        if _static_err(right) is not None:
+            return right
+        lt, rt = _stype(left), _stype(right)
+        lp, rp = _pyv(left), _pyv(right)
+        if v == "/":
+            # try_div coerces rhs first, then zero-checks, then lhs
+            if rt is not None and rt not in _NUMERIC:
+                if lt is None:
+                    return None
+                return _err_value(f"can't divide type \"{lt}\" by \"{rt}\"")
+            if rp is not _MISSING and rp == 0 and rt in _NUMERIC:
+                return _err_value("can't divide by zero", ok_default=0.0)
+            if lt is not None and rt is not None:
+                if lt not in _NUMERIC:
+                    return _err_value(
+                        f"can't divide type \"{lt}\" by \"{rt}\""
+                    )
+                if lp is not _MISSING and rp is not _MISSING:
+                    return _lit_static(lp / rp)  # VRL division is float
+            return None
+        if lt is None or rt is None:
+            return None
+        if v == "*":
+            ok = (lt in _NUMERIC and rt in _NUMERIC) or {lt, rt} == {
+                "integer",
+                "string",
+            }
+            if not ok:
+                return _err_value(f"can't multiply type \"{lt}\" by \"{rt}\"")
+            if lt in _NUMERIC and rt in _NUMERIC and lp is not _MISSING and rp is not _MISSING:
+                if _fold_int_ok(lp * rp):
+                    return _lit_static(lp * rp)
+                return None
+            return None
+        # %
+        if not (lt in _NUMERIC and rt in _NUMERIC):
+            return _err_value(
+                f"can't calculate remainder of type \"{lt}\" and \"{rt}\""
+            )
+        if lp is not _MISSING and rp is not _MISSING and rp != 0:
+            return _lit_static(
+                lp % rp if isinstance(lp, int) and isinstance(rp, int)
+                else float(lp) % float(rp)
+            )
+        return None
+
     def parse_mul(self):
         left = self.parse_unary()
         while self.peek()[1] in ("*", "/", "%") and self.peek()[0] == "op":
             _, v = self.next()
             right = self.parse_unary()
+            static = self._mul_static(v, left, right)
+            if static is not None:
+                left = static
+                continue
+            lt, rt = _stype(left), _stype(right)
+            if lt in _NUMERIC and rt in _NUMERIC:
+                if v == "*":
+                    left = _tag(
+                        F.try_multiply(self._promote(left), right),
+                        "integer" if lt == rt == "integer" else "float",
+                    )
+                elif v == "/":
+                    left = _tag(F.try_divide(left, right), "float")
+                else:
+                    left = _tag(
+                        F.try_mod(self._promote(left), right),
+                        "integer" if lt == rt == "integer" else "float",
+                    )
+                continue
             if v == "*" and (_is_strish(left) or _is_strish(right)):
                 # VRL `*` with a string operand is repetition
                 # (expression/op.rs: "foo" * 2 == "foofoo")
@@ -465,10 +844,18 @@ class _Parser:
         k, v = self.peek()
         if k == "op" and v == "!":
             self.next()
-            return ~self.parse_unary()
+            inner = self.parse_unary()
+            p = _pyv(inner)
+            if isinstance(p, bool):
+                return _lit_static(not p)
+            return ~inner
         if k == "op" and v == "-":
             self.next()
-            return -self.parse_unary()
+            inner = self.parse_unary()
+            p = _pyv(inner)
+            if isinstance(p, (int, float)) and not isinstance(p, bool):
+                return _lit_static(-p)
+            return -inner
         return self.parse_primary()
 
     def parse_primary(self):
@@ -496,7 +883,7 @@ class _Parser:
                 lit._vs_pyval = v == "true"
                 return lit
             if v == "null":
-                return F.lit(None)
+                return _tag(F.lit(None), "null")
             # VRL fallible-call marker `fn!(...)`: errors are already
             # null-valued here, so the bang is accepted and dropped
             if (
@@ -514,9 +901,7 @@ class _Parser:
                         self.next()
                         args.append(self.parse_coalesce())
                 self.expect(")")
-                if v not in _FUNCS:
-                    raise ValueError(f"VRL-lite: unknown function {v}()")
-                return _FUNCS[v](*args)
+                return self.call_func(v, args)
             # bare identifier = column reference (or, in program mode,
             # a local variable — see vrl_program._ProgramParser)
             return self.resolve_ident(v)
@@ -529,6 +914,17 @@ class _Parser:
 
     def resolve_ident(self, name: str) -> Column:
         return _field(name)
+
+    # function-call hook — the program compiler layers static
+    # evaluation (parse_json of literals, append of static lists,
+    # object merge, timestamp kind tagging) on top of the table
+    def call_func(self, name: str, args: list) -> Column:
+        if name not in _FUNCS:
+            raise ValueError(f"VRL-lite: unknown function {name}()")
+        out = _FUNCS[name](*args)
+        if name in ("now", "to_timestamp", "parse_timestamp", "from_unix_timestamp"):
+            out = _tag(out, "timestamp")
+        return out
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}

@@ -51,16 +51,131 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_spark.conditions import _Parser
+from vector_spark.conditions import (
+    _MISSING,
+    _Parser,
+    _col_tags,
+    _err_value,
+    _lit_static,
+    _merge_cols,
+    _obj_fields,
+    _obj_struct,
+    _pyv,
+    _static_err,
+    _stype,
+    _tag,
+)
+
+
+def _static_val(c):
+    """Full static Python value of an expression (scalar, list, dict)
+    or _MISSING. Lists/dicts come from literals and statically parsed
+    JSON/k=v; used for plan-time evaluation of container functions."""
+    d = _col_tags(c)
+    if "_vs_error" in d:
+        return _MISSING
+    if "_vs_pystat" in d:
+        return d["_vs_pystat"]
+    return _pyv(c)
+
+
+def _render_static(v) -> Column:
+    """Python value → fully-tagged literal Column. Dicts become object
+    structs with known fields; heterogeneous lists become positional
+    structs (the golden harness renders them back)."""
+    if isinstance(v, dict):
+        st = _obj_struct({k: _render_static(x) for k, x in v.items()})
+        st._vs_pystat = v
+        return st
+    if isinstance(v, list):
+        col = _pack_items([_render_static(x) for x in v])
+        col._vs_pystat = v
+        return col
+    return _lit_static(v)
+
+
+def _get_field(col: Column, name: str) -> Column:
+    """Field access that preserves plan-time tags when the object's
+    fields are known (merged/parsed objects keep their member kinds)."""
+    fields = _obj_fields(col)
+    if fields is not None and name in fields:
+        return fields[name]
+    return col.getField(name)
+
+
+def _get_index(col: Column, idx: int) -> Column:
+    """VRL array indexing: 0-based, negative counts from the end,
+    out-of-range is null (query/array_indexing.vrl,
+    issues/5546) — F.get is the null-safe accessor (getItem aborts
+    under ANSI on out-of-range)."""
+    d = _col_tags(col)
+    sv = d.get("_vs_pystat")
+    if isinstance(sv, list):
+        v = sv[idx] if -len(sv) <= idx < len(sv) else None
+        return _render_static(v)
+    if d.get("_vs_tuple"):
+        return col.getField(f"_{idx}")
+    if idx < 0:
+        return F.get(col, F.size(col) + F.lit(idx))
+    return F.get(col, idx)
+
+
+def _with_path(cur: Column | None, parts: list[str], value: Column) -> Column:
+    """Nested-path assignment: build the updated container for
+    `.a.b = x` / `foo.bar = 5` (assignment/single_variable_path.vrl).
+    ``cur=None`` creates fresh objects along the path; known-field
+    objects update structurally; runtime structs use withField."""
+    if not parts:
+        return value
+    head = parts[0]
+    if head.startswith("["):
+        raise ValueError("VRL program: index assignment is not supported")
+    if cur is None:
+        return _obj_struct({head: _with_path(None, parts[1:], value)})
+    fields = _obj_fields(cur)
+    if fields is not None:
+        f = dict(fields)
+        f[head] = _with_path(f.get(head), parts[1:], value)
+        return _obj_struct(f)
+    if len(parts) == 1:
+        return _tag(cur.withField(head, value), "object")
+    return _tag(
+        cur.withField(head, _with_path(cur.getField(head), parts[1:], value)),
+        "object",
+    )
+
+
+def _pack_items(items: list[Column]) -> Column:
+    """Array-literal packing shared by the parser and _render_static:
+    homogeneous kinds → real array; mixed kinds → positional struct."""
+    if not items:
+        return _tag(F.array().cast("array<string>"), "array")
+    kinds = {_stype(x) for x in items}
+    kinds.discard("null")
+    if None in kinds:
+        # unknown member kind: fall back to the pyval heuristic
+        missing = object()
+        pyvals = [
+            (getattr(x, "__dict__", None) or {}).get("_vs_pyval", missing)
+            for x in items
+        ]
+        types = {type(p) for p in pyvals if p is not missing and p is not None}
+        if any(p is missing for p in pyvals) or len(types) <= 1 or types <= {int, float}:
+            return _tag(F.array(*items), "array")
+    elif len(kinds) <= 1 or kinds <= {"integer", "float"}:
+        return _tag(F.array(*items), "array")
+    st = F.struct(*[c.alias(f"_{i}") for i, c in enumerate(items)])
+    st._vs_tuple = True
+    return _tag(st, "array")
 
 _PROGRAM_TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
-  | (?P<rstr>[rs]'(?:[^'\\]|\\.)*')
+  | (?P<rstr>[rst]'(?:[^'\\]|\\.)*')
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>-?(?:\d[\d_]*(?:\.[\d_]+)?|\.\d[\d_]*))
-  | (?P<path>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*)
-  | (?P<op>&&|\|\||\?\?|==|!=|<=|>=|<|>|!|\(|\)|,|\+|-|\*|/|%|\{|\}|\[|\]|=|;|:|\.)
+  | (?P<path>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\])*)
+  | (?P<op>&&|\|\||\|=|\?\?|==|!=|<=|>=|<|>|!|\(|\)|,|\+|-|\*|/|%|\{|\}|\[|\]|=|;|:|\.|\|)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -182,7 +297,7 @@ class _ProgramParser(_Parser):
     environment, so ``.b = .a + 1`` after ``.a = 2`` folds correctly.
     """
 
-    def __init__(self, text: str):
+    def __init__(self, text: str, columns: list[str] | None = None):
         self.toks = []
         self.spans = []  # (start, end) per token, for adjacency checks
         pos = 0
@@ -198,7 +313,28 @@ class _ProgramParser(_Parser):
                 self.spans.append((m.start(), m.end()))
         self.i = 0
         self.env = _Env()
+        self.columns = list(columns) if columns is not None else None
         self.last_value: Column | None = None
+
+    def read_event(self) -> Column:
+        """The whole event as a struct, at the CURRENT program point:
+        physical columns (minus deleted) overlaid with assignments."""
+        names = [c for c in (self.columns or []) if c not in self.env.dropped]
+        names += [c for c in self.env.fields if c not in names]
+        return _obj_struct(
+            {c: self.env.read_path(c) for c in names if c not in self.env.dropped}
+        )
+
+    def _discard(self, fn):
+        """Statically dead branch: consume its tokens but roll back any
+        environment mutations (VRL short-circuit — `true || (.foo =
+        true)` must not assign)."""
+        saved = self.env
+        self.env = saved.copy()
+        try:
+            return fn()
+        finally:
+            self.env = saved
 
     # --- env-aware resolution -------------------------------------------
     def resolve_path(self, name: str) -> Column:
@@ -207,11 +343,13 @@ class _ProgramParser(_Parser):
         # walks fields/indexes
         if "." not in name and "[" not in name:
             return self.env.read_path(name)
-        parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[\d+\]", name)
+        parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", name)
         col = self.env.read_path(parts[0])
         for p in parts[1:]:
             col = (
-                col.getItem(int(p[1:-1])) if p.startswith("[") else col.getField(p)
+                _get_index(col, int(p[1:-1]))
+                if p.startswith("[")
+                else _get_field(col, p)
             )
         return col
 
@@ -219,23 +357,83 @@ class _ProgramParser(_Parser):
         v = self.env.read_var(name)
         return v if v is not None else F.col(name)
 
+    def call_func(self, name: str, args: list) -> Column:
+        """Static-evaluation layer over the stdlib table: functions of
+        literal arguments fold at plan time, making their fallibility
+        (parse_json of bad input) a plan-time error value — the same
+        decision VRL's type checker makes at compile time."""
+        import json as _json
+
+        a0 = _pyv(args[0]) if args else _MISSING
+        if name == "parse_json" and isinstance(a0, str):
+            try:
+                return _render_static(_json.loads(a0))
+            except ValueError:
+                return _err_value(
+                    'function call error for "parse_json": unable to parse '
+                    "json"
+                )
+        if name == "parse_key_value" and isinstance(a0, str):
+            try:
+                pairs = {}
+                for part in a0.split():
+                    kk, _, vv = part.partition("=")
+                    if not _:
+                        raise ValueError(part)
+                    pairs[kk] = vv.strip('"')
+                return _render_static(pairs)
+            except ValueError:
+                return _err_value(
+                    'function call error for "parse_key_value": unable to '
+                    "parse key/value input"
+                )
+        if name == "append" and len(args) == 2:
+            av, bv = _static_val(args[0]), _static_val(args[1])
+            if isinstance(av, list) and isinstance(bv, list):
+                return _render_static(av + bv)
+        if name == "to_string" and args and _stype(args[0]) in ("array", "object"):
+            return _err_value(
+                f"can't coerce \"{_stype(args[0])}\" into \"string\""
+            )
+        return super().call_func(name, args)
+
     # --- expression extensions (corpus surface) -------------------------
     def parse_primary(self):
         k, v = self.peek()
         if k == "rstr":
-            # r'…' regex literal / s'…' raw string — both become tagged
-            # string literals; match() unwraps the pattern via _vs_pyval
+            # r'…' regex / s'…' raw string / t'…' timestamp literal —
+            # tagged with their VRL kind; match() unwraps the pattern
+            # via _vs_pyval, the timestamp folds to a datetime literal
             self.next()
             body = v[2:-1].replace("\\'", "'")
+            if v[0] == "t":
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(body.replace("Z", "+00:00"))
+                # Spark timestamps are naive-in-session-tz (UTC here)
+                lit = F.lit(dt.astimezone(timezone.utc).replace(tzinfo=None))
+                lit._vs_pyval = body
+                return _tag(lit, "timestamp")
             lit = F.lit(body)
             lit._vs_pyval = body
-            return lit
+            return _tag(lit, "regex" if v[0] == "r" else "string")
         elif (k, v) == ("op", "."):
-            # bare `.` = the whole event (vrl_target root query);
-            # supported only as a standalone value — it resolves to the
-            # final event struct at apply time (schema known then)
+            # bare `.` = the whole event. With a known schema
+            # (compile_vrl_program(columns=...)) it resolves HERE to the
+            # current event struct — usable anywhere in an expression;
+            # without one it is the _EVENT sentinel, valid only as the
+            # program's final value (resolved at apply time)
             self.next()
+            if self.columns is not None:
+                return self.read_event()
             return _EVENT
+        elif (k, v) == ("op", "("):
+            # in program mode a parenthesized group may contain a full
+            # STATEMENT — VRL assignment is an expression
+            # (`true || (.foo = true)`, short_circuit.vrl)
+            self.next()
+            col = self.parse_stmt()
+            self.expect(")")
         elif (k, v) == ("op", "["):
             self.next()
             col = self._array_literal()
@@ -257,12 +455,12 @@ class _ProgramParser(_Parser):
             if nk == "path" and self._adjacent():
                 self.next()
                 for part in re.findall(
-                    r"[A-Za-z_][A-Za-z0-9_]*|\[\d+\]", nv[1:]
+                    r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", nv[1:]
                 ):
                     col = (
-                        col.getItem(int(part[1:-1]))
+                        _get_index(col, int(part[1:-1]))
                         if part.startswith("[")
-                        else col.getField(part)
+                        else _get_field(col, part)
                     )
             elif (nk, nv) == ("op", "[") and self._adjacent():
                 self.next()
@@ -272,11 +470,7 @@ class _ProgramParser(_Parser):
                         "VRL program: only literal indexes are supported"
                     )
                 self.expect("]")
-                idx = int(iv)
-                if (getattr(col, "__dict__", None) or {}).get("_vs_tuple"):
-                    col = col.getField(f"_{idx}")
-                else:
-                    col = col.getItem(idx)
+                col = _get_index(col, int(iv))
             else:
                 break
         return col
@@ -296,26 +490,11 @@ class _ProgramParser(_Parser):
             elif self.peek()[1] != "]":
                 raise ValueError("VRL program: malformed array literal")
         self.expect("]")
-        if not items:
-            return F.array().cast("array<string>")
-        missing = object()
-        pyvals = [
-            (getattr(x, "__dict__", None) or {}).get("_vs_pyval", missing)
-            for x in items
-        ]
-        types = {type(p) for p in pyvals if p is not missing and p is not None}
-        if (
-            any(p is missing for p in pyvals)
-            or len(types) <= 1
-            or types <= {int, float}
-        ):
-            # homogeneous (or computed, assumed homogeneous) → real array
-            return F.array(*items)
-        # heterogeneous literal array → positional struct (_0.._n); the
-        # golden harness renders it back to a list
-        st = F.struct(*[c.alias(f"_{i}") for i, c in enumerate(items)])
-        st._vs_tuple = True
-        return st
+        col = _pack_items(items)
+        vals = [_static_val(x) for x in items]
+        if all(v is not _MISSING for v in vals):
+            col._vs_pystat = vals
+        return col
 
     def _brace_expr(self) -> Column:
         # '{' already consumed: object literal ({"k": v}), empty object,
@@ -323,7 +502,9 @@ class _ProgramParser(_Parser):
         nk, nv = self.peek()
         if nv == "}":
             self.next()
-            return F.create_map()
+            obj = _obj_struct({})
+            obj._vs_pystat = {}
+            return obj
         if nk == "str" and self.i + 1 < len(self.toks) and self.toks[
             self.i + 1
         ] == ("op", ":"):
@@ -339,7 +520,11 @@ class _ProgramParser(_Parser):
                 if self.peek()[1] == ",":
                     self.next()
             self.expect("}")
-            return F.struct(*[c.alias(key) for key, c in pairs])
+            obj = _obj_struct(dict(pairs))
+            vals = {k: _static_val(c) for k, c in pairs}
+            if all(v is not _MISSING for v in vals.values()):
+                obj._vs_pystat = vals
+            return obj
         # block expression: statements share the enclosing scope (VRL
         # has no block-local variables); value = last statement's value
         val = F.lit(None)
@@ -388,23 +573,151 @@ class _ProgramParser(_Parser):
                 self.env.fields.pop(t, None)
                 self.env.dropped.add(t)
             return prior  # del() returns the deleted value (del.rs)
-        # assignment? lookahead: path/ident followed by bare '='
-        if k in ("path", "ident") and self.i + 1 < len(self.toks):
+        # assignment lookahead. Targets: `.path` / `var` / `_` (discard)
+        # / bare `.` (whole event, requires a known schema). Forms:
+        #   target = expr            target |= expr
+        #   ok, err = expr           ok, err |= expr   (fallible —
+        #     assignment.rs Variant::Infallible: ok gets the value or
+        #     the result-kind default, err gets the error string or null)
+        is_target = k in ("path", "ident") or (k, v) == ("op", ".")
+        if is_target and self.i + 1 < len(self.toks):
             nk, nv = self.toks[self.i + 1]
-            if (nk, nv) == ("op", "="):
+            if (nk, nv) == ("op", ","):
+                if (
+                    self.i + 3 < len(self.toks)
+                    and (
+                        self.toks[self.i + 2][0] in ("path", "ident")
+                        or self.toks[self.i + 2] == ("op", ".")
+                    )
+                    and self.toks[self.i + 3][1] in ("=", "|=")
+                ):
+                    t1 = self.next()
+                    self.next()  # ','
+                    t2 = self.next()
+                    _, op = self.next()
+                    return self._stmt_assign(t1, op, err_target=t2)
+            elif nv in ("=", "|=") and nk == "op":
+                t1 = self.next()
+                _, op = self.next()
+                return self._stmt_assign(t1, op)
+            elif (
+                k == "ident"
+                and nk == "path"
+                and self.i + 2 < len(self.toks)
+                and self.toks[self.i + 2][1] in ("=", "|=")
+            ):
+                # variable nested-path assignment: `foo.bar = 5`
+                # tokenizes as ident + adjacent path
                 self.next()
-                self.next()
-                expr = self.parse_coalesce()
-                if k == "path":
-                    name = v[1:]
-                    self.env.fields[name] = expr
-                    self.env.dropped.discard(name)
-                else:
-                    self.env.vars[v] = expr
-                return expr  # assignment evaluates to the assigned value
+                _, pth = self.next()
+                _, op = self.next()
+                return self._stmt_assign(("ident", v + pth), op)
         # expression statement (includes statement-level if/blocks via
         # parse_primary); its value is the program value if last
         return self.parse_coalesce()
+
+    # --- assignment machinery -------------------------------------------
+    def _target_current(self, t) -> Column | None:
+        k, v = t
+        if (k, v) == ("op", "."):
+            if self.columns is None:
+                raise ValueError(
+                    "VRL program: whole-event assignment needs "
+                    "compile_vrl_program(columns=...)"
+                )
+            return self.read_event()
+        if k == "path":
+            name = v[1:]
+            root = re.match(r"[A-Za-z_][A-Za-z0-9_]*", name).group()
+            if (
+                self.columns is not None
+                and root not in self.columns
+                and root not in self.env.fields
+            ):
+                return None  # nonexistent event field → fresh object
+            return self.resolve_path(name)
+        if v == "_":
+            return None
+        parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", v)
+        cur = self.env.read_var(parts[0])
+        for p in parts[1:]:
+            if cur is None:
+                return None
+            cur = (
+                _get_index(cur, int(p[1:-1]))
+                if p.startswith("[")
+                else _get_field(cur, p)
+            )
+        return cur
+
+    def _assign_one(self, t, value: Column) -> None:
+        k, v = t
+        if (k, v) == ("op", "."):
+            # whole-event replacement: the value's fields become the
+            # event; every physical column is superseded
+            fields = _obj_fields(value)
+            if fields is None:
+                raise ValueError(
+                    "VRL program: `. = expr` needs an object with "
+                    "plan-time-known fields"
+                )
+            for c in self.columns or []:
+                self.env.dropped.add(c)
+            self.env.fields = dict(fields)
+            for name in fields:
+                self.env.dropped.discard(name)
+            return
+        if k == "path":
+            name = v[1:]
+            parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", name)
+            root = parts[0]
+            if len(parts) == 1:
+                self.env.fields[root] = value
+            else:
+                root_missing = (
+                    self.columns is not None
+                    and root not in self.columns
+                    and root not in self.env.fields
+                ) or root in self.env.dropped
+                cur = None if root_missing else self.env.read_path(root)
+                self.env.fields[root] = _with_path(cur, parts[1:], value)
+            self.env.dropped.discard(root)
+            return
+        if v == "_":
+            return
+        name = v
+        parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", name)
+        if len(parts) == 1:
+            self.env.vars[name] = value
+        else:
+            self.env.vars[parts[0]] = _with_path(
+                self.env.read_var(parts[0]), parts[1:], value
+            )
+
+    def _stmt_assign(self, t1, op: str, err_target=None) -> Column:
+        expr = self.parse_coalesce()
+        if op == "|=":
+            cur = self._target_current(t1)
+            if cur is None:
+                raise ValueError(
+                    "VRL program: |= target must exist before merging"
+                )
+            expr = _merge_cols(cur, expr)
+        e = _static_err(expr)
+        if err_target is not None:
+            if e is not None:
+                default = _col_tags(expr).get("_vs_okdefault")
+                if op != "|=":
+                    self._assign_one(t1, _lit_static(default))
+                # |= with error: target keeps its current value
+                err_val = _lit_static(e)
+                self._assign_one(err_target, err_val)
+                return err_val
+            self._assign_one(t1, expr)
+            self._assign_one(err_target, _lit_static(None))
+            return expr
+        self._assign_one(t1, expr)
+        return expr
 
     def _block_value(self) -> Column:
         self.expect("{")
@@ -469,9 +782,15 @@ class _ProgramParser(_Parser):
         return out
 
 
-def compile_vrl_program(source: str) -> VrlProgram:
-    """Compile VRL program *source* to its net schema effect."""
-    p = _ProgramParser(source)
+def compile_vrl_program(source: str, columns: list[str] | None = None) -> VrlProgram:
+    """Compile VRL program *source* to its net schema effect.
+
+    ``columns`` (the frame's physical schema, when known at compile
+    time) lets bare `.` resolve to the live event struct anywhere in an
+    expression, and enables whole-event assignment (`. = {...}`,
+    `. |= obj`). Without it `.` is only valid as the program's final
+    value."""
+    p = _ProgramParser(source, columns=columns)
     env = p.run()
     is_event = isinstance(p.last_value, _EventRef)
     return VrlProgram(
