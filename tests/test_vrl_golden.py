@@ -113,6 +113,10 @@ SUPPORTED = [
     # reference error strings, ok/err fallible assignment, object
     # merge, whole-event assignment, negative indexing, t''/r''
     # literals, short-circuit side-effect rollback)
+    "examples/blog_vector_remap_language.vrl",
+    "examples/blog_vector_remap_language_handle_error.vrl",
+    "examples/blog_vector_remap_language_raise_error.vrl",
+    "examples/blog_vector_remap_language_specify_types.vrl",
     "expressions/arithmetic/addition/invalid.vrl",
     "expressions/arithmetic/division/invalid.vrl",
     "expressions/arithmetic/multiplication/invalid.vrl",
@@ -151,17 +155,31 @@ SUPPORTED = [
 
 
 def load_case(path: Path):
-    """Parse the `# object:` / `# result:` headers; a result spans
-    further '#' lines only while its JSON is still incomplete."""
+    """Parse the `# object:` / `# result:` headers; object and result
+    span further '#' lines only while their JSON is still incomplete."""
     obj = None
+    obj_lines: list[str] = []
     result_lines: list[str] = []
     body: list[str] = []
     in_result = False
+    in_obj = False
     done_result = False
     for line in path.read_text().splitlines():
         if line.startswith("# object:"):
-            obj = json.loads(line[len("# object:"):])
+            obj_lines.append(line[len("# object:"):])
             in_result = False
+            try:
+                obj = json.loads("\n".join(obj_lines))
+                in_obj = False
+            except json.JSONDecodeError:
+                in_obj = True
+        elif in_obj and line.startswith("#"):
+            obj_lines.append(line[1:])
+            try:
+                obj = json.loads("\n".join(obj_lines))
+                in_obj = False
+            except json.JSONDecodeError:
+                pass
         elif line.startswith("# result:") and not done_result:
             result_lines.append(line[len("# result:"):])
             in_result = True
@@ -234,10 +252,20 @@ def same(a, b) -> bool:
         return a == b
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         return abs(a - b) < 1e-9 * max(1.0, abs(a), abs(b))
+    if isinstance(a, _dt.datetime) and isinstance(b, str):
+        # VRL renders timestamps as RFC3339 strings in expected objects
+        return a.replace(tzinfo=None).strftime("%Y-%m-%dT%H:%M:%SZ") == b
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(same(x, y) for x, y in zip(a, b))
     if isinstance(a, dict) and isinstance(b, dict):
-        return set(a) == set(b) and all(same(a[k], b[k]) for k in a)
+        # absent-vs-null equivalence: VRL omits unmatched capture
+        # fields; a static-schema struct carries them as nulls. A got
+        # key missing from expected passes only when its value is null.
+        if not set(b) <= set(a):
+            return False
+        return all(
+            same(a[k], b[k]) if k in b else a[k] is None for k in a
+        )
     return a == b
 
 

@@ -162,7 +162,15 @@ _FUNCS = {
     "is_null": lambda a: a.isNull(),
     "is_nullish": lambda a: a.isNull() | (a.cast("string") == "") | (a.cast("string") == "-"),
     "length": lambda a: F.length(a),
-    "ip_cidr_contains": lambda a, b: ip_cidr_contains(a, b),
+    # reference order is (cidr, value) (ip_cidr_contains.rs); the
+    # historical engine order (value, cidr) is also accepted — the
+    # literal CIDR side is unambiguous
+    "ip_cidr_contains": lambda a, b: (
+        ip_cidr_contains(b, _as_py_val(a))
+        if isinstance(getattr(a, "_vs_pyval", None), str)
+        and "/" in a._vs_pyval
+        else ip_cidr_contains(a, _as_py_val(b))
+    ),
     "upcase": lambda a: F.upper(a),
     "downcase": lambda a: F.lower(a),
     "abs": lambda a: F.abs(a),
@@ -894,14 +902,31 @@ class _Parser:
                 self.next()
             if self.peek()[1] == "(":
                 self.next()
-                args = []
+                args: list = []
+                kwargs: dict = {}
+
+                def _one_arg():
+                    k2, v2 = self.peek()
+                    if (
+                        k2 == "ident"
+                        and self.i + 1 < len(self.toks)
+                        and self.toks[self.i + 1] == ("op", ":")
+                    ):
+                        # VRL keyword argument (`level: "error"`) —
+                        # only the program tokenizer emits ':'
+                        self.next()
+                        self.next()
+                        kwargs[v2] = self.parse_coalesce()
+                    else:
+                        args.append(self.parse_coalesce())
+
                 if self.peek()[1] != ")":
-                    args.append(self.parse_coalesce())
+                    _one_arg()
                     while self.peek()[1] == ",":
                         self.next()
-                        args.append(self.parse_coalesce())
+                        _one_arg()
                 self.expect(")")
-                return self.call_func(v, args)
+                return self.call_func(v, args, kwargs or None)
             # bare identifier = column reference (or, in program mode,
             # a local variable — see vrl_program._ProgramParser)
             return self.resolve_ident(v)
@@ -918,7 +943,11 @@ class _Parser:
     # function-call hook — the program compiler layers static
     # evaluation (parse_json of literals, append of static lists,
     # object merge, timestamp kind tagging) on top of the table
-    def call_func(self, name: str, args: list) -> Column:
+    def call_func(self, name: str, args: list, kwargs: dict | None = None) -> Column:
+        if kwargs and name not in ("log", "assert"):
+            raise ValueError(
+                f"VRL-lite: keyword arguments are not supported for {name}()"
+            )
         if name not in _FUNCS:
             raise ValueError(f"VRL-lite: unknown function {name}()")
         out = _FUNCS[name](*args)

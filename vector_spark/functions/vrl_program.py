@@ -94,6 +94,44 @@ def _render_static(v) -> Column:
     return _lit_static(v)
 
 
+_COMMON_LOG_RE = (
+    r'^(\S+) (\S+) (\S+) \[([^\]]*)\] "([^"]*)" (\S+) (\S+)\s*$'
+)
+
+
+def _vrl_parse_common_log(col: Column) -> Column:
+    """Column-level parse_common_log (parse_common_log.rs /
+    log_util.rs REGEX_APACHE_COMMON_LOG) returning an object with
+    known fields — the shape `.  = parse_common_log!(.log)` needs.
+    `-` and unmatched groups are nulls (the static-schema analogue of
+    VRL's omitted fields). One regex, per-group extraction; the
+    DataFrame-level parse (functions/logformats.parse_common_log) is
+    the bulk path."""
+    col = col.cast("string")
+
+    def g(i: int) -> Column:
+        v = F.regexp_extract(col, _COMMON_LOG_RE, i)
+        return F.when((v == "") | (v == "-"), F.lit(None)).otherwise(v)
+
+    message = g(5)
+    req = F.split(message, " ")
+    fields = {
+        "host": g(1),
+        "identity": g(2),
+        "user": g(3),
+        "timestamp": _tag(
+            F.to_timestamp(g(4), "dd/MMM/yyyy:HH:mm:ss xx"), "timestamp"
+        ),
+        "message": message,
+        "method": F.element_at(req, 1),
+        "path": F.element_at(req, 2),
+        "protocol": F.element_at(req, 3),
+        "status": g(6).cast("int"),
+        "size": g(7).cast("int"),
+    }
+    return _obj_struct(fields)
+
+
 def _get_field(col: Column, name: str) -> Column:
     """Field access that preserves plan-time tags when the object's
     fields are known (merged/parsed objects keep their member kinds)."""
@@ -196,17 +234,18 @@ class _Env:
     """Overlay environment: only MUTATED paths/vars are stored; reads
     fall back to the physical column (paths) or null (vars)."""
 
-    __slots__ = ("fields", "vars", "dropped", "abort", "has_abort")
+    __slots__ = ("fields", "vars", "dropped", "abort", "has_abort", "cols")
 
-    def __init__(self):
+    def __init__(self, cols: list[str] | None = None):
         self.fields: dict[str, Column] = {}
         self.vars: dict[str, Column] = {}
         self.dropped: set[str] = set()  # unconditional top-level del()
         self.abort: Column = F.lit(False)
         self.has_abort = False
+        self.cols = cols  # physical schema when known (None = unknown)
 
     def copy(self) -> "_Env":
-        e = _Env()
+        e = _Env(self.cols)
         e.fields = dict(self.fields)
         e.vars = dict(self.vars)
         e.dropped = set(self.dropped)
@@ -218,6 +257,10 @@ class _Env:
         if name in self.fields:
             return self.fields[name]
         if name in self.dropped:
+            return F.lit(None)
+        if self.cols is not None and name not in self.cols:
+            # known schema, nonexistent field → VRL null (an unguarded
+            # F.col would be a Catalyst analysis error)
             return F.lit(None)
         return F.col(name)
 
@@ -312,8 +355,8 @@ class _ProgramParser(_Parser):
                 self.toks.append((m.lastgroup, m.group()))
                 self.spans.append((m.start(), m.end()))
         self.i = 0
-        self.env = _Env()
         self.columns = list(columns) if columns is not None else None
+        self.env = _Env(self.columns)
         self.last_value: Column | None = None
 
     def read_event(self) -> Column:
@@ -357,13 +400,15 @@ class _ProgramParser(_Parser):
         v = self.env.read_var(name)
         return v if v is not None else F.col(name)
 
-    def call_func(self, name: str, args: list) -> Column:
+    def call_func(self, name: str, args: list, kwargs: dict | None = None) -> Column:
         """Static-evaluation layer over the stdlib table: functions of
         literal arguments fold at plan time, making their fallibility
         (parse_json of bad input) a plan-time error value — the same
         decision VRL's type checker makes at compile time."""
         import json as _json
 
+        if name == "parse_common_log" and args:
+            return _vrl_parse_common_log(args[0])
         a0 = _pyv(args[0]) if args else _MISSING
         if name == "parse_json" and isinstance(a0, str):
             try:
@@ -395,11 +440,39 @@ class _ProgramParser(_Parser):
             return _err_value(
                 f"can't coerce \"{_stype(args[0])}\" into \"string\""
             )
-        return super().call_func(name, args)
+        return super().call_func(name, args, kwargs)
 
     # --- expression extensions (corpus surface) -------------------------
+    def _parse_del(self) -> Column:
+        """`del(.a, .b)` — drops the fields, returns the first deleted
+        value (del.rs). Valid in statement AND expression position
+        (`.total_bytes = del(.size)`)."""
+        self.next()  # 'del'
+        self.next()  # '('
+        targets = []
+        while self.peek()[1] != ")":
+            pk, pv = self.next()
+            if pk != "path":
+                raise ValueError("VRL program: del() takes .paths")
+            targets.append(pv[1:])
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        prior = self.env.read_path(targets[0]) if targets else F.lit(None)
+        for t in targets:
+            self.env.fields.pop(t, None)
+            self.env.dropped.add(t)
+        return prior
+
     def parse_primary(self):
         k, v = self.peek()
+        if (
+            k == "ident"
+            and v == "del"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == ("op", "(")
+        ):
+            return self._parse_del()
         if k == "rstr":
             # r'…' regex / s'…' raw string / t'…' timestamp literal —
             # tagged with their VRL kind; match() unwraps the pattern
@@ -557,22 +630,7 @@ class _ProgramParser(_Parser):
             and self.i + 1 < len(self.toks)
             and self.toks[self.i + 1] == ("op", "(")
         ):
-            self.next()
-            self.next()
-            targets = []
-            while self.peek()[1] != ")":
-                pk, pv = self.next()
-                if pk != "path":
-                    raise ValueError("VRL program: del() takes .paths")
-                targets.append(pv[1:])
-                if self.peek()[1] == ",":
-                    self.next()
-            self.expect(")")
-            prior = self.env.read_path(targets[0]) if targets else F.lit(None)
-            for t in targets:
-                self.env.fields.pop(t, None)
-                self.env.dropped.add(t)
-            return prior  # del() returns the deleted value (del.rs)
+            return self._parse_del()
         # assignment lookahead. Targets: `.path` / `var` / `_` (discard)
         # / bare `.` (whole event, requires a known schema). Forms:
         #   target = expr            target |= expr
