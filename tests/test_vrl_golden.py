@@ -154,6 +154,38 @@ SUPPORTED = [
 ]
 
 
+# diagnostics tier: the reference REJECTS these programs at compile
+# time with a rendered diagnostic. This engine cannot reproduce the
+# diagnostic text (different artifact class), but it must also REJECT
+# the program — accepting it and computing something would be the real
+# failure. Only files our compiler genuinely rejects for a matching
+# reason class (unknown function, bad arity, bad literal, bad syntax,
+# unsupported keyword/feature) are listed.
+REJECTED = [
+    "diagnostics/call_to_undefined_function.vrl",
+    "diagnostics/chained_comparison_operator.vrl",
+    "diagnostics/function_argument_missing.vrl",
+    "diagnostics/function_wrong_number_of_arguments.vrl",
+    "diagnostics/invalid_escape_char.vrl",
+    "diagnostics/invalid_raw_string.vrl",
+    "diagnostics/invalid_timestamp.vrl",
+    "diagnostics/syntax_error_ampersat_variable.vrl",
+    "diagnostics/unterminated_literal.vrl",
+    "diagnostics/unknown_function_argument_keyword.vrl",
+    "diagnostics/unnest_typedefs.vrl",
+    "diagnostics/unsuccessful_parse_json_type.vrl",
+]
+
+
+@pytest.mark.parametrize("rel", REJECTED)
+def test_vrl_diagnostics_rejected(spark, rel):
+    from vector_spark.functions.vrl_program import compile_vrl_program
+
+    obj, _expected, src = load_case(CORPUS / rel)
+    with pytest.raises((ValueError, TypeError)):
+        compile_vrl_program(src, columns=list(obj) if obj else [])
+
+
 def load_case(path: Path):
     """Parse the `# object:` / `# result:` headers; object and result
     span further '#' lines only while their JSON is still incomplete."""

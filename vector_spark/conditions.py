@@ -261,7 +261,9 @@ _FUNCS = {
     # parse_json.rs: a PLAN-TIME literal argument becomes a typed
     # literal tree (runtime JSON needs a schema — use from_json via
     # the json_parser operator for that path)
-    "parse_json": lambda a: _json_literal(__import__("json").loads(_as_py_val(a))),
+    "parse_json": lambda a: _parse_json_literal(a),
+    # redact.rs regex mode — typed scrubbing is dataops.curation.pii_scrub
+    "redact": lambda a, pat, *repl: _redact(a, pat, *repl),
 }
 
 
@@ -466,6 +468,31 @@ def _as_py_val(col_or_val):
     if v is None:
         raise ValueError("expected a literal (non-column) argument")
     return v
+
+
+def _parse_json_literal(a):
+    """parse_json of a LITERAL argument; a runtime column has no
+    plan-time-expressible result schema, so it is rejected cleanly
+    (the reference's unhandled-fallible diagnostic is the analogue)."""
+    import json as _json
+
+    v = getattr(a, "_vs_pyval", None) if not isinstance(a, str) else a
+    if not isinstance(v, str):
+        raise ValueError(
+            "VRL-lite: parse_json needs a literal string argument — a "
+            "runtime column's JSON shape is not schema-static (use the "
+            "json_parser transform with an explicit schema instead)"
+        )
+    return _json_literal(_json.loads(v))
+
+
+def _redact(a, pat, *repl):
+    from vector_spark.functions.vrl import redact
+
+    args = [_as_py_val(pat)]
+    if repl:
+        args.append(_as_py_val(repl[0]))
+    return redact(a, *args)
 
 
 def _sha2_bits(variant) -> int:
