@@ -126,6 +126,8 @@ SUPPORTED = [
     "expressions/arithmetic/merge/nested_maps.vrl",
     "expressions/arithmetic/merge/type_defs.vrl",
     "expressions/assignment/fallible_merge_assignment.vrl",
+    "expressions/assignment/indexing.vrl",
+    "expressions/assignment/infallible_mixed_path.vrl",
     "expressions/assignment/infallible_err_return_value.vrl",
     "expressions/assignment/infallible_external.vrl",
     "expressions/assignment/infallible_mixed.vrl",
@@ -147,10 +149,14 @@ SUPPORTED = [
     "expressions/query/array.vrl",
     "expressions/query/array_indexing.vrl",
     "expressions/query/types.vrl",
+    "internal/assignment_rhs.vrl",
     "internal/literals_through_variables.vrl",
     "internal/multi_line_expressions.vrl",
+    "internal/ok_assignment_default_value.vrl",
     "internal/short_circuit.vrl",
+    "internal/type_def_merging.vrl",
     "issues/5546_negative_indexing_arrays.vrl",
+    "issues/6319_set_paths_in_remap_variables.vrl",
 ]
 
 

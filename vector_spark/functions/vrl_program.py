@@ -167,7 +167,50 @@ def _with_path(cur: Column | None, parts: list[str], value: Column) -> Column:
         return value
     head = parts[0]
     if head.startswith("["):
-        raise ValueError("VRL program: index assignment is not supported")
+        # index assignment (assignment/indexing.vrl, issues/6319):
+        # requires the current value to be a plan-time list (or absent)
+        # — per-row array surgery has no static schema. In-range
+        # replaces; past-the-end pads with nulls (VRL semantics);
+        # negative creates [v, null, …] when out of range.
+        idx = int(head[1:-1])
+        if cur is None:
+            items: list[Column] = []
+        else:
+            sv = _static_val(cur)
+            if isinstance(sv, list):
+                items = [_render_static(x) for x in sv]
+            elif sv is not _MISSING:
+                # indexed assignment to a non-array REPLACES it with an
+                # array (indexing.vrl: v1 = 0; v1[-1] = 0 → [0])
+                items = []
+            else:
+                raise ValueError(
+                    "VRL program: index assignment needs a plan-time "
+                    "list value"
+                )
+        inner = _with_path(
+            items[idx] if -len(items) <= idx < len(items) else None,
+            parts[1:],
+            value,
+        )
+        if idx < 0:
+            if -idx <= len(items):
+                items[idx] = inner
+            else:
+                items = (
+                    [inner]
+                    + [_lit_static(None)] * (-idx - len(items) - 1)
+                    + items
+                )
+        elif idx < len(items):
+            items[idx] = inner
+        else:
+            items = items + [_lit_static(None)] * (idx - len(items)) + [inner]
+        out = _pack_items(items)
+        vals = [_static_val(x) for x in items]
+        if all(x is not _MISSING for x in vals):
+            out._vs_pystat = vals
+        return out
     if cur is None:
         return _obj_struct({head: _with_path(None, parts[1:], value)})
     fields = _obj_fields(cur)
@@ -190,6 +233,22 @@ def _pack_items(items: list[Column]) -> Column:
         return _tag(F.array().cast("array<string>"), "array")
     kinds = {_stype(x) for x in items}
     kinds.discard("null")
+    if kinds == {"object"}:
+        # objects are array-homogeneous only when their field layouts
+        # agree — [., err] can hold two different shapes
+        layouts = set()
+        for x in items:
+            if _stype(x) == "null":
+                continue
+            fl = _obj_fields(x)
+            if fl is None:
+                layouts.clear()
+                break
+            layouts.add(tuple(fl.keys()))
+        if len(layouts) > 1:
+            st = F.struct(*[c.alias(f"_{i}") for i, c in enumerate(items)])
+            st._vs_tuple = True
+            return _tag(st, "array")
     if None in kinds:
         # unknown member kind: fall back to the pyval heuristic
         missing = object()
@@ -501,11 +560,17 @@ class _ProgramParser(_Parser):
                 return self.read_event()
             return _EVENT
         elif (k, v) == ("op", "("):
-            # in program mode a parenthesized group may contain a full
-            # STATEMENT — VRL assignment is an expression
-            # (`true || (.foo = true)`, short_circuit.vrl)
+            # in program mode a parenthesized group may contain full
+            # STATEMENTS — VRL assignment is an expression
+            # (`true || (.foo = true)`), and `;` sequences statements
+            # (`(status, err = int(.status); err == null)`)
             self.next()
             col = self.parse_stmt()
+            while self.peek()[1] == ";":
+                self.next()
+                if self.peek()[1] == ")":
+                    break
+                col = self.parse_stmt()
             self.expect(")")
         elif (k, v) == ("op", "["):
             self.next()
@@ -631,48 +696,66 @@ class _ProgramParser(_Parser):
             and self.toks[self.i + 1] == ("op", "(")
         ):
             return self._parse_del()
-        # assignment lookahead. Targets: `.path` / `var` / `_` (discard)
-        # / bare `.` (whole event, requires a known schema). Forms:
+        # assignment lookahead (try-parse with backtracking). Targets:
+        # `.path` / `var` / `var.path` / `var[0]` / `_` (discard) /
+        # bare `.` (whole event, requires a known schema). Forms:
         #   target = expr            target |= expr
         #   ok, err = expr           ok, err |= expr   (fallible —
         #     assignment.rs Variant::Infallible: ok gets the value or
         #     the result-kind default, err gets the error string or null)
-        is_target = k in ("path", "ident") or (k, v) == ("op", ".")
-        if is_target and self.i + 1 < len(self.toks):
-            nk, nv = self.toks[self.i + 1]
+        saved = self.i
+        t1 = self._try_target()
+        if t1 is not None:
+            nk, nv = self.peek()
+            if nk == "op" and nv in ("=", "|="):
+                self.next()
+                return self._stmt_assign(t1, nv)
             if (nk, nv) == ("op", ","):
-                if (
-                    self.i + 3 < len(self.toks)
-                    and (
-                        self.toks[self.i + 2][0] in ("path", "ident")
-                        or self.toks[self.i + 2] == ("op", ".")
-                    )
-                    and self.toks[self.i + 3][1] in ("=", "|=")
-                ):
-                    t1 = self.next()
-                    self.next()  # ','
-                    t2 = self.next()
+                self.next()
+                t2 = self._try_target()
+                if t2 is not None and self.peek()[1] in ("=", "|="):
                     _, op = self.next()
                     return self._stmt_assign(t1, op, err_target=t2)
-            elif nv in ("=", "|=") and nk == "op":
-                t1 = self.next()
-                _, op = self.next()
-                return self._stmt_assign(t1, op)
-            elif (
-                k == "ident"
-                and nk == "path"
-                and self.i + 2 < len(self.toks)
-                and self.toks[self.i + 2][1] in ("=", "|=")
-            ):
-                # variable nested-path assignment: `foo.bar = 5`
-                # tokenizes as ident + adjacent path
-                self.next()
-                _, pth = self.next()
-                _, op = self.next()
-                return self._stmt_assign(("ident", v + pth), op)
+            self.i = saved  # not an assignment — reparse as expression
         # expression statement (includes statement-level if/blocks via
         # parse_primary); its value is the program value if last
         return self.parse_coalesce()
+
+    def _try_target(self):
+        """Consume a potential assignment target and return (kind,
+        name), or None without consuming. Compound variable targets
+        (`err.bar.baz`, `lines[0]`) fold their adjacent path/index
+        tokens into the name."""
+        k, v = self.peek()
+        if (k, v) == ("op", "."):
+            self.next()
+            return ("op", ".")
+        if k == "path":
+            self.next()
+            return ("path", v)
+        if k == "ident":
+            self.next()
+            name = v
+            while True:
+                nk, nv = self.peek()
+                if nk == "path" and self._adjacent():
+                    self.next()
+                    name += nv
+                elif (
+                    (nk, nv) == ("op", "[")
+                    and self._adjacent()
+                    and self.i + 2 < len(self.toks)
+                    and self.toks[self.i + 1][0] == "num"
+                    and self.toks[self.i + 2] == ("op", "]")
+                ):
+                    self.next()
+                    _, num = self.next()
+                    self.next()
+                    name += f"[{num}]"
+                else:
+                    break
+            return ("ident", name)
+        return None
 
     # --- assignment machinery -------------------------------------------
     def _target_current(self, t) -> Column | None:
