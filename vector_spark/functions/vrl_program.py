@@ -609,9 +609,61 @@ class _ProgramParser(_Parser):
                     )
                 self.expect("]")
                 col = _get_index(col, int(iv))
+            elif (
+                (nk, nv) == ("op", ".")
+                and self._adjacent()
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][1] == "("
+            ):
+                # path coalescing `.(a | b)` (lookup_buf path syntax):
+                # first present field wins
+                self.next()
+                self.next()
+                col = self._coalesced_field(col)
+            elif (
+                (nk, nv) == ("op", ".")
+                and self._adjacent()
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "str"
+            ):
+                # quoted path segment `."lorem ipsum"`
+                from vector_spark.conditions import _unescape
+
+                self.next()
+                _, sv = self.next()
+                col = _get_field(col, _unescape(sv))
             else:
                 break
         return col
+
+    def _coalesced_field(self, col: Column) -> Column:
+        """`.(a | 0bar | "c d")` after '(' is consumed: returns the
+        first field present (plan-time objects) or a runtime coalesce.
+        Segment names may span several tokens (`0bar` = num+ident) —
+        adjacent tokens concatenate."""
+        from vector_spark.conditions import _unescape
+
+        names: list[str] = []
+        cur = ""
+        while self.peek()[1] != ")":
+            if self.peek() == (None, None):
+                raise ValueError("VRL program: unterminated path group")
+            tk, tv = self.next()
+            if (tk, tv) == ("op", "|"):
+                names.append(cur)
+                cur = ""
+            else:
+                cur += _unescape(tv) if tk == "str" else tv
+        self.expect(")")
+        names.append(cur)
+        names = [n for n in names if n]
+        fields = _obj_fields(col)
+        if fields is not None:
+            for n in names:
+                if n in fields:
+                    return fields[n]
+            return _tag(F.lit(None), "null")
+        return F.coalesce(*[col.getField(n) for n in names])
 
     def _adjacent(self) -> bool:
         return (
