@@ -141,6 +141,8 @@ SUPPORTED = [
     "expressions/comparison/lt.vrl",
     "expressions/equality/eq.vrl",
     "expressions/equality/ne.vrl",
+    "expressions/literal/array_type_def.vrl",
+    "expressions/literal/object_type_def.vrl",
     "expressions/literal/regex.vrl",
     "expressions/literal/timestamp.vrl",
     "expressions/logical/and.vrl",
@@ -148,7 +150,9 @@ SUPPORTED = [
     "expressions/logical/or.vrl",
     "expressions/query/array.vrl",
     "expressions/query/array_indexing.vrl",
+    "expressions/query/coalesce.vrl",
     "expressions/query/types.vrl",
+    "functions/object.vrl",
     "internal/assignment_rhs.vrl",
     "internal/literals_through_variables.vrl",
     "internal/multi_line_expressions.vrl",

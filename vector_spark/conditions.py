@@ -222,7 +222,10 @@ _FUNCS = {
     "includes": lambda a, v: F.array_contains(a, v),
     "append": lambda a, b: F.concat(a, b),
     "push": lambda a, v: F.array_append(a, v),
-    "merge": lambda a, b: F.map_concat(a, b),
+    # merge of two MAP columns; struct/object merge routes through
+    # _merge_cols (the "merge" entry above — last-wins would otherwise
+    # shadow it, so dispatch on the static tags here)
+    "merge_maps": lambda a, b: F.map_concat(a, b),
     "format_number": lambda a, d: F.format_number(a, _as_py_int(d)),
     "parse_int": lambda a, *base: F.conv(a, _as_py_int(base[0]) if base else 10, 10).cast(
         "long"
@@ -444,10 +447,9 @@ def _merge_cols(left: Column, right: Column) -> Column:
         for k, col in rf.items():
             out = out.withField(k, col)
         return _tag(out, "object")
-    raise ValueError(
-        "VRL-lite: merge requires the right-hand object's fields to be "
-        "known at plan time (object literal or parsed literal)"
-    )
+    # neither side's fields known at plan time: the only legal runtime
+    # shape is two MAP columns (parsed kv/tags) → map_concat
+    return F.map_concat(left, right)
 
 
 def _fold_int_ok(v) -> bool:
