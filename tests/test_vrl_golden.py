@@ -6,31 +6,38 @@ The corpus files are read from the reference checkout at test time —
 nothing is copied into this repo. Tests skip when the reference tree is
 absent.
 
-SUPPORTED lists the files this engine reproduces bit-for-bit (91 of
+SUPPORTED lists the files this engine reproduces bit-for-bit (107 of
 the 133 non-diagnostics result-bearing files; 164 total minus 31
 diagnostics files whose expected output is a compiler-diagnostic
-rendering). Round 4 added a plan-time VRL type/error model (static
-kinds on literals, the reference's exact arithmetic/comparison/logical
-error strings from value/error.rs, `ok, err =` fallible assignment
-with type-default ok values, object merge `|`/`|=` incl. whole-event
-`. = {…}` / `. |= obj`, negative/out-of-range array indexing,
-`t'…'`/`r'…'` literals, and short-circuit side-effect rollback), which
+rendering — 12 of those are covered by the REJECTED tier below).
+Round 4 added a plan-time VRL type/error model (static kinds on
+literals, the reference's exact arithmetic/comparison/logical error
+strings from value/error.rs, `ok, err =` fallible assignment with
+type-default ok values, object merge `|`/`|=` incl. whole-event
+`. = {…}` / `. |= obj`, array indexing incl. ASSIGNMENT with VRL's
+padding semantics, `t'…'`/`r'…'` literals, path coalescing
+`.(a | b)`, quoted path segments, keyword arguments, parenthesized
+statement sequences, and short-circuit side-effect rollback), which
 closed what round 3 listed as divergences for equality, comparison,
 logical operands, arithmetic/*/invalid.vrl, merge, and fallible
 assignment. The remaining exclusions are documented divergences or
 unported syntax:
 
-- diagnostics/*: expected output is the reference compiler's rendered
+- most diagnostics/* and the compile-error-expecting examples/issues
+  files: the expected output is the reference compiler's rendered
   diagnostic (error codes, spans, ASCII art) — a different artifact
-  class than program results.
+  class; 12 are asserted as REJECTED below, the rest involve
+  fallibility analyses this engine intentionally lacks (runtime
+  errors are per-event nulls on a fixed schema).
 - runtime-fallible ops on REAL columns (match(.bar, r'') where .bar
   is absent): VRL runtime errors on undefined paths are error values;
   on a fixed schema an absent column is a Catalyst analysis error
-  (internal/coalesced_fallible_op.vrl, fallible_op1/2.vrl).
-- `@metadata` queries, path-coalescing (`.(a | b)`), quoted path
-  segments, array-index ASSIGNMENT with null padding, keyword
-  arguments, and error-position-bearing messages ("at (28:65)"):
-  unported syntax/features.
+  (internal/coalesced_fallible_op.vrl, fallible_op1/2.vrl,
+  progressive_type_checking.vrl).
+- `@metadata` queries, assignment-side path coalescing, static
+  parse_syslog/parse_tokens folding (examples/parse_nginx,
+  inner_type_defs), and error-position-bearing messages
+  ("at (28:65)"): unported syntax/features.
 - abort.vrl: the VRL test harness observes the event AT the abort
   point; this engine implements the remap-transform semantics
   (abort = event passes through unmodified / dropped), so the
@@ -140,6 +147,7 @@ SUPPORTED = [
     "expressions/comparison/le.vrl",
     "expressions/comparison/lt.vrl",
     "expressions/equality/eq.vrl",
+    "expressions/function_call/keyword_argument.vrl",
     "expressions/equality/ne.vrl",
     "expressions/literal/array_type_def.vrl",
     "expressions/literal/object_type_def.vrl",
@@ -154,6 +162,7 @@ SUPPORTED = [
     "expressions/query/types.vrl",
     "functions/object.vrl",
     "internal/assignment_rhs.vrl",
+    "internal/infallible_ok_maybe_null.vrl",
     "internal/literals_through_variables.vrl",
     "internal/multi_line_expressions.vrl",
     "internal/ok_assignment_default_value.vrl",

@@ -973,6 +973,9 @@ class _Parser:
     # evaluation (parse_json of literals, append of static lists,
     # object merge, timestamp kind tagging) on top of the table
     def call_func(self, name: str, args: list, kwargs: dict | None = None) -> Column:
+        if kwargs and "value" in kwargs and not args:
+            # VRL allows naming the first positional arg (`value:`)
+            args = [kwargs.pop("value")]
         if kwargs and name not in ("log", "assert"):
             raise ValueError(
                 f"VRL-lite: keyword arguments are not supported for {name}()"
