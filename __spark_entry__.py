@@ -497,7 +497,11 @@ def _q_tag_cardinality(spark, sf):
 
     ev = _load(spark, sf, "events").select(
         "event_id",
-        F.struct("ts", "event_id").alias("ord"),
+        # plain timestamp, not struct(ts, id): min() over a struct is
+        # not hash-aggregable and demoted the first-seen aggregate to
+        # SortAggregate; min(ts) is order-insensitive-deterministic and
+        # ranking ties break on the value column (oracle-identical)
+        F.col("ts").alias("ord"),
         F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("tags"),
         "event_type",
     )
@@ -2629,7 +2633,7 @@ def _legacy_oracle_sql() -> dict[str, str]:
         "minhash": f"""
             WITH sh AS ({_SHINGLES})
             SELECT id, seed,
-                   min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+                   min(CAST(('0x' || substr(md5(cast(seed AS varchar) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
             FROM sh, range(0, 8) s(seed)
             GROUP BY id, seed
         """,
@@ -2637,12 +2641,12 @@ def _legacy_oracle_sql() -> dict[str, str]:
             WITH sh AS ({_SHINGLES}),
             sig AS (
               SELECT id, seed,
-                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+                     min(CAST(('0x' || substr(md5(cast(seed AS varchar) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
               FROM sh, range(0, 8) s(seed) GROUP BY id, seed
             ),
             banded AS (
               SELECT id, cast(floor(seed / 2) AS int) AS band,
-                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+                     md5(string_agg(CAST(minhash AS varchar), '|' ORDER BY minhash)) AS band_hash
               FROM sig GROUP BY id, band
             )
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -2865,12 +2869,12 @@ def _legacy_oracle_sql() -> dict[str, str]:
             WITH RECURSIVE sh AS ({_SHINGLES}),
             sig AS (
               SELECT id, seed,
-                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+                     min(CAST(('0x' || substr(md5(cast(seed AS varchar) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
               FROM sh, range(0, 8) s(seed) GROUP BY id, seed
             ),
             banded AS (
               SELECT id, cast(floor(seed / 2) AS int) AS band,
-                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+                     md5(string_agg(CAST(minhash AS varchar), '|' ORDER BY minhash)) AS band_hash
               FROM sig GROUP BY id, band
             ),
             pairs AS (
@@ -3133,12 +3137,12 @@ def _legacy_oracle_sql() -> dict[str, str]:
             WITH sh AS ({_SHINGLES}),
             sig AS (
               SELECT id, seed,
-                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+                     min(CAST(('0x' || substr(md5(cast(seed AS varchar) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
               FROM sh, range(0, 8) s(seed) GROUP BY id, seed
             ),
             banded AS (
               SELECT id, cast(floor(seed / 2) AS int) AS band,
-                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+                     md5(string_agg(CAST(minhash AS varchar), '|' ORDER BY minhash)) AS band_hash
               FROM sig GROUP BY id, band
             ),
             cands AS (
@@ -3311,12 +3315,12 @@ def _legacy_oracle_sql() -> dict[str, str]:
             WITH RECURSIVE sh AS ({_SHINGLES}),
             sig AS (
               SELECT id, seed,
-                     min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+                     min(CAST(('0x' || substr(md5(cast(seed AS varchar) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
               FROM sh, range(0, 8) s(seed) GROUP BY id, seed
             ),
             banded AS (
               SELECT id, cast(floor(seed / 2) AS int) AS band,
-                     md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+                     md5(string_agg(CAST(minhash AS varchar), '|' ORDER BY minhash)) AS band_hash
               FROM sig GROUP BY id, band
             ),
             pairs AS (

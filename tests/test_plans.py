@@ -201,3 +201,19 @@ def test_winnow_has_no_window_exchange(spark):
     assert "Window" not in plan  # minima computed array-side
     # exactly one exchange: the final distinct
     assert plan.count("Exchange hashpartitioning") <= 2  # partial+final pair
+
+
+def test_minhash_signatures_hash_aggregate_not_sort(spark):
+    """The min() aggregation buffer must be a fixed-width long so the
+    signature aggregate plans as HashAggregate with map-side partials —
+    min over an md5 STRING demotes it to SortAggregate (a per-partition
+    sort of every exploded (doc, seed, shingle) row)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.dedup import minhash_signatures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn("doc_id", F.col("doc_id").cast("long"))
+    plan = _plan(minhash_signatures(docs, k=8))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan

@@ -169,15 +169,30 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Long-format minhash: one row per (id, seed) with the min md5 of
-    ``seed:shingle`` — portable across engines. k seeds via a literal
-    seed array explode (no UDF, no RNG)."""
+    """Long-format minhash: one row per (id, seed) with the min 60-bit
+    numeric hash of ``seed:shingle`` (top 15 hex chars of the md5 —
+    portable across engines; DuckDB: CAST('0x'||substr(md5,1,15) AS
+    BIGINT)). k seeds via a literal seed array explode (no UDF, no
+    RNG).
+
+    The hash is NUMERIC, not the md5 hex string, so the min() buffer is
+    a fixed-width long and the aggregate plans as HashAggregate with
+    map-side partials — min over a var-length string demotes the whole
+    aggregate to SortAggregate (a per-partition sort of every exploded
+    (doc, seed, shingle) row; at 10^12 docs that sort IS the job)."""
     sh = shingle_frame(df, text_col, id_col, n)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
     return (
         sh.select("id", "shingle", seeds)
         .groupBy("id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle")))).alias("minhash"))
+        .agg(F.min(h).alias("minhash"))
     )
 
 
@@ -193,7 +208,17 @@ def minhash_lsh_candidates(
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash")))).alias("band_hash"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list("minhash")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_hash")
+        )
     )
     if reuse:
         banded = banded.persist()

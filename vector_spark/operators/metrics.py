@@ -358,7 +358,10 @@ def tag_cardinality_limit(
     (``drop_event``).
 
     Batch determinism: "first seen" = min(``order_by``) per
-    (key, value); ranking is a two-phase salted top-K — the operator
+    (key, value). Pass a FIXED-WIDTH orderable column (timestamp /
+    long) — min() over a struct is not hash-aggregable and demotes the
+    first-seen aggregate to a per-partition SortAggregate over every
+    exploded tag row. Ranking is a two-phase salted top-K — the operator
     exists precisely for keys with RUNAWAY value cardinality, so no
     single task may ever sort a key's full distinct-value set. Phase 1
     ranks within (key, salt-of-value) buckets (each holds ~1/S of the
