@@ -162,10 +162,12 @@ SUPPORTED = [
     "expressions/query/types.vrl",
     "functions/object.vrl",
     "internal/assignment_rhs.vrl",
+    "internal/coalesced_fallible_op.vrl",
     "internal/infallible_ok_maybe_null.vrl",
     "internal/literals_through_variables.vrl",
     "internal/multi_line_expressions.vrl",
     "internal/ok_assignment_default_value.vrl",
+    "internal/progressive_type_checking.vrl",
     "internal/short_circuit.vrl",
     "internal/type_def_merging.vrl",
     "issues/5546_negative_indexing_arrays.vrl",
@@ -329,7 +331,11 @@ def test_vrl_golden(spark, rel):
         df = spark.read.json(spark.sparkContext.parallelize([json.dumps(obj)]))
     else:
         df = spark.range(1).drop("id")
-    prog = compile_vrl_program(src, columns=df.columns)
+    prog = compile_vrl_program(
+        src,
+        columns=df.columns,
+        schema={f.name: f.dataType.simpleString() for f in df.schema},
+    )
     res = prog.event_struct(df.columns) if prog.result_is_event else prog.result
     assert res is not None, "program produced no result value"
     got = norm(df.select(res.alias("r")).first()["r"])

@@ -178,7 +178,14 @@ _FUNCS = {
     "floor": lambda a: F.floor(a),
     "round": lambda a, *n: F.round(a, *[_as_py_int(x) for x in n]),
     "truncate": lambda a, n: F.substring(a, 1, _as_py_int(n)),
-    "slice": lambda a, s, e: F.substring(a, _as_py_int(s) + 1, _as_py_int(e) - _as_py_int(s)),
+    # slice(value, start, [end]) — end optional (slice.rs); string
+    # path here, the array path dispatches on static kind in the
+    # program compiler's call_func
+    "slice": lambda a, s, *e: F.substring(
+        a,
+        _as_py_int(s) + 1,
+        (_as_py_int(e[0]) - _as_py_int(s)) if e else (1 << 30),
+    ),
     "replace": lambda a, p, r: F.regexp_replace(a, p, r),
     "strip_whitespace": lambda a: F.trim(a),
     "strip_ansi_escape_codes": lambda a: F.regexp_replace(
@@ -567,10 +574,11 @@ class _Parser:
             if _static_err(left) is not None:
                 # statically errored lhs → the fallback, unconditionally
                 left = self.parse_or()
-            elif _pyv(left) is not _MISSING:
-                # lhs VALUE statically known (literal or folded) →
-                # infallible, fallback is dead code. Kind-only tags do
-                # NOT qualify: a runtime try_add can still overflow-null
+            elif _pyv(left) is not _MISSING or _col_tags(left).get("_vs_infallible"):
+                # lhs VALUE statically known (literal or folded), or a
+                # kind-checked infallible call → fallback is dead code.
+                # Kind-only tags do NOT qualify: a runtime try_add can
+                # still overflow-null
                 self._discard(self.parse_or)
             else:
                 left = F.coalesce(left, self.parse_or())

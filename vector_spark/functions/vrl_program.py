@@ -279,6 +279,27 @@ _PROGRAM_TOKEN_RE = re.compile(
 )
 
 
+def _spark_kind(dt: str) -> str | None:
+    """Spark dtype simpleString → VRL kind (schema-typed event paths:
+    the frame's schema IS VRL's type environment on a fixed schema)."""
+    dt = dt.lower()
+    if dt.startswith("array"):
+        return "array"
+    if dt.startswith(("struct", "map")):
+        return "object"
+    if dt == "string":
+        return "string"
+    if dt in ("bigint", "int", "smallint", "tinyint", "long", "integer", "short", "byte"):
+        return "integer"
+    if dt in ("double", "float") or dt.startswith("decimal"):
+        return "float"
+    if dt == "boolean":
+        return "boolean"
+    if dt.startswith("timestamp") or dt == "date":
+        return "timestamp"
+    return None
+
+
 class _EventRef:
     """Sentinel for a bare `.` (whole-event) expression. Resolved at
     apply time, when the frame's schema is known."""
@@ -293,18 +314,19 @@ class _Env:
     """Overlay environment: only MUTATED paths/vars are stored; reads
     fall back to the physical column (paths) or null (vars)."""
 
-    __slots__ = ("fields", "vars", "dropped", "abort", "has_abort", "cols")
+    __slots__ = ("fields", "vars", "dropped", "abort", "has_abort", "cols", "kinds")
 
-    def __init__(self, cols: list[str] | None = None):
+    def __init__(self, cols: list[str] | None = None, kinds: dict | None = None):
         self.fields: dict[str, Column] = {}
         self.vars: dict[str, Column] = {}
         self.dropped: set[str] = set()  # unconditional top-level del()
         self.abort: Column = F.lit(False)
         self.has_abort = False
         self.cols = cols  # physical schema when known (None = unknown)
+        self.kinds = kinds or {}  # column name → VRL kind (shared ref)
 
     def copy(self) -> "_Env":
-        e = _Env(self.cols)
+        e = _Env(self.cols, self.kinds)
         e.fields = dict(self.fields)
         e.vars = dict(self.vars)
         e.dropped = set(self.dropped)
@@ -320,8 +342,12 @@ class _Env:
         if self.cols is not None and name not in self.cols:
             # known schema, nonexistent field → VRL null (an unguarded
             # F.col would be a Catalyst analysis error)
-            return F.lit(None)
-        return F.col(name)
+            return _tag(F.lit(None), "null")
+        col = F.col(name)
+        k = self.kinds.get(name)
+        if k is not None:
+            col = _tag(col, k)
+        return col
 
     def read_var(self, name: str) -> Column | None:
         return self.vars.get(name)
@@ -399,7 +425,12 @@ class _ProgramParser(_Parser):
     environment, so ``.b = .a + 1`` after ``.a = 2`` folds correctly.
     """
 
-    def __init__(self, text: str, columns: list[str] | None = None):
+    def __init__(
+        self,
+        text: str,
+        columns: list[str] | None = None,
+        schema: dict | None = None,
+    ):
         self.toks = []
         self.spans = []  # (start, end) per token, for adjacency checks
         pos = 0
@@ -415,7 +446,12 @@ class _ProgramParser(_Parser):
                 self.spans.append((m.start(), m.end()))
         self.i = 0
         self.columns = list(columns) if columns is not None else None
-        self.env = _Env(self.columns)
+        kinds = {
+            n: k
+            for n, dt in (schema or {}).items()
+            if (k := _spark_kind(str(dt))) is not None
+        }
+        self.env = _Env(self.columns, kinds)
         self.last_value: Column | None = None
 
     def read_event(self) -> Column:
@@ -499,6 +535,55 @@ class _ProgramParser(_Parser):
             return _err_value(
                 f"can't coerce \"{_stype(args[0])}\" into \"string\""
             )
+        # per-function argument-kind checks (the VRL type checker's
+        # compile-time argument errors; exact texts are unobservable —
+        # every corpus use is ??-coalesced)
+        if args:
+            k0 = _stype(args[0])
+            if name == "slice":
+                if k0 in ("integer", "float", "boolean", "timestamp", "null", "object"):
+                    return _err_value(
+                        f'function call error for "slice": expected array '
+                        f'or string, got {k0}'
+                    )
+                if k0 == "array":
+                    from vector_spark.conditions import _as_py_int
+
+                    s = _as_py_int(args[1])
+                    if len(args) > 2:
+                        e = _as_py_int(args[2])
+                        out = F.slice(args[0], s + 1, e - s)
+                    else:
+                        out = F.slice(
+                            args[0], s + 1, F.greatest(F.size(args[0]) - s, F.lit(0))
+                        )
+                    out = _tag(out, "array")
+                    out._vs_infallible = True
+                    return out
+                if k0 == "string":
+                    out = _tag(super().call_func(name, args, kwargs), "string")
+                    out._vs_infallible = True
+                    return out
+            if name in ("upcase", "downcase"):
+                if k0 not in (None, "string", "null"):
+                    return _err_value(
+                        f'function call error for "{name}": expected string, '
+                        f"got {k0}"
+                    )
+                if k0 == "string":
+                    out = _tag(super().call_func(name, args, kwargs), "string")
+                    out._vs_infallible = True
+                    return out
+            if name == "push":
+                if k0 not in (None, "array", "null"):
+                    return _err_value(
+                        f'function call error for "push": expected array, '
+                        f"got {k0}"
+                    )
+                if k0 == "array":
+                    out = _tag(super().call_func(name, args, kwargs), "array")
+                    out._vs_infallible = True
+                    return out
         return super().call_func(name, args, kwargs)
 
     # --- expression extensions (corpus surface) -------------------------
@@ -975,15 +1060,26 @@ class _ProgramParser(_Parser):
         return out
 
 
-def compile_vrl_program(source: str, columns: list[str] | None = None) -> VrlProgram:
+def compile_vrl_program(
+    source: str,
+    columns: list[str] | None = None,
+    schema: dict | None = None,
+) -> VrlProgram:
     """Compile VRL program *source* to its net schema effect.
 
-    ``columns`` (the frame's physical schema, when known at compile
-    time) lets bare `.` resolve to the live event struct anywhere in an
-    expression, and enables whole-event assignment (`. = {...}`,
-    `. |= obj`). Without it `.` is only valid as the program's final
-    value."""
-    p = _ProgramParser(source, columns=columns)
+    ``columns`` (the frame's physical column names, when known at
+    compile time) lets bare `.` resolve to the live event struct
+    anywhere in an expression, and enables whole-event assignment
+    (`. = {...}`, `. |= obj`). ``schema`` (name → Spark dtype string,
+    e.g. ``{f.name: f.dataType.simpleString() for f in df.schema}``)
+    additionally gives event paths STATIC VRL KINDS, so type-invalid
+    operations on real columns compile to VRL error values (the
+    type-checking the reference does at compile time). Without either,
+    `.` is only valid as the program's final value and paths are
+    untyped."""
+    if schema is not None and columns is None:
+        columns = list(schema)
+    p = _ProgramParser(source, columns=columns, schema=schema)
     env = p.run()
     is_event = isinstance(p.last_value, _EventRef)
     return VrlProgram(
