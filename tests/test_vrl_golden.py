@@ -6,7 +6,7 @@ The corpus files are read from the reference checkout at test time —
 nothing is copied into this repo. Tests skip when the reference tree is
 absent.
 
-SUPPORTED lists the files this engine reproduces bit-for-bit (107 of
+SUPPORTED lists the files this engine reproduces bit-for-bit (114 of
 the 133 non-diagnostics result-bearing files; 164 total minus 31
 diagnostics files whose expected output is a compiler-diagnostic
 rendering — 12 of those are covered by the REJECTED tier below).
@@ -37,7 +37,11 @@ unported syntax:
 - `@metadata` queries, assignment-side path coalescing, static
   parse_syslog/parse_tokens folding (examples/parse_nginx,
   inner_type_defs), and error-position-bearing messages
-  ("at (28:65)"): unported syntax/features.
+  ("at (28:65)"): unported syntax/features. (parse_regex with
+  numeric_groups, `format:`-style keyword arguments, value-`||` on
+  non-boolean operands, and reads through known-missing fields
+  landed late round 4 — see successful_parse_regex_type,
+  6792_lost_type_defs, query_ignore_parens_in_quotes.)
 - abort.vrl: the VRL test harness observes the event AT the abort
   point; this engine implements the remap-transform semantics
   (abort = event passes through unmodified / dropped), so the
@@ -60,10 +64,16 @@ pytestmark = pytest.mark.skipif(
 
 SUPPORTED = [
     "example.vrl",
+    "examples/blog_vector_remap_language.vrl",
+    "examples/blog_vector_remap_language_handle_error.vrl",
+    "examples/blog_vector_remap_language_raise_error.vrl",
+    "examples/blog_vector_remap_language_specify_types.vrl",
+    "examples/successful_parse_regex_type.vrl",
     "expressions/arithmetic/addition/float.vrl",
     "expressions/arithmetic/addition/float_integer.vrl",
     "expressions/arithmetic/addition/integer.vrl",
     "expressions/arithmetic/addition/integer_float.vrl",
+    "expressions/arithmetic/addition/invalid.vrl",
     "expressions/arithmetic/addition/null_string.vrl",
     "expressions/arithmetic/addition/string_null.vrl",
     "expressions/arithmetic/addition/string_string.vrl",
@@ -71,26 +81,51 @@ SUPPORTED = [
     "expressions/arithmetic/division/float_integer.vrl",
     "expressions/arithmetic/division/integer.vrl",
     "expressions/arithmetic/division/integer_float.vrl",
+    "expressions/arithmetic/division/invalid.vrl",
+    "expressions/arithmetic/merge/maps.vrl",
+    "expressions/arithmetic/merge/multiple_maps.vrl",
+    "expressions/arithmetic/merge/nested_maps.vrl",
+    "expressions/arithmetic/merge/type_defs.vrl",
     "expressions/arithmetic/multiplication/float.vrl",
     "expressions/arithmetic/multiplication/float_integer.vrl",
     "expressions/arithmetic/multiplication/integer.vrl",
     "expressions/arithmetic/multiplication/integer_float.vrl",
     "expressions/arithmetic/multiplication/integer_string.vrl",
+    "expressions/arithmetic/multiplication/invalid.vrl",
     "expressions/arithmetic/multiplication/string_integer.vrl",
     "expressions/arithmetic/remainder/float.vrl",
     "expressions/arithmetic/remainder/float_integer.vrl",
     "expressions/arithmetic/remainder/integer.vrl",
     "expressions/arithmetic/remainder/integer_float.vrl",
+    "expressions/arithmetic/remainder/invalid.vrl",
     "expressions/arithmetic/subtraction/float.vrl",
     "expressions/arithmetic/subtraction/float_integer.vrl",
     "expressions/arithmetic/subtraction/integer.vrl",
     "expressions/arithmetic/subtraction/integer_float.vrl",
+    "expressions/arithmetic/subtraction/invalid.vrl",
+    "expressions/assignment/fallible_merge_assignment.vrl",
+    "expressions/assignment/indexing.vrl",
+    "expressions/assignment/infallible_err_return_value.vrl",
+    "expressions/assignment/infallible_external.vrl",
+    "expressions/assignment/infallible_mixed.vrl",
+    "expressions/assignment/infallible_mixed_path.vrl",
+    "expressions/assignment/infallible_ok_return_value.vrl",
+    "expressions/assignment/infallible_variable.vrl",
+    "expressions/assignment/merge_assignment.vrl",
     "expressions/assignment/single_external.vrl",
     "expressions/assignment/single_return_value.vrl",
     "expressions/assignment/single_variable.vrl",
+    "expressions/assignment/single_variable_path.vrl",
     "expressions/block/multiple_expressions_multi_line.vrl",
     "expressions/block/multiple_expressions_single_line.vrl",
     "expressions/block/single_expression.vrl",
+    "expressions/comparison/ge.vrl",
+    "expressions/comparison/gt.vrl",
+    "expressions/comparison/le.vrl",
+    "expressions/comparison/lt.vrl",
+    "expressions/equality/eq.vrl",
+    "expressions/equality/ne.vrl",
+    "expressions/function_call/keyword_argument.vrl",
     "expressions/function_call/positional_argument.vrl",
     "expressions/group/precedence.vrl",
     "expressions/if_statement/if_else.vrl",
@@ -99,59 +134,16 @@ SUPPORTED = [
     "expressions/if_statement/if_resolves.vrl",
     "expressions/if_statement/newlines.vrl",
     "expressions/literal/array.vrl",
+    "expressions/literal/array_type_def.vrl",
     "expressions/literal/boolean.vrl",
     "expressions/literal/float.vrl",
     "expressions/literal/integer.vrl",
     "expressions/literal/null.vrl",
     "expressions/literal/object.vrl",
-    "expressions/literal/raw_string.vrl",
-    "expressions/literal/string.vrl",
-    "expressions/query/external.vrl",
-    "expressions/query/function_call.vrl",
-    "expressions/query/object.vrl",
-    "expressions/query/variable.vrl",
-    "expressions/unary/not.vrl",
-    "functions/array.vrl",
-    "internal/allow_reserved_keywords.vrl",
-    "internal/multi_byte_literals.vrl",
-    "internal/nested_containers.vrl",
-    "issues/6361_query_type_definition.vrl",
-    # round-4 additions: plan-time VRL type/error model (static kinds,
-    # reference error strings, ok/err fallible assignment, object
-    # merge, whole-event assignment, negative indexing, t''/r''
-    # literals, short-circuit side-effect rollback)
-    "examples/blog_vector_remap_language.vrl",
-    "examples/blog_vector_remap_language_handle_error.vrl",
-    "examples/blog_vector_remap_language_raise_error.vrl",
-    "examples/blog_vector_remap_language_specify_types.vrl",
-    "expressions/arithmetic/addition/invalid.vrl",
-    "expressions/arithmetic/division/invalid.vrl",
-    "expressions/arithmetic/multiplication/invalid.vrl",
-    "expressions/arithmetic/remainder/invalid.vrl",
-    "expressions/arithmetic/subtraction/invalid.vrl",
-    "expressions/arithmetic/merge/maps.vrl",
-    "expressions/arithmetic/merge/nested_maps.vrl",
-    "expressions/arithmetic/merge/type_defs.vrl",
-    "expressions/assignment/fallible_merge_assignment.vrl",
-    "expressions/assignment/indexing.vrl",
-    "expressions/assignment/infallible_mixed_path.vrl",
-    "expressions/assignment/infallible_err_return_value.vrl",
-    "expressions/assignment/infallible_external.vrl",
-    "expressions/assignment/infallible_mixed.vrl",
-    "expressions/assignment/infallible_ok_return_value.vrl",
-    "expressions/assignment/infallible_variable.vrl",
-    "expressions/assignment/merge_assignment.vrl",
-    "expressions/assignment/single_variable_path.vrl",
-    "expressions/comparison/ge.vrl",
-    "expressions/comparison/gt.vrl",
-    "expressions/comparison/le.vrl",
-    "expressions/comparison/lt.vrl",
-    "expressions/equality/eq.vrl",
-    "expressions/function_call/keyword_argument.vrl",
-    "expressions/equality/ne.vrl",
-    "expressions/literal/array_type_def.vrl",
     "expressions/literal/object_type_def.vrl",
+    "expressions/literal/raw_string.vrl",
     "expressions/literal/regex.vrl",
+    "expressions/literal/string.vrl",
     "expressions/literal/timestamp.vrl",
     "expressions/logical/and.vrl",
     "expressions/logical/err.vrl",
@@ -159,19 +151,32 @@ SUPPORTED = [
     "expressions/query/array.vrl",
     "expressions/query/array_indexing.vrl",
     "expressions/query/coalesce.vrl",
+    "expressions/query/external.vrl",
+    "expressions/query/function_call.vrl",
+    "expressions/query/mixed_case.vrl",
+    "expressions/query/object.vrl",
     "expressions/query/types.vrl",
+    "expressions/query/variable.vrl",
+    "expressions/unary/not.vrl",
+    "functions/array.vrl",
     "functions/object.vrl",
+    "internal/allow_reserved_keywords.vrl",
     "internal/assignment_rhs.vrl",
     "internal/coalesced_fallible_op.vrl",
     "internal/infallible_ok_maybe_null.vrl",
     "internal/literals_through_variables.vrl",
+    "internal/multi_byte_literals.vrl",
     "internal/multi_line_expressions.vrl",
+    "internal/nested_containers.vrl",
     "internal/ok_assignment_default_value.vrl",
     "internal/progressive_type_checking.vrl",
+    "internal/query_ignore_parens_in_quotes.vrl",
     "internal/short_circuit.vrl",
     "internal/type_def_merging.vrl",
     "issues/5546_negative_indexing_arrays.vrl",
     "issues/6319_set_paths_in_remap_variables.vrl",
+    "issues/6361_query_type_definition.vrl",
+    "issues/6792_lost_type_defs.vrl",
 ]
 
 
@@ -233,8 +238,10 @@ def load_case(path: Path):
                 in_obj = False
             except json.JSONDecodeError:
                 pass
-        elif line.startswith("# result:") and not done_result:
-            result_lines.append(line[len("# result:"):])
+        elif (
+            line.startswith("# result:") or line.startswith("#result:")
+        ) and not done_result:
+            result_lines.append(line.split("result:", 1)[1])
             in_result = True
         elif in_result and line.startswith("#"):
             result_lines.append(line[1:])

@@ -245,6 +245,7 @@ _FUNCS = {
     # abort inside Spark's regexp functions, violating the engine's
     # no-abort invariant, so non-literal args are a compile error.
     "to_regex": lambda a: _to_regex(a),
+    "parse_regex": lambda a, p, *ng: _parse_regex(a, p, ng[0] if ng else None),
     "coalesce": lambda *a: F.coalesce(*a),
     "if_else": lambda c, t, f: F.when(c, t).otherwise(f),
     # type-coercion guards (lib/vrl/stdlib: String/Integer/Float/
@@ -306,6 +307,39 @@ def _strftime(fmt: str) -> str:
     return strftime_to_spark(fmt)
 
 
+def _parse_regex(value, pattern, numeric_groups=None) -> Column:
+    """parse_regex / parse_regex_all's single-match form
+    (lib/vrl/stdlib/src/parse_regex.rs): named captures → object;
+    ``numeric_groups: true`` adds "0".."n" positional keys. The
+    pattern must be a plan-time literal (same stance as to_regex) —
+    group names/arity decide the struct schema, so a per-row pattern
+    cannot produce a fixed shape. One Java regex, one regexp_extract
+    per emitted group."""
+    pat = _as_py_val(pattern)
+    if not isinstance(pat, str):
+        raise ValueError(
+            f"parse_regex: expected a regex or string literal pattern, got {pat!r}"
+        )
+    try:
+        cre = re.compile(pat)
+    except re.error as exc:
+        raise ValueError(f"parse_regex: invalid regex {pat!r}: {exc}") from exc
+    jpat = pat.replace("(?P<", "(?<")  # Java named-group spelling
+    want_numeric = False
+    if numeric_groups is not None:
+        nv = _pyv(numeric_groups)
+        want_numeric = bool(nv) if nv is not _MISSING else False
+    fields: dict = {}
+    if want_numeric:
+        for i in range(cre.groups + 1):
+            fields[str(i)] = _tag(F.regexp_extract(value, jpat, i), "string")
+    for gname, gidx in cre.groupindex.items():
+        fields[gname] = _tag(F.regexp_extract(value, jpat, gidx), "string")
+    if not fields:
+        fields["0"] = _tag(F.regexp_extract(value, jpat, 0), "string")
+    return _obj_struct(fields)
+
+
 def _to_regex(a) -> Column:
     """Compile-time-validated regex literal (see _FUNCS['to_regex'])."""
     pat = _as_py_val(a)
@@ -326,7 +360,11 @@ def _is_strish(c) -> bool:
     field Columns for unknown attributes, so only the instance dict is
     consulted."""
     d = getattr(c, "__dict__", None) or {}
-    return isinstance(d.get("_vs_pyval"), str) or bool(d.get("_vs_isstr"))
+    return (
+        isinstance(d.get("_vs_pyval"), str)
+        or bool(d.get("_vs_isstr"))
+        or d.get("_vs_stype") == "string"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -597,6 +635,12 @@ class _Parser:
             elif lp is not _MISSING:
                 # statically truthy VALUE (true, "foo", 1, …) → lhs
                 self._discard(self.parse_and)
+            elif (lt := _stype(left)) is not None and lt != "boolean":
+                # VRL ||'s value-OR form (compiler op.rs ErrorOr): a
+                # non-boolean lhs can only be falsy by being null, so
+                # this is a null-coalesce carrying the lhs kind
+                right = self.parse_and()
+                left = _tag(F.when(left.isNotNull(), left).otherwise(right), lt)
             else:
                 left = left | self.parse_and()
         return left
@@ -984,6 +1028,13 @@ class _Parser:
         if kwargs and "value" in kwargs and not args:
             # VRL allows naming the first positional arg (`value:`)
             args = [kwargs.pop("value")]
+        if kwargs:
+            # named arguments map onto the trailing positional slots in
+            # the function's declared parameter order (each stdlib fn's
+            # Parameter list in lib/vrl/stdlib/src/<fn>.rs)
+            for k in _KW_ORDER.get(name, ()):
+                if k in kwargs:
+                    args.append(kwargs.pop(k))
         if kwargs and name not in ("log", "assert"):
             raise ValueError(
                 f"VRL-lite: keyword arguments are not supported for {name}()"
@@ -995,6 +1046,18 @@ class _Parser:
             out = _tag(out, "timestamp")
         return out
 
+
+_KW_ORDER = {
+    "parse_timestamp": ("format",),
+    "parse_regex": ("pattern", "numeric_groups"),
+    "format_timestamp": ("format",),
+    "slice": ("start", "end"),
+    "replace": ("pattern", "with"),
+    "split": ("pattern",),
+    "join": ("separator",),
+    "round": ("precision",),
+    "truncate": ("limit",),
+}
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
 

@@ -16,6 +16,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _STRFTIME_TO_SPARK = [
+    # chrono %+ = RFC3339 (ISO 8601 with numeric offset)
+    ("%+", "yyyy-MM-dd'T'HH:mm:ssXXX"),
     ("%Y", "yyyy"),
     ("%m", "MM"),
     ("%d", "dd"),

@@ -135,6 +135,8 @@ def _vrl_parse_common_log(col: Column) -> Column:
 def _get_field(col: Column, name: str) -> Column:
     """Field access that preserves plan-time tags when the object's
     fields are known (merged/parsed objects keep their member kinds)."""
+    if _stype(col) == "null":
+        return _tag(F.lit(None), "null")
     fields = _obj_fields(col)
     if fields is not None and name in fields:
         return fields[name]
@@ -147,6 +149,8 @@ def _get_index(col: Column, idx: int) -> Column:
     issues/5546) — F.get is the null-safe accessor (getItem aborts
     under ANSI on out-of-range)."""
     d = _col_tags(col)
+    if d.get("_vs_stype") == "null" and "_vs_error" not in d:
+        return _tag(F.lit(None), "null")
     sv = d.get("_vs_pystat")
     if isinstance(sv, list):
         v = sv[idx] if -len(sv) <= idx < len(sv) else None
@@ -417,6 +421,17 @@ class VrlProgram:
         return out
 
 
+# string→string stdlib functions that are infallible given a string
+# input (their Parameter lists accept any string; no runtime error arm)
+_STR_IN_STR_OUT = {
+    "strip_whitespace",
+    "strip_ansi_escape_codes",
+    "truncate",
+    "replace",
+    "trim",
+}
+
+
 class _ProgramParser(_Parser):
     """Statement-level parser that symbolically executes as it parses.
 
@@ -540,6 +555,12 @@ class _ProgramParser(_Parser):
         # every corpus use is ??-coalesced)
         if args:
             k0 = _stype(args[0])
+            if name in _STR_IN_STR_OUT and k0 == "string":
+                # string→string stdlib fns: infallible on a known
+                # string input, result kind carries forward
+                out = _tag(super().call_func(name, args, kwargs), "string")
+                out._vs_infallible = True
+                return out
             if name == "slice":
                 if k0 in ("integer", "float", "boolean", "timestamp", "null", "object"):
                     return _err_value(
@@ -742,6 +763,9 @@ class _ProgramParser(_Parser):
         self.expect(")")
         names.append(cur)
         names = [n for n in names if n]
+        if _stype(col) == "null":
+            # base is a known-missing field: every alternative is null
+            return _tag(F.lit(None), "null")
         fields = _obj_fields(col)
         if fields is not None:
             for n in names:
