@@ -68,6 +68,7 @@ SUPPORTED = [
     "examples/blog_vector_remap_language_handle_error.vrl",
     "examples/blog_vector_remap_language_raise_error.vrl",
     "examples/blog_vector_remap_language_specify_types.vrl",
+    "examples/parse_nginx_access_log.vrl",
     "examples/successful_parse_regex_type.vrl",
     "expressions/arithmetic/addition/float.vrl",
     "expressions/arithmetic/addition/float_integer.vrl",

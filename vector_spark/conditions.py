@@ -199,7 +199,16 @@ _FUNCS = {
     "to_int": lambda a: a.cast("double").cast("long"),
     "to_float": lambda a: a.cast("double"),
     "to_bool": lambda a: a.cast("boolean"),
-    "to_timestamp": lambda a: F.to_timestamp(a.cast("string")),
+    # to_timestamp.rs → Conversion::Timestamp: tries RFC3339/ISO first,
+    # then the common-log and RFC2822-ish layouts Vector's conversion
+    # table accepts (conversion.rs parse_timestamp formats)
+    "to_timestamp": lambda a: F.coalesce(
+        F.try_to_timestamp(a.cast("string")),
+        F.try_to_timestamp(a.cast("string"), F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
+        F.try_to_timestamp(a.cast("string"), F.lit("dd/MMM/yyyy:HH:mm:ss")),
+        F.try_to_timestamp(a.cast("string"), F.lit("MMM d HH:mm:ss yyyy")),
+        F.try_to_timestamp(a.cast("string"), F.lit("EEE MMM d HH:mm:ss yyyy")),
+    ),
     # parse_timestamp.rs: explicit strftime format; try_to_timestamp →
     # malformed input is a per-event error (null), not a job abort
     "parse_timestamp": lambda a, fmt: F.try_to_timestamp(

@@ -275,12 +275,25 @@ _PROGRAM_TOKEN_RE = re.compile(
   | (?P<rstr>[rst]'(?:[^'\\]|\\.)*')
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>-?(?:\d[\d_]*(?:\.[\d_]+)?|\.\d[\d_]*))
-  | (?P<path>\.[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\])*)
+  | (?P<path>\.[A-Za-z_@][A-Za-z0-9_@]*(?:\.[A-Za-z_@][A-Za-z0-9_@]*|\[-?\d+\])*)
   | (?P<op>&&|\|\||\|=|\?\?|==|!=|<=|>=|<|>|!|\(|\)|,|\+|-|\*|/|%|\{|\}|\[|\]|=|;|:|\.|\|)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
 )
+
+
+_PATH_SEG_RE = re.compile(r'"[^"]*"|[A-Za-z_@][A-Za-z0-9_@]*|\[-?\d+\]')
+
+
+def _path_parts(name: str) -> list[str]:
+    """Split a dotted path into segments: identifiers (may contain @),
+    [n] indexes, and ``"quoted segments"`` (quotes stripped — they mark
+    field names with spaces/specials, encoded by _try_target)."""
+    return [
+        p[1:-1] if p.startswith('"') else p
+        for p in _PATH_SEG_RE.findall(name)
+    ]
 
 
 def _spark_kind(dt: str) -> str | None:
@@ -496,7 +509,7 @@ class _ProgramParser(_Parser):
         # walks fields/indexes
         if "." not in name and "[" not in name:
             return self.env.read_path(name)
-        parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", name)
+        parts = _path_parts(name)
         col = self.env.read_path(parts[0])
         for p in parts[1:]:
             col = (
@@ -519,6 +532,12 @@ class _ProgramParser(_Parser):
 
         if name == "parse_common_log" and args:
             return _vrl_parse_common_log(args[0])
+        if name == "parse_tokens" and args:
+            # tokenizer.rs semantics — same machinery as the tokenizer
+            # transform (quote/bracket aware, `-` → null)
+            from vector_spark.operators.parsers import tokens_array
+
+            return _tag(tokens_array(args[0].cast("string")), "array")
         a0 = _pyv(args[0]) if args else _MISSING
         if name == "parse_json" and isinstance(a0, str):
             try:
@@ -698,9 +717,7 @@ class _ProgramParser(_Parser):
             nk, nv = self.peek()
             if nk == "path" and self._adjacent():
                 self.next()
-                for part in re.findall(
-                    r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", nv[1:]
-                ):
+                for part in _path_parts(nv[1:]):
                     col = (
                         _get_index(col, int(part[1:-1]))
                         if part.startswith("[")
@@ -930,7 +947,7 @@ class _ProgramParser(_Parser):
             return self.read_event()
         if k == "path":
             name = v[1:]
-            root = re.match(r"[A-Za-z_][A-Za-z0-9_]*", name).group()
+            root = re.match(r"[A-Za-z_@][A-Za-z0-9_@]*", name).group()
             if (
                 self.columns is not None
                 and root not in self.columns
@@ -940,7 +957,7 @@ class _ProgramParser(_Parser):
             return self.resolve_path(name)
         if v == "_":
             return None
-        parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", v)
+        parts = _path_parts(v)
         cur = self.env.read_var(parts[0])
         for p in parts[1:]:
             if cur is None:
@@ -971,7 +988,7 @@ class _ProgramParser(_Parser):
             return
         if k == "path":
             name = v[1:]
-            parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", name)
+            parts = _path_parts(name)
             root = parts[0]
             if len(parts) == 1:
                 self.env.fields[root] = value
@@ -988,7 +1005,7 @@ class _ProgramParser(_Parser):
         if v == "_":
             return
         name = v
-        parts = re.findall(r"[A-Za-z_][A-Za-z0-9_]*|\[-?\d+\]", name)
+        parts = _path_parts(name)
         if len(parts) == 1:
             self.env.vars[name] = value
         else:
