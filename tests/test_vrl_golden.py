@@ -6,10 +6,10 @@ The corpus files are read from the reference checkout at test time —
 nothing is copied into this repo. Tests skip when the reference tree is
 absent.
 
-SUPPORTED lists the files this engine reproduces bit-for-bit (114 of
-the 133 non-diagnostics result-bearing files; 164 total minus 31
-diagnostics files whose expected output is a compiler-diagnostic
-rendering — 12 of those are covered by the REJECTED tier below).
+SUPPORTED lists the files this engine reproduces bit-for-bit; REJECTED
+lists the files the reference refuses at compile time that this
+compiler also refuses for a matching reason class. Together they cover
+158 of the 165 corpus files (122 bit-for-bit + 36 rejected).
 Round 4 added a plan-time VRL type/error model (static kinds on
 literals, the reference's exact arithmetic/comparison/logical error
 strings from value/error.rs, `ok, err =` fallible assignment with
@@ -20,28 +20,39 @@ padding semantics, `t'…'`/`r'…'` literals, path coalescing
 statement sequences, and short-circuit side-effect rollback), which
 closed what round 3 listed as divergences for equality, comparison,
 logical operands, arithmetic/*/invalid.vrl, merge, and fallible
-assignment. The remaining exclusions are documented divergences or
-unported syntax:
+assignment.
 
-- most diagnostics/* and the compile-error-expecting examples/issues
-  files: the expected output is the reference compiler's rendered
-  diagnostic (error codes, spans, ASCII art) — a different artifact
-  class; 12 are asserted as REJECTED below, the rest involve
-  fallibility analyses this engine intentionally lacks (runtime
-  errors are per-event nulls on a fixed schema).
-- runtime-fallible ops on REAL columns (match(.bar, r'') where .bar
-  is absent): VRL runtime errors on undefined paths are error values;
-  on a fixed schema an absent column is a Catalyst analysis error
-  (internal/coalesced_fallible_op.vrl, fallible_op1/2.vrl,
-  progressive_type_checking.vrl).
-- `@metadata` queries, assignment-side path coalescing, static
-  parse_syslog/parse_tokens folding (examples/parse_nginx,
-  inner_type_defs), and error-position-bearing messages
-  ("at (28:65)"): unported syntax/features. (parse_regex with
-  numeric_groups, `format:`-style keyword arguments, value-`||` on
-  non-boolean operands, and reads through known-missing fields
-  landed late round 4 — see successful_parse_regex_type,
-  6792_lost_type_defs, query_ignore_parens_in_quotes.)
+The round-4 close-out added: the strict static diagnostics layer
+(fallibility E100/E103/E104/E620/E630/E651, type checks
+E102/E610/E652/E660, syntax E101/E202/E203/E205 — 24 more files in
+the REJECTED tier), assignment-side path coalescing and quoted
+segments (single_external_complex, single_variable_complex_path),
+@-path fields incl. group alternatives with schema-dtype-aware struct
+access (ampersat), numeric-leading path fields (query/mixed),
+parse_syslog static+column forms with position-bearing error values
+("at (28:65)" — infallible_err_merge_assignment,
+successful_parse_syslog_type, inner_type_defs), and a SHA-3 stdlib
+entry (hashlib fold / Arrow-batched pandas_udf).
+
+The 7 remaining exclusions are documented divergences:
+
+- internal/fallible_op1.vrl, fallible_op2.vrl,
+  issues/6469_fallible_operations_marked_as_infallible.vrl: runtime
+  fallibility of operations on ABSENT event paths. The reference
+  compiles external paths as kind `any` (fallible everywhere); this
+  engine is schema-static — a known-missing field reads as typed
+  null, which is MORE precise and strictly permissive, so the
+  expected E100s do not fire.
+- diagnostics/function_static_expression_needed.vrl: the reference
+  demands a literal where this engine's symbolic executor resolves
+  the variable to its static value — a superset that accepts the
+  program.
+- diagnostics/unhandled_parse_regex_all_type.vrl: E103 via
+  array-element fallibility tracking (`.result[0].an` after
+  parse_regex_all) — element-level fallibility is not modeled.
+- issues/6266_root_objects_are_not_valid_paths.vrl: `compact(.)` must
+  drop null-valued FIELDS per row; column presence is schema-level in
+  Spark, not row-level.
 - abort.vrl: the VRL test harness observes the event AT the abort
   point; this engine implements the remap-transform semantics
   (abort = event passes through unmodified / dropped), so the
@@ -70,6 +81,9 @@ SUPPORTED = [
     "examples/blog_vector_remap_language_specify_types.vrl",
     "examples/parse_nginx_access_log.vrl",
     "examples/successful_parse_regex_type.vrl",
+    "examples/successful_parse_syslog_type.vrl",
+    "expressions/assignment/infallible_err_merge_assignment.vrl",
+    "internal/inner_type_defs.vrl",
     "expressions/arithmetic/addition/float.vrl",
     "expressions/arithmetic/addition/float_integer.vrl",
     "expressions/arithmetic/addition/integer.vrl",
@@ -114,6 +128,8 @@ SUPPORTED = [
     "expressions/assignment/infallible_variable.vrl",
     "expressions/assignment/merge_assignment.vrl",
     "expressions/assignment/single_external.vrl",
+    "expressions/assignment/single_external_complex.vrl",
+    "expressions/assignment/single_variable_complex_path.vrl",
     "expressions/assignment/single_return_value.vrl",
     "expressions/assignment/single_variable.vrl",
     "expressions/assignment/single_variable_path.vrl",
@@ -149,9 +165,11 @@ SUPPORTED = [
     "expressions/logical/and.vrl",
     "expressions/logical/err.vrl",
     "expressions/logical/or.vrl",
+    "expressions/query/ampersat.vrl",
     "expressions/query/array.vrl",
     "expressions/query/array_indexing.vrl",
     "expressions/query/coalesce.vrl",
+    "expressions/query/mixed.vrl",
     "expressions/query/external.vrl",
     "expressions/query/function_call.vrl",
     "expressions/query/mixed_case.vrl",
@@ -201,6 +219,36 @@ REJECTED = [
     "diagnostics/unknown_function_argument_keyword.vrl",
     "diagnostics/unnest_typedefs.vrl",
     "diagnostics/unsuccessful_parse_json_type.vrl",
+    # round-4 strict-mode static diagnostics (fallibility E100/E104/
+    # E620/E630/E651, type checks E102/E652/E660, syntax E101/E203/
+    # E205, strict string unescape E202) — the program compiler now
+    # rejects these for the same reason class as the reference
+    "diagnostics/cant_abort_infallible_function.vrl",
+    "diagnostics/unnecessary_error_coalesce.vrl",
+    "diagnostics/unnecessary_error_assignment.vrl",
+    "diagnostics/invalid_unary_not_type.vrl",
+    "diagnostics/unhandled_function_error.vrl",
+    "diagnostics/unhandled_expression_error.vrl",
+    "diagnostics/invalid_if_condition_type.vrl",
+    "diagnostics/function_argument_fallible.vrl",
+    "diagnostics/merge_assignment_wrong_type.vrl",
+    "diagnostics/invalid_regular_expression.vrl",
+    "diagnostics/regex_parsing_unsuccessful.vrl",
+    "diagnostics/reserved_keyword.vrl",
+    "diagnostics/invalid_string.vrl",
+    "diagnostics/syntax_error_path_segment.vrl",
+    # second strict-mode sweep: merge type checks, scalar queries,
+    # static-literal aborts, redact filter validation
+    "issues/6571_invalid_escape.vrl",
+    "fixme/6364_disallow_infallible_error_coalesce.vrl",
+    "expressions/arithmetic/merge/invalid.vrl",
+    "expressions/arithmetic/merge/type_defs_wrong.vrl",
+    "expressions/assignment/merge_assignment_wrong_types.vrl",
+    "expressions/query/scalar.vrl",
+    "diagnostics/program_aborted_internal_function_call_error.vrl",
+    "diagnostics/program_aborted_invalid_argument_type.vrl",
+    "diagnostics/function_invalid_argument.vrl",
+    "examples/blog_vector_remap_language_error_diagnostic.vrl",
 ]
 
 

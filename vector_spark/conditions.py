@@ -207,7 +207,17 @@ _FUNCS = {
         F.try_to_timestamp(a.cast("string"), F.lit("dd/MMM/yyyy:HH:mm:ss Z")),
         F.try_to_timestamp(a.cast("string"), F.lit("dd/MMM/yyyy:HH:mm:ss")),
         F.try_to_timestamp(a.cast("string"), F.lit("MMM d HH:mm:ss yyyy")),
-        F.try_to_timestamp(a.cast("string"), F.lit("EEE MMM d HH:mm:ss yyyy")),
+        # ANSI-C ctime ("Sun Jun  6 12:00:00 2021"): Spark ≥3 refuses
+        # day-name (EEE) fields in PARSE patterns — strip the weekday
+        # prefix and squeeze padding instead
+        F.try_to_timestamp(
+            F.regexp_replace(
+                F.regexp_replace(a.cast("string"), r"^[A-Za-z]{3},?\s+", ""),
+                r"\s+",
+                " ",
+            ),
+            F.lit("MMM d HH:mm:ss yyyy"),
+        ),
     ),
     # parse_timestamp.rs: explicit strftime format; try_to_timestamp →
     # malformed input is a per-event error (null), not a job abort
@@ -284,6 +294,7 @@ _FUNCS = {
     "parse_json": lambda a: _parse_json_literal(a),
     # redact.rs regex mode — typed scrubbing is dataops.curation.pii_scrub
     "redact": lambda a, pat, *repl: _redact(a, pat, *repl),
+    "sha3": lambda a, *variant: _sha3(a, *variant),
 }
 
 
@@ -457,6 +468,32 @@ def _lit_static(v) -> Column:
     return c
 
 
+def _is_fallible(c) -> bool:
+    """Static fallibility bit (the reference compiler's Fallible type
+    state, lib/vrl/compiler/src/type_def.rs): set on expressions that
+    can produce a runtime error — parse_*/coercions on unknown kinds,
+    division — and cleared by the handlers (`fn!()`, `??`,
+    `ok, err =`)."""
+    return bool(_col_tags(c).get("_vs_fallible"))
+
+
+def _mark_fallible(c: Column) -> Column:
+    c._vs_fallible = True
+    return c
+
+
+def _clear_fallible(c: Column) -> Column:
+    _col_tags(c).pop("_vs_fallible", None)
+    return c
+
+
+def _prop_fallible(out: Column, *ops) -> Column:
+    """Binary/unary ops inherit operand fallibility (op.rs type_def)."""
+    if any(o is not None and _is_fallible(o) for o in ops):
+        out._vs_fallible = True
+    return out
+
+
 def _obj_fields(c) -> dict | None:
     """Field→Column map of a plan-time object (struct literal, parsed
     static JSON, merged object), or None."""
@@ -542,6 +579,34 @@ def _parse_json_literal(a):
     return _json_literal(_json.loads(v))
 
 
+def _sha3(a, variant=None):
+    """sha3.rs — SHA-3 digests (default SHA3-512). The JVM has no
+    built-in SHA-3, so literals fold via hashlib and runtime columns
+    go through an Arrow-batched pandas_udf (the documented slow-path
+    escape hatch; never per-row Python)."""
+    import hashlib
+
+    v = _as_py_val(variant) if variant is not None else "SHA3-512"
+    bits = int(str(v).rsplit("-", 1)[-1])
+    algo = f"sha3_{bits}"
+    p = _pyv(a)
+    if isinstance(p, str):
+        return _lit_static(hashlib.new(algo, p.encode()).hexdigest())
+    import pandas as pd  # noqa: F401  (Arrow batch transfer)
+
+    @F.pandas_udf("string")
+    def _u(s):
+        return s.map(
+            lambda x: hashlib.new(algo, str(x).encode()).hexdigest()
+            if x is not None
+            else None
+        )
+
+    out = _u(a.cast("string"))
+    out._vs_isstr = True
+    return out
+
+
 def _redact(a, pat, *repl):
     from vector_spark.functions.vrl import redact
 
@@ -573,6 +638,13 @@ def _as_py_int(col_or_int) -> int:
 
 
 class _Parser:
+    # strict=True (the program compiler) enforces the reference
+    # compiler's static diagnostics — E651 unnecessary coalesce, E660
+    # non-boolean negation, E100/E103/E104 unhandled-fallibility (in
+    # vrl_program.py). VRL-lite condition/config mode stays permissive:
+    # runtime failures are per-event nulls on a fixed schema.
+    strict = False
+
     def __init__(self, text: str):
         self.toks: list[tuple[str, str]] = []
         pos = 0
@@ -618,6 +690,24 @@ class _Parser:
         left = self.parse_or()
         while self.peek()[1] == "??":
             self.next()
+            if (
+                self.strict
+                and not _is_fallible(left)
+                and _static_err(left) is None
+                and _pyv(left) is not _MISSING
+            ):
+                # E651 (parser diagnostics): `??` on an expression the
+                # type checker knows can't fail is rejected, matching
+                # unnecessary_error_coalesce.vrl. Plan-time LITERALS
+                # only — schema-typed paths make this engine's
+                # infallibility stricter than the reference's
+                # (external paths are `any` there), and
+                # `upcase(x) ?? x` on a schema-known string must stay
+                # legal (internal/progressive_type_checking.vrl)
+                raise ValueError(
+                    "VRL program: unnecessary error coalescing operation "
+                    "(the left-hand side can't fail) [E651]"
+                )
             if _static_err(left) is not None:
                 # statically errored lhs → the fallback, unconditionally
                 left = self.parse_or()
@@ -627,6 +717,7 @@ class _Parser:
                 # Kind-only tags do NOT qualify: a runtime try_add can
                 # still overflow-null
                 self._discard(self.parse_or)
+                left = _clear_fallible(left)
             else:
                 left = F.coalesce(left, self.parse_or())
         return left
@@ -649,9 +740,14 @@ class _Parser:
                 # non-boolean lhs can only be falsy by being null, so
                 # this is a null-coalesce carrying the lhs kind
                 right = self.parse_and()
-                left = _tag(F.when(left.isNotNull(), left).otherwise(right), lt)
+                left = _prop_fallible(
+                    _tag(F.when(left.isNotNull(), left).otherwise(right), lt),
+                    left,
+                    right,
+                )
             else:
-                left = left | self.parse_and()
+                right = self.parse_and()
+                left = _prop_fallible(left | right, left, right)
         return left
 
     def parse_and(self):
@@ -685,7 +781,7 @@ class _Parser:
                 elif lp is True and rp is not _MISSING:
                     left = _lit_static(bool(rp))
                 else:
-                    left = left & right
+                    left = _prop_fallible(left & right, left, right)
         return left
 
     _CMP_ERR = {
@@ -824,9 +920,15 @@ class _Parser:
                     "integer" if lt == rt == "integer" else "float"
                 )
                 if v == "+":
-                    left = _tag(F.try_add(left, right), out_kind)
+                    left = _prop_fallible(
+                        _tag(F.try_add(left, right), out_kind), left, right
+                    )
                 else:
-                    left = _tag(F.try_subtract(left, right), out_kind)
+                    left = _prop_fallible(
+                        _tag(F.try_subtract(left, right), out_kind),
+                        left,
+                        right,
+                    )
                 continue
             if v == "+" and (_is_strish(left) or _is_strish(right)):
                 # VRL `+` on strings is concatenation (expression/op.rs);
@@ -834,16 +936,19 @@ class _Parser:
                 # tags, so a string operand anywhere in the chain flips
                 # the whole chain to concat. Null operands contribute
                 # nothing (VRL: null + "bar" == "bar").
-                left = F.concat(
+                cat = F.concat(
                     F.coalesce(left.cast("string"), F.lit("")),
                     F.coalesce(right.cast("string"), F.lit("")),
                 )
-                left._vs_isstr = True
+                cat._vs_isstr = True
+                left = _prop_fallible(cat, left, right)
             else:
-                left = (
+                left = _prop_fallible(
                     F.try_add(left, right)
                     if v == "+"
-                    else F.try_subtract(left, right)
+                    else F.try_subtract(left, right),
+                    left,
+                    right,
                 )
         return left
 
@@ -872,7 +977,11 @@ class _Parser:
                         f"can't divide type \"{lt}\" by \"{rt}\""
                     )
                 if lp is not _MISSING and rp is not _MISSING:
-                    return _lit_static(lp / rp)  # VRL division is float
+                    # VRL division is float; the fold keeps the
+                    # FALLIBLE bit — the reference's / is fallible even
+                    # on literals (corpus: `5 / 2 ?? 0`, E630 on
+                    # to_int(5 / 4))
+                    return _mark_fallible(_lit_static(lp / rp))
             return None
         if lt is None or rt is None:
             return None
@@ -894,6 +1003,9 @@ class _Parser:
                 f"can't calculate remainder of type \"{lt}\" and \"{rt}\""
             )
         if lp is not _MISSING and rp is not _MISSING and rp != 0:
+            # Rem on known numerics is INFALLIBLE in the reference
+            # (op.rs type_def test: `op(Rem, 5, 5)` → infallible) —
+            # corpus remainder/integer.vrl runs bare `5 % 2` with no ??
             return _lit_static(
                 lp % rp if isinstance(lp, int) and isinstance(rp, int)
                 else float(lp) % float(rp)
@@ -912,16 +1024,29 @@ class _Parser:
             lt, rt = _stype(left), _stype(right)
             if lt in _NUMERIC and rt in _NUMERIC:
                 if v == "*":
-                    left = _tag(
-                        F.try_multiply(self._promote(left), right),
-                        "integer" if lt == rt == "integer" else "float",
+                    left = _prop_fallible(
+                        _tag(
+                            F.try_multiply(self._promote(left), right),
+                            "integer" if lt == rt == "integer" else "float",
+                        ),
+                        left,
+                        right,
                     )
                 elif v == "/":
-                    left = _tag(F.try_divide(left, right), "float")
+                    left = _mark_fallible(
+                        _tag(F.try_divide(left, right), "float")
+                    )
                 else:
-                    left = _tag(
-                        F.try_mod(self._promote(left), right),
-                        "integer" if lt == rt == "integer" else "float",
+                    # Rem on known-numeric operands: infallible per the
+                    # reference typedef (runtime %0 still nulls — the
+                    # permissive lite-mode contract)
+                    left = _prop_fallible(
+                        _tag(
+                            F.try_mod(self._promote(left), right),
+                            "integer" if lt == rt == "integer" else "float",
+                        ),
+                        left,
+                        right,
                     )
                 continue
             if v == "*" and (_is_strish(left) or _is_strish(right)):
@@ -931,11 +1056,18 @@ class _Parser:
                 left = F.repeat(s, n.cast("int"))
                 left._vs_isstr = True
             elif v == "*":
-                left = F.try_multiply(self._promote(left), right)
+                left = _prop_fallible(
+                    F.try_multiply(self._promote(left), right), left, right
+                )
             elif v == "/":
-                left = F.try_divide(left, right)
+                # VRL division always yields float (op.rs: Div →
+                # TypeDef::fallible().float()) — kind survives even on
+                # untyped operands
+                left = _mark_fallible(
+                    _tag(F.try_divide(left, right), "float")
+                )
             else:
-                left = F.try_mod(self._promote(left), right)
+                left = _mark_fallible(F.try_mod(self._promote(left), right))
         return left
 
     def parse_unary(self):
@@ -946,14 +1078,21 @@ class _Parser:
             p = _pyv(inner)
             if isinstance(p, bool):
                 return _lit_static(not p)
-            return ~inner
+            it = _stype(inner)
+            if self.strict and it is not None and it != "boolean":
+                # E660 non-boolean negation (unary.rs / not.rs)
+                raise ValueError(
+                    f'VRL program: negation only works on boolean values, '
+                    f'this expression resolves to "{it}" [E660]'
+                )
+            return _prop_fallible(~inner, inner)
         if k == "op" and v == "-":
             self.next()
             inner = self.parse_unary()
             p = _pyv(inner)
             if isinstance(p, (int, float)) and not isinstance(p, bool):
                 return _lit_static(-p)
-            return -inner
+            return _prop_fallible(-inner, inner)
         return self.parse_primary()
 
     def parse_primary(self):
@@ -964,8 +1103,9 @@ class _Parser:
             self.expect(")")
             return e
         if k == "str":
-            lit = F.lit(_unescape(v))
-            lit._vs_pyval = _unescape(v)
+            sv = _unescape(v, self.strict)
+            lit = F.lit(sv)
+            lit._vs_pyval = sv
             return lit
         if k == "num":
             v = v.replace("_", "")  # VRL numeric literals allow 1_000
@@ -982,13 +1122,18 @@ class _Parser:
                 return lit
             if v == "null":
                 return _tag(F.lit(None), "null")
-            # VRL fallible-call marker `fn!(...)`: errors are already
-            # null-valued here, so the bang is accepted and dropped
+            # VRL fallible-call marker `fn!(...)`: in lite mode errors
+            # are already null-valued so the bang is dropped; the
+            # program compiler receives it for E620 checks and
+            # abort-on-error semantics
+            bang = False
+            fn_tok_i = self.i - 1  # index of the function-name token
             if (
                 self.peek() == ("op", "!")
                 and self.i + 1 < len(self.toks)
                 and self.toks[self.i + 1] == ("op", "(")
             ):
+                bang = True
                 self.next()
             if self.peek()[1] == "(":
                 self.next()
@@ -1016,7 +1161,18 @@ class _Parser:
                         self.next()
                         _one_arg()
                 self.expect(")")
-                return self.call_func(v, args, kwargs or None)
+                # source span of the whole call (byte offsets, for the
+                # reference's position-bearing runtime-abort messages);
+                # only the program tokenizer records spans
+                spans = getattr(self, "spans", None)
+                call_span = (
+                    (spans[fn_tok_i][0], spans[self.i - 1][1])
+                    if spans
+                    else None
+                )
+                return self.call_func(
+                    v, args, kwargs or None, bang=bang, span=call_span
+                )
             # bare identifier = column reference (or, in program mode,
             # a local variable — see vrl_program._ProgramParser)
             return self.resolve_ident(v)
@@ -1033,7 +1189,14 @@ class _Parser:
     # function-call hook — the program compiler layers static
     # evaluation (parse_json of literals, append of static lists,
     # object merge, timestamp kind tagging) on top of the table
-    def call_func(self, name: str, args: list, kwargs: dict | None = None) -> Column:
+    def call_func(
+        self,
+        name: str,
+        args: list,
+        kwargs: dict | None = None,
+        bang: bool = False,
+        span: tuple | None = None,
+    ) -> Column:
         if kwargs and "value" in kwargs and not args:
             # VRL allows naming the first positional arg (`value:`)
             args = [kwargs.pop("value")]
@@ -1071,9 +1234,13 @@ _KW_ORDER = {
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'", "\\": "\\"}
 
 
-def _unescape(s: str) -> str:
+def _unescape(s: str, strict: bool = False) -> str:
     """VRL string literal unescape: \\n/\\t/\\r/quotes/backslash;
-    unknown escapes (e.g. regex \\d) pass through verbatim."""
+    unknown escapes (e.g. regex \\d) pass through verbatim in lite
+    mode. strict mode (the program compiler) mirrors the reference
+    lexer's escape table (lex.rs unescape_string_literal): an unknown
+    escape character is a syntax error (invalid_string.vrl,
+    6571_invalid_escape.vrl)."""
     body = s[1:-1]
     out: list[str] = []
     i = 0
@@ -1081,6 +1248,10 @@ def _unescape(s: str) -> str:
         c = body[i]
         if c == "\\" and i + 1 < len(body):
             nxt = body[i + 1]
+            if strict and nxt not in _ESCAPES:
+                raise ValueError(
+                    f"VRL program: invalid escape character: \\{nxt} [E202]"
+                )
             out.append(_ESCAPES.get(nxt, "\\" + nxt))
             i += 2
         else:

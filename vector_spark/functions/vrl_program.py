@@ -54,9 +54,12 @@ from pyspark.sql import functions as F
 from vector_spark.conditions import (
     _MISSING,
     _Parser,
+    _clear_fallible,
     _col_tags,
     _err_value,
+    _is_fallible,
     _lit_static,
+    _mark_fallible,
     _merge_cols,
     _obj_fields,
     _obj_struct,
@@ -64,6 +67,15 @@ from vector_spark.conditions import (
     _static_err,
     _stype,
     _tag,
+)
+
+# lexer-reserved identifier names (lib/vrl/parser/src/lex.rs
+# `ident_or_reserved`): legal as function names and path segments,
+# rejected as variable assignment targets (E205, reserved_keyword.vrl)
+_RESERVED_IDENTS = frozenset(
+    "array bool boolean break continue do emit float for forall foreach "
+    "all each any try undefined int integer iter object regex return "
+    "string traverse timestamp duration unless walk while loop".split()
 )
 
 
@@ -132,14 +144,182 @@ def _vrl_parse_common_log(col: Column) -> Column:
     return _obj_struct(fields)
 
 
+_SYSLOG_SEVERITIES = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+]
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+# RFC5424: <PRI>VERSION TS HOST APP PROCID MSGID SD [MSG]
+_SYSLOG5424_VRL_RE = (
+    r"^<(\d+)>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+) (-|\[.*?\])(?: (.*))?$"
+)
+# RFC3164-ish: <PRI>Mmm dd HH:MM:SS host app[pid]: msg
+_SYSLOG3164_VRL_RE = (
+    r"^(?:<(\d+)>)?([A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}) "
+    r"(\S+) ([^\[\s:]+)(?:\[(\d+)\])?:? ?(.*)$"
+)
+
+
+def _syslog_static(s: str) -> dict | None:
+    """Plan-time parse_syslog of a literal (parse_syslog.rs /
+    syslog_loose): RFC5424 first, then RFC3164. None = unparseable."""
+    m = re.match(_SYSLOG5424_VRL_RE, s)
+    if m:
+        pri = int(m.group(1))
+        procid = m.group(6)
+        out = {
+            "severity": _SYSLOG_SEVERITIES[pri & 7],
+            "facility": _SYSLOG_FACILITIES[pri >> 3]
+            if (pri >> 3) < len(_SYSLOG_FACILITIES)
+            else None,
+            "version": int(m.group(2)),
+            "timestamp": None,  # replaced with a typed literal below
+            "hostname": None if m.group(4) == "-" else m.group(4),
+            "appname": None if m.group(5) == "-" else m.group(5),
+            "procid": int(procid)
+            if procid.isdigit()
+            else (None if procid == "-" else procid),
+            "msgid": None if m.group(7) == "-" else m.group(7),
+            "message": m.group(9) or "",
+        }
+        out["_ts_raw"] = None if m.group(3) == "-" else m.group(3)
+        return out
+    m = re.match(_SYSLOG3164_VRL_RE, s)
+    if m and m.group(1) is not None:
+        pri = int(m.group(1))
+        return {
+            "severity": _SYSLOG_SEVERITIES[pri & 7],
+            "facility": _SYSLOG_FACILITIES[pri >> 3]
+            if (pri >> 3) < len(_SYSLOG_FACILITIES)
+            else None,
+            "hostname": m.group(3),
+            "appname": m.group(4),
+            "procid": int(m.group(5)) if m.group(5) else None,
+            "message": m.group(6),
+            "_ts_raw": None,
+        }
+    return None
+
+
+def _vrl_parse_syslog(col: Column, span: tuple | None = None) -> Column:
+    """parse_syslog as a plan-time object: literals fold through
+    _syslog_static (failures become the reference's position-bearing
+    error value — infallible_err_merge_assignment.vrl pins
+    `at (start:end)`); runtime columns compile to one regex dispatch
+    over the RFC5424 and RFC3164 layouts with known fields."""
+    p = _pyv(col)
+    if isinstance(p, str):
+        d = _syslog_static(p)
+        if d is None:
+            at = f" at ({span[0]}:{span[1]})" if span else ""
+            return _err_value(
+                f'function call error for "parse_syslog"{at}: unable to '
+                f"parse input as valid syslog message"
+            )
+        ts_raw = d.pop("_ts_raw", None)
+        fields = {k: _lit_static(v) for k, v in d.items()}
+        if ts_raw is not None:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+            lit = F.lit(dt.astimezone(timezone.utc).replace(tzinfo=None))
+            fields["timestamp"] = _tag(lit, "timestamp")
+        elif "timestamp" in d:
+            fields["timestamp"] = _tag(F.lit(None), "timestamp")
+        return _obj_struct(fields)
+
+    col = col.cast("string")
+    is54 = col.rlike(r"^<\d+>\d{1,2} ")
+
+    def e54(i: int) -> Column:
+        v = F.regexp_extract(col, _SYSLOG5424_VRL_RE, i)
+        return F.when((v == "") | (v == "-"), F.lit(None)).otherwise(v)
+
+    def e31(i: int) -> Column:
+        v = F.regexp_extract(col, _SYSLOG3164_VRL_RE, i)
+        return F.when((v == "") | (v == "-"), F.lit(None)).otherwise(v)
+
+    pri = F.when(is54, e54(1)).otherwise(e31(1)).cast("int")
+    sev_arr = F.array(*[F.lit(s) for s in _SYSLOG_SEVERITIES])
+    fac_arr = F.array(*[F.lit(s) for s in _SYSLOG_FACILITIES])
+    procid = F.when(is54, e54(6)).otherwise(e31(5))
+    s, i = lambda c: _tag(c, "string"), lambda c: _tag(c, "integer")
+    fields = {
+        "severity": s(F.element_at(sev_arr, pri.bitwiseAND(F.lit(7)) + 1)),
+        "facility": s(
+            F.element_at(fac_arr, F.shiftright(pri, 3).cast("int") + 1)
+        ),
+        "version": i(F.when(is54, e54(2)).cast("int")),
+        "timestamp": _tag(
+            F.when(is54, F.try_to_timestamp(e54(3))), "timestamp"
+        ),
+        "hostname": s(F.when(is54, e54(4)).otherwise(e31(3))),
+        "appname": s(F.when(is54, e54(5)).otherwise(e31(4))),
+        "procid": i(procid.cast("long")),
+        "msgid": s(F.when(is54, e54(7))),
+        "message": s(
+            F.when(is54, F.coalesce(e54(9), F.lit(""))).otherwise(e31(6))
+        ),
+    }
+    return _obj_struct(fields)
+
+
+def _dt_struct_fields(dt: str | None) -> dict[str, str] | None:
+    """Top-level field→dtype map of a ``struct<…>`` simpleString, or
+    None for non-structs. Handles nested angle brackets; field names
+    may contain @ and other specials (ampersat.vrl)."""
+    if not dt or not dt.startswith("struct<") or not dt.endswith(">"):
+        return None
+    fields: dict[str, str] = {}
+    depth, cur = 0, ""
+    for ch in dt[7:-1]:
+        if ch == "," and depth == 0:
+            k, _, v = cur.partition(":")
+            fields[k] = v
+            cur = ""
+            continue
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        cur += ch
+    if cur:
+        k, _, v = cur.partition(":")
+        fields[k] = v
+    return fields
+
+
+def _with_dtype(col: Column, dt: str | None) -> Column:
+    if dt:
+        col._vs_dtype = dt
+        k = _spark_kind(dt)
+        if k is not None:
+            col = _tag(col, k)
+    return col
+
+
 def _get_field(col: Column, name: str) -> Column:
     """Field access that preserves plan-time tags when the object's
-    fields are known (merged/parsed objects keep their member kinds)."""
+    fields are known (merged/parsed objects keep their member kinds),
+    and schema dtypes when the frame's nested types are (schema-typed
+    struct columns: a missing field is VRL null, not an analysis
+    error)."""
     if _stype(col) == "null":
         return _tag(F.lit(None), "null")
     fields = _obj_fields(col)
-    if fields is not None and name in fields:
-        return fields[name]
+    if fields is not None:
+        if name in fields:
+            return fields[name]
+        return _tag(F.lit(None), "null")
+    flds = _dt_struct_fields(_col_tags(col).get("_vs_dtype"))
+    if flds is not None:
+        if name not in flds:
+            return _tag(F.lit(None), "null")
+        return _with_dtype(col.getField(name), flds[name])
     return col.getField(name)
 
 
@@ -157,9 +337,12 @@ def _get_index(col: Column, idx: int) -> Column:
         return _render_static(v)
     if d.get("_vs_tuple"):
         return col.getField(f"_{idx}")
+    # array element dtype flows through (schema-typed nested access)
+    dt = _col_tags(col).get("_vs_dtype")
+    el = dt[6:-1] if dt and dt.startswith("array<") and dt.endswith(">") else None
     if idx < 0:
-        return F.get(col, F.size(col) + F.lit(idx))
-    return F.get(col, idx)
+        return _with_dtype(F.get(col, F.size(col) + F.lit(idx)), el)
+    return _with_dtype(F.get(col, idx), el)
 
 
 def _with_path(cur: Column | None, parts: list[str], value: Column) -> Column:
@@ -276,7 +459,7 @@ _PROGRAM_TOKEN_RE = re.compile(
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>-?(?:\d[\d_]*(?:\.[\d_]+)?|\.\d[\d_]*))
   | (?P<path>\.[A-Za-z_@][A-Za-z0-9_@]*(?:\.[A-Za-z_@][A-Za-z0-9_@]*|\[-?\d+\])*)
-  | (?P<op>&&|\|\||\|=|\?\?|==|!=|<=|>=|<|>|!|\(|\)|,|\+|-|\*|/|%|\{|\}|\[|\]|=|;|:|\.|\|)
+  | (?P<op>&&|\|\||\|=|\?\?|==|!=|<=|>=|<|>|!|\(|\)|,|\+|-|\*|/|%|\{|\}|\[|\]|=|;|:|\.|\||@)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -331,9 +514,17 @@ class _Env:
     """Overlay environment: only MUTATED paths/vars are stored; reads
     fall back to the physical column (paths) or null (vars)."""
 
-    __slots__ = ("fields", "vars", "dropped", "abort", "has_abort", "cols", "kinds")
+    __slots__ = (
+        "fields", "vars", "dropped", "abort", "has_abort", "cols",
+        "kinds", "dtypes",
+    )
 
-    def __init__(self, cols: list[str] | None = None, kinds: dict | None = None):
+    def __init__(
+        self,
+        cols: list[str] | None = None,
+        kinds: dict | None = None,
+        dtypes: dict | None = None,
+    ):
         self.fields: dict[str, Column] = {}
         self.vars: dict[str, Column] = {}
         self.dropped: set[str] = set()  # unconditional top-level del()
@@ -341,9 +532,10 @@ class _Env:
         self.has_abort = False
         self.cols = cols  # physical schema when known (None = unknown)
         self.kinds = kinds or {}  # column name → VRL kind (shared ref)
+        self.dtypes = dtypes or {}  # column name → Spark simpleString
 
     def copy(self) -> "_Env":
-        e = _Env(self.cols, self.kinds)
+        e = _Env(self.cols, self.kinds, self.dtypes)
         e.fields = dict(self.fields)
         e.vars = dict(self.vars)
         e.dropped = set(self.dropped)
@@ -360,7 +552,12 @@ class _Env:
             # known schema, nonexistent field → VRL null (an unguarded
             # F.col would be a Catalyst analysis error)
             return _tag(F.lit(None), "null")
-        col = F.col(name)
+        # names with non-identifier chars (`foo@bar`, ampersat.vrl)
+        # need backtick quoting or the column resolver rejects them
+        col = F.col(f"`{name}`" if not name.isidentifier() else name)
+        dt = self.dtypes.get(name)
+        if dt is not None:
+            col._vs_dtype = dt  # nested struct/array access stays typed
         k = self.kinds.get(name)
         if k is not None:
             col = _tag(col, k)
@@ -444,6 +641,59 @@ _STR_IN_STR_OUT = {
     "trim",
 }
 
+# always-fallible stdlib signatures (each fn's TypeDef in
+# lib/vrl/stdlib/src/<fn>.rs): calls carry the Fallible bit unless
+# handled by `fn!()`, `??`, or `ok, err =`. parse_* are all fallible
+# by prefix.
+_FALLIBLE_FNS = {
+    "to_timestamp", "to_regex", "from_unix_timestamp", "assert",
+    "assert_eq", "slice", "decode_base64", "get",
+}
+
+# coercion asserts: infallible exactly when the argument's kind is
+# already the target kind (`string(.known_str)` can't fail;
+# `string(.unknown)` can — fallible_unless in each coercion's TypeDef)
+_COERCE_KIND = {
+    "string": "string", "int": "integer", "float": "float",
+    "bool": "boolean", "array": "array", "object": "object",
+    "timestamp": "timestamp",
+}
+
+
+def _fn_fallible(name: str, args: list) -> bool:
+    """Call-site fallibility, kind-aware like the reference's
+    `fallible_unless`: `to_int(<timestamp>)` is infallible
+    (issues/6792_lost_type_defs.vrl), `to_string(<unknown>)` is
+    fallible (internal/infallible_ok_maybe_null.vrl)."""
+    k0 = _stype(args[0]) if args else None
+    if name in _COERCE_KIND:
+        return k0 != _COERCE_KIND[name]
+    if name in ("to_int", "to_float", "to_bool", "to_unix_timestamp"):
+        # to_int.rs: with_fallibility(has_kind(Bytes|Array|Object|Regex))
+        return k0 in (None, "string", "array", "object", "regex")
+    if name == "to_string":
+        return k0 is None
+    return name.startswith("parse_") or name in _FALLIBLE_FNS
+
+
+# fixed result kinds of the conversion/coercion fns (their TypeDefs)
+_RESULT_KIND = {
+    "to_int": "integer", "to_float": "float", "to_bool": "boolean",
+    "to_string": "string", "int": "integer", "float": "float",
+    "bool": "boolean", "string": "string", "to_unix_timestamp": "integer",
+    "length": "integer", "upcase": "string", "downcase": "string",
+    "md5": "string", "sha1": "string", "sha2": "string", "sha3": "string",
+    "encode_json": "string", "encode_base64": "string",
+    "format_number": "string", "format_timestamp": "string",
+    "join": "string", "uuid_v4": "string",
+}
+
+# functions whose signature can NEVER fail regardless of argument
+# kinds — `fn!()` on these is the reference's E620
+# (cant_abort_infallible_function.vrl: `now!()`). Kind-dependent fns
+# (upcase, sha3, length) stay out: `upcase!(.unknown)` is legal there.
+_HARD_INFALLIBLE = {"now", "uuid_v4", "encode_json"}
+
 
 class _ProgramParser(_Parser):
     """Statement-level parser that symbolically executes as it parses.
@@ -451,7 +701,14 @@ class _ProgramParser(_Parser):
     Inherits the full VRL-lite expression grammar from conditions._Parser
     and overrides path/ident resolution to consult the live
     environment, so ``.b = .a + 1`` after ``.a = 2`` folds correctly.
+
+    strict=True turns on the reference compiler's static diagnostics
+    (fallibility E100/E103/E104/E620/E630/E651, type checks E660/E652,
+    syntax E202/E203/E205) — a program the reference rejects compiles
+    to a ValueError here, not to a wrong plan.
     """
+
+    strict = True
 
     def __init__(
         self,
@@ -479,7 +736,8 @@ class _ProgramParser(_Parser):
             for n, dt in (schema or {}).items()
             if (k := _spark_kind(str(dt))) is not None
         }
-        self.env = _Env(self.columns, kinds)
+        dtypes = {n: str(dt) for n, dt in (schema or {}).items()}
+        self.env = _Env(self.columns, kinds, dtypes)
         self.last_value: Column | None = None
 
     def read_event(self) -> Column:
@@ -523,11 +781,55 @@ class _ProgramParser(_Parser):
         v = self.env.read_var(name)
         return v if v is not None else F.col(name)
 
-    def call_func(self, name: str, args: list, kwargs: dict | None = None) -> Column:
+    def call_func(
+        self,
+        name: str,
+        args: list,
+        kwargs: dict | None = None,
+        bang: bool = False,
+        span: tuple | None = None,
+    ) -> Column:
         """Static-evaluation layer over the stdlib table: functions of
         literal arguments fold at plan time, making their fallibility
         (parse_json of bad input) a plan-time error value — the same
-        decision VRL's type checker makes at compile time."""
+        decision VRL's type checker makes at compile time.
+
+        strict diagnostics here: E620 (`now!()` — can't abort an
+        infallible function, cant_abort_infallible_function.vrl) and
+        E630 (fallible argument — `to_int(5 / 4)`,
+        function_argument_fallible.vrl). `fn!()` on a fallible call
+        clears the fallibility bit (abort-on-error asserts success —
+        the remap transform's drop_on_error machinery observes the
+        error value)."""
+        if self.strict:
+            if bang and name in _HARD_INFALLIBLE:
+                raise ValueError(
+                    f"VRL program: can't abort infallible function "
+                    f"{name}() — remove this abort-instruction [E620]"
+                )
+            for a in args:
+                if _is_fallible(a):
+                    raise ValueError(
+                        f'VRL program: fallible argument to "{name}" — '
+                        f"this expression can fail; handle the error "
+                        f"before passing it in as an argument [E630]"
+                    )
+        if name == "parse_syslog" and args:
+            out = _vrl_parse_syslog(args[0], span)
+        else:
+            out = self._call_func_inner(name, args, kwargs)
+        if _static_err(out) is None and name in _RESULT_KIND:
+            # conversions/coercions have fixed result kinds
+            # (each fn's TypeDef) — tagging keeps downstream
+            # fallibility precise (to_string(to_int(floor(x))))
+            out = _tag(out, _RESULT_KIND[name])
+        if bang or not _fn_fallible(name, args):
+            return _clear_fallible(out)
+        return _mark_fallible(out)
+
+    def _call_func_inner(
+        self, name: str, args: list, kwargs: dict | None = None
+    ) -> Column:
         import json as _json
 
         if name == "parse_common_log" and args:
@@ -574,6 +876,41 @@ class _ProgramParser(_Parser):
         # every corpus use is ??-coalesced)
         if args:
             k0 = _stype(args[0])
+            if self.strict and name == "redact" and len(args) >= 2:
+                filters = _static_val(args[1])
+                if isinstance(filters, list):
+                    for flt in filters:
+                        if isinstance(flt, dict) and flt.get("type") not in (
+                            "us_social_security_number",
+                            "pattern",
+                        ):
+                            # E610 (function_invalid_argument.vrl):
+                            # redact filter objects accept only the
+                            # types redact.rs's TryFrom<Value> lists
+                            raise ValueError(
+                                f"VRL program: invalid argument type for "
+                                f'"redact" — unknown filter type '
+                                f"{flt.get('type')!r} [E610]"
+                            )
+            if (
+                self.strict
+                and name in ("contains", "starts_with", "ends_with")
+                and k0 not in (None, "string", "null")
+            ):
+                # E610 invalid argument type
+                # (arithmetic/merge/type_defs_wrong.vrl:
+                # contains(<integer>, "nork"))
+                raise ValueError(
+                    f'VRL program: invalid argument type for "{name}" — '
+                    f'expected string, got {k0} [E610]'
+                )
+            if name in ("floor", "ceil", "abs", "round") and k0 in (
+                "integer",
+                "float",
+            ):
+                # numeric kind flows through (floor.rs TypeDef) so
+                # to_int(floor(x)) stays infallible
+                return _tag(super().call_func(name, args, kwargs), k0)
             if name in _STR_IN_STR_OUT and k0 == "string":
                 # string→string stdlib fns: infallible on a known
                 # string input, result kind carries forward
@@ -671,6 +1008,16 @@ class _ProgramParser(_Parser):
                 lit = F.lit(dt.astimezone(timezone.utc).replace(tzinfo=None))
                 lit._vs_pyval = body
                 return _tag(lit, "timestamp")
+            if v[0] == "r" and self.strict:
+                try:
+                    re.compile(body)
+                except re.error as exc:
+                    # E101 (invalid_regular_expression.vrl /
+                    # regex_parsing_unsuccessful.vrl): `r'['`
+                    raise ValueError(
+                        f"VRL program: invalid regular expression "
+                        f"{body!r}: {exc} [E101]"
+                    ) from None
             lit = F.lit(body)
             lit._vs_pyval = body
             return _tag(lit, "regex" if v[0] == "r" else "string")
@@ -715,6 +1062,24 @@ class _ProgramParser(_Parser):
         # fields (_vs_tuple tag).
         while True:
             nk, nv = self.peek()
+            if (
+                self.strict
+                and self._adjacent()
+                and (nk == "path" or (nk == "op" and nv == "["))
+                and _stype(col)
+                in ("boolean", "integer", "float", "string", "timestamp",
+                    "regex", "null")
+            ):
+                # (`.`-group / quoted continuations stay exempt: a
+                # null-kind base is a known-missing field whose
+                # coalesced read is legal — query_ignore_parens_in_
+                # quotes.vrl)
+                # E203-class: field/index query on a scalar
+                # (expressions/query/scalar.vrl: `true.foo`, `0[0]`…)
+                raise ValueError(
+                    f"VRL program: syntax error — can't query a "
+                    f'"{_stype(col)}" value with a path [E203]'
+                )
             if nk == "path" and self._adjacent():
                 self.next()
                 for part in _path_parts(nv[1:]):
@@ -755,6 +1120,31 @@ class _ProgramParser(_Parser):
                 self.next()
                 _, sv = self.next()
                 col = _get_field(col, _unescape(sv))
+            elif (
+                nk == "num"
+                and nv.startswith(".")
+                and self._adjacent()
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "ident"
+            ):
+                # numeric-leading path field `.0tar` (query/mixed.vrl):
+                # tokenizes as num(".0") + ident("tar") — adjacent
+                # pieces concatenate into one field name
+                self.next()
+                name = nv[1:]
+                while (
+                    self.peek()[0] in ("ident", "num") and self._adjacent()
+                ):
+                    name += self.next()[1]
+                col = _get_field(col, name)
+            elif (nk, nv) == ("op", ".") and self._adjacent() and self.strict:
+                # dangling `.` after a query (`.foo.`) — E203
+                # (syntax_error_path_segment.vrl): the reference parser
+                # expects a field, "(" group, or string literal here
+                raise ValueError(
+                    "VRL program: syntax error — unexpected end of "
+                    "query path [E203]"
+                )
             else:
                 break
         return col
@@ -789,6 +1179,17 @@ class _ProgramParser(_Parser):
                 if n in fields:
                     return fields[n]
             return _tag(F.lit(None), "null")
+        flds = _dt_struct_fields(_col_tags(col).get("_vs_dtype"))
+        if flds is not None:
+            # schema-typed struct: only fields that EXIST in the dtype
+            # participate (getField on an absent name is an analysis
+            # error, not a null — ampersat.vrl's `.(@noog | @buz)`)
+            present = [n for n in names if n in flds]
+            if not present:
+                return _tag(F.lit(None), "null")
+            if len(present) == 1:
+                return _with_dtype(col.getField(present[0]), flds[present[0]])
+            return F.coalesce(*[col.getField(n) for n in present])
         return F.coalesce(*[col.getField(n) for n in names])
 
     def _adjacent(self) -> bool:
@@ -855,6 +1256,19 @@ class _ProgramParser(_Parser):
     def run(self) -> _Env:
         while self.peek() != (None, None):
             self.last_value = self.parse_stmt()
+            if self.strict and (
+                _is_fallible(self.last_value)
+                or _static_err(self.last_value) is not None
+            ):
+                # E100 unhandled error (unhandled_function_error.vrl,
+                # unhandled_expression_error.vrl): a top-level
+                # expression statement that can result in a runtime
+                # error must be handled (`fn!()`, `??`, `ok, err =`)
+                raise ValueError(
+                    "VRL program: unhandled error — expression can "
+                    "result in runtime error; handle the error case to "
+                    "ensure runtime success [E100]"
+                )
         return self.env
 
     def parse_stmt(self) -> Column:
@@ -903,37 +1317,122 @@ class _ProgramParser(_Parser):
         """Consume a potential assignment target and return (kind,
         name), or None without consuming. Compound variable targets
         (`err.bar.baz`, `lines[0]`) fold their adjacent path/index
-        tokens into the name."""
+        tokens into the name; quoted segments (`."lorem ipsum"`) and
+        coalesced segments (`.(qux | "quux qux")` — resolved eagerly
+        against the current env) encode as ``"quoted"`` parts
+        (single_external_complex.vrl, single_variable_complex_path
+        .vrl)."""
         k, v = self.peek()
         if (k, v) == ("op", "."):
+            if (
+                self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "str"
+                and self._spans_adjacent(self.i, self.i + 1)
+            ):
+                # `."quoted root" = …`
+                self.next()
+                _, sv = self.next()
+                return ("path", "." + self._fold_target_tail(sv))
             self.next()
             return ("op", ".")
         if k == "path":
             self.next()
-            return ("path", v)
+            return ("path", "." + self._fold_target_tail(v[1:]))
         if k == "ident":
             self.next()
-            name = v
-            while True:
-                nk, nv = self.peek()
-                if nk == "path" and self._adjacent():
-                    self.next()
-                    name += nv
-                elif (
-                    (nk, nv) == ("op", "[")
-                    and self._adjacent()
-                    and self.i + 2 < len(self.toks)
-                    and self.toks[self.i + 1][0] == "num"
-                    and self.toks[self.i + 2] == ("op", "]")
-                ):
-                    self.next()
-                    _, num = self.next()
-                    self.next()
-                    name += f"[{num}]"
-                else:
-                    break
-            return ("ident", name)
+            return ("ident", self._fold_target_tail(v, var=True))
         return None
+
+    def _spans_adjacent(self, i: int, j: int) -> bool:
+        return (
+            0 <= i < len(self.spans)
+            and j < len(self.spans)
+            and self.spans[j][0] == self.spans[i][1]
+        )
+
+    def _fold_target_tail(self, name: str, var: bool = False) -> str:
+        """Fold adjacent path continuations onto an assignment-target
+        name: `.seg` path tokens, `[n]` indexes, `."quoted"` segments,
+        and `.(a | b)` coalesce groups (picked eagerly: first
+        alternative present in the current value, else the last —
+        the reference's lookup insert semantics)."""
+        kind = "ident" if var else "path"
+        while True:
+            nk, nv = self.peek()
+            if nk == "path" and self._adjacent():
+                self.next()
+                name += nv
+            elif (
+                (nk, nv) == ("op", "[")
+                and self._adjacent()
+                and self.i + 2 < len(self.toks)
+                and self.toks[self.i + 1][0] == "num"
+                and self.toks[self.i + 2] == ("op", "]")
+            ):
+                self.next()
+                _, num = self.next()
+                self.next()
+                name += f"[{num}]"
+            elif (
+                (nk, nv) == ("op", ".")
+                and self._adjacent()
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1][0] == "str"
+            ):
+                self.next()
+                _, sv = self.next()
+                name += sv  # token keeps its quotes — _path_parts strips
+            elif (
+                (nk, nv) == ("op", ".")
+                and self._adjacent()
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == ("op", "(")
+            ):
+                self.next()
+                self.next()
+                alts = self._consume_group_names()
+                picked = self._pick_coalesce_alt(kind, name, alts)
+                name += f'"{picked}"'
+            else:
+                break
+        return name
+
+    def _consume_group_names(self) -> list[str]:
+        """Names of a `( a | b | "c d" )` path group after '(' is
+        consumed — same token-concat rules as _coalesced_field."""
+        from vector_spark.conditions import _unescape
+
+        names: list[str] = []
+        cur = ""
+        while self.peek()[1] != ")":
+            if self.peek() == (None, None):
+                raise ValueError("VRL program: unterminated path group")
+            tk, tv = self.next()
+            if (tk, tv) == ("op", "|"):
+                names.append(cur)
+                cur = ""
+            else:
+                cur += _unescape(tv) if tk == "str" else tv
+        self.expect(")")
+        names.append(cur)
+        return [n for n in names if n]
+
+    def _pick_coalesce_alt(self, kind: str, name: str, alts: list[str]) -> str:
+        """Assignment-side coalesce: write into the first alternative
+        that already exists at this path; none → the last alternative
+        (observable in single_external_complex.vrl: the fresh object
+        gets "quux qux")."""
+        try:
+            cur = self._target_current((kind, name if kind == "ident" else name))
+        except ValueError:
+            cur = None
+        if cur is not None:
+            fields = _obj_fields(cur)
+            if fields:
+                for n in alts:
+                    if n in fields:
+                        return n
+        return alts[-1]
 
     # --- assignment machinery -------------------------------------------
     def _target_current(self, t) -> Column | None:
@@ -1014,14 +1513,71 @@ class _ProgramParser(_Parser):
             )
 
     def _stmt_assign(self, t1, op: str, err_target=None) -> Column:
+        if self.strict:
+            for t in (t1, err_target):
+                if (
+                    t is not None
+                    and t[0] == "ident"
+                    and t[1] in _RESERVED_IDENTS
+                ):
+                    # E205 (reserved_keyword.vrl): `array = []`
+                    raise ValueError(
+                        f"VRL program: reserved keyword — the identifier "
+                        f"name {t[1]!r} is reserved for future use in the "
+                        f"language [E205]"
+                    )
         expr = self.parse_coalesce()
+        rhs_fallible = _is_fallible(expr)
         if op == "|=":
             cur = self._target_current(t1)
             if cur is None:
                 raise ValueError(
                     "VRL program: |= target must exist before merging"
                 )
+            if self.strict:
+                for side in (cur, expr):
+                    sk = _stype(side)
+                    if sk not in (None, "object") and _obj_fields(side) is None:
+                        # E652 (merge_assignment_wrong_type.vrl):
+                        # `x = "oh no"; x |= 32`
+                        raise ValueError(
+                            f"VRL program: only objects can be merged — "
+                            f'this expression resolves to "{sk}" [E652]'
+                        )
+            # the merged Column is fresh — re-carry the rhs's
+            # fallibility so `ok, err |=` / E103 see through the merge
             expr = _merge_cols(cur, expr)
+            if rhs_fallible:
+                expr = _mark_fallible(expr)
+        if self.strict and err_target is None and _is_fallible(expr):
+            # E103 unhandled fallible assignment: `.a = parse_json(.m)`
+            # without `!`, `??`, or an error target
+            raise ValueError(
+                "VRL program: unhandled fallible assignment — this "
+                "expression is fallible; use `ok, err = ...` or handle "
+                "the error [E103]"
+            )
+        if (
+            self.strict
+            and err_target is not None
+            and not _is_fallible(expr)
+            and _static_err(expr) is None
+            and (
+                _pyv(expr) is not _MISSING
+                or _col_tags(expr).get("_vs_infallible")
+            )
+        ):
+            # E104 unnecessary error assignment: `ok, err = 5`. Gated
+            # on PLAN-TIME literals only: this engine's schema-typed
+            # event paths know kinds the reference compiler (external
+            # paths = `any`) does not, and `ok, err = int(.status)` on
+            # a typed column must stay legal
+            # (internal/ok_assignment_default_value.vrl)
+            raise ValueError(
+                "VRL program: unnecessary error assignment — the "
+                "expression can't fail [E104]"
+            )
+        expr = _clear_fallible(expr)
         e = _static_err(expr)
         if err_target is not None:
             if e is not None:
@@ -1044,6 +1600,13 @@ class _ProgramParser(_Parser):
         while self.peek()[1] != "}":
             if self.peek() == (None, None):
                 raise ValueError("VRL program: unterminated block")
+            if self.strict and _is_fallible(val):
+                # E100 on a NON-final block statement; the final
+                # statement's fallibility propagates as the block value
+                raise ValueError(
+                    "VRL program: unhandled error in block — expression "
+                    "can result in runtime error [E100]"
+                )
             val = self.parse_stmt()
         self.expect("}")
         return val
@@ -1053,7 +1616,21 @@ class _ProgramParser(_Parser):
         expression position (if_statement.rs is an expression in VRL).
         Executes each branch against a copy of the environment, merges
         with when/otherwise, and returns the chain's value."""
-        cond = F.coalesce(self.parse_coalesce(), F.lit(False))
+        raw_cond = self.parse_coalesce()
+        if self.strict:
+            ck = _stype(raw_cond)
+            cp = _pyv(raw_cond)
+            if (
+                ck is not None
+                and ck != "boolean"
+                and not isinstance(cp, bool)
+            ):
+                # E102 (invalid_if_condition_type.vrl): `if "nope" {}`
+                raise ValueError(
+                    f"VRL program: if-statement predicate must resolve "
+                    f'to a boolean, got "{ck}" [E102]'
+                )
+        cond = F.coalesce(raw_cond, F.lit(False))
         base = self.env
         self.env = base.copy()
         tval = self._block_value()
