@@ -94,3 +94,25 @@ def test_lua_v2_corpus_conditional_emit(spark):
     )
     out = custom_stage(df, emit_filtered, schema="val string")
     assert [r.val for r in out.collect()] == ["x"]
+
+
+# -- config formats (tests/behavior/formats/simple.{toml,json,yaml,yml}) -----
+# The reference loads one identical topology from all four config
+# formats; files are read from the reference checkout at test time.
+
+_FORMATS_DIR = "/root/reference/tests/behavior/formats"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_FORMATS_DIR), reason="reference formats corpus absent"
+)
+@pytest.mark.parametrize("ext", ["toml", "json", "yaml", "yml"])
+def test_config_format_corpus(spark, ext):
+    from vector_spark.testing import run_behavior_file
+
+    path = os.path.join(_FORMATS_DIR, f"simple.{ext}")
+    fmt = "yaml" if ext == "yml" else ext
+    results = run_behavior_file(spark, open(path).read(), fmt=fmt)
+    assert results, "no tests found in config"
+    for r in results:
+        assert r.passed, (path, r.failures)

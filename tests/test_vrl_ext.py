@@ -349,3 +349,64 @@ def test_vrl_date_arithmetic_still_resolves(spark):
     )
     got = df.select(compile_vrl_lite(".d + 1").alias("d2")).first().d2
     assert str(got) == "2020-01-02"
+
+
+def test_round4_stdlib_additions(spark):
+    """Round-4 stdlib close-out: parse_regex_all (array<struct> of
+    named captures), parse_grok (grok registry → object), is_* kind
+    predicates (static fold on known kinds, typeof dispatch on
+    unknown), parse_glog column form, parse_logfmt runtime map, and
+    the boolean/integer coercion aliases."""
+    from vector_spark.functions.vrl_program import compile_vrl_program
+
+    df = spark.createDataFrame(
+        [
+            (
+                "bananas and another ant",
+                "I0816 12:34:56.789012 1234 file.cc:42] boot ok",
+                'level=info msg="hi" n=3',
+                7,
+            )
+        ],
+        "message string, glog string, lf string, n long",
+    )
+    prog = compile_vrl_program(
+        """
+.hits = parse_regex_all!(.message, r'(?P<an>an.)')
+.first = .hits[0].an
+.grok = parse_grok!(.message, "%{WORD:w1} %{WORD:w2}")
+.g = parse_glog!(.glog)
+.lvl = .g.level
+.kv = parse_logfmt!(.lf)
+.is_s = is_string(.message)
+.is_i = is_integer(.n)
+.is_f = is_float(.n)
+.b = boolean(true)
+.i = integer(42)
+""",
+        columns=df.columns,
+        schema={f.name: f.dataType.simpleString() for f in df.schema},
+    )
+    r = prog.apply(df).first()
+    assert [h["an"] for h in r.hits] == ["ana", "and", "ano", "ant"]
+    assert r.first == "ana"
+    assert r.grok["w1"] == "bananas" and r.grok["w2"] == "and"
+    assert r.lvl == "info" and r.g["line"] == 42 and r.g["message"] == "boot ok"
+    assert dict(r.kv) == {"level": "info", "msg": "hi", "n": "3"}
+    assert r.is_s is True and r.is_i is True and r.is_f is False
+    assert r.b is True and r.i == 42
+
+
+def test_is_kind_runtime_typeof_and_nulls(spark):
+    """is_* on an untyped expression dispatches on F.typeof; null
+    values are no kind (is_string(null) == false)."""
+    from vector_spark.conditions import _FUNCS
+
+    df = spark.createDataFrame([("x", None)], "s string, missing string")
+    r = df.select(
+        _FUNCS["is_string"](F.col("s")).alias("a"),
+        _FUNCS["is_string"](F.col("missing")).alias("b"),
+        _FUNCS["is_integer"](F.length(F.col("s")) + 0).alias("c"),
+        _FUNCS["is_object"](F.create_map(F.lit("k"), F.lit("v"))).alias("d"),
+    ).first()
+    assert (r.a, r.b, r.d) == (True, False, True)

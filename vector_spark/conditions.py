@@ -295,7 +295,16 @@ _FUNCS = {
     # redact.rs regex mode — typed scrubbing is dataops.curation.pii_scrub
     "redact": lambda a, pat, *repl: _redact(a, pat, *repl),
     "sha3": lambda a, *variant: _sha3(a, *variant),
+    "parse_regex_all": lambda a, p, *ng: _parse_regex_all(
+        a, p, ng[0] if ng else None
+    ),
+    "parse_grok": lambda a, p: _parse_grok(a, p),
 }
+
+# spelled-out coercion aliases (boolean.rs / integer.rs are the same
+# implementations as bool.rs / int.rs in the reference stdlib)
+_FUNCS["boolean"] = _FUNCS["bool"]
+_FUNCS["integer"] = _FUNCS["int"]
 
 
 def _json_literal(v) -> Column:
@@ -344,7 +353,9 @@ def _parse_regex(value, pattern, numeric_groups=None) -> Column:
         cre = re.compile(pat)
     except re.error as exc:
         raise ValueError(f"parse_regex: invalid regex {pat!r}: {exc}") from exc
-    jpat = pat.replace("(?P<", "(?<")  # Java named-group spelling
+    # numbered groups — Java group names reject underscores, and the
+    # group INDEX (from Python's compiler) is what we extract by anyway
+    jpat = re.sub(r"\(\?P<[^>]+>", "(", pat)
     want_numeric = False
     if numeric_groups is not None:
         nv = _pyv(numeric_groups)
@@ -358,6 +369,158 @@ def _parse_regex(value, pattern, numeric_groups=None) -> Column:
     if not fields:
         fields["0"] = _tag(F.regexp_extract(value, jpat, 0), "string")
     return _obj_struct(fields)
+
+
+def _parse_regex_all(value, pattern, numeric_groups=None) -> Column:
+    """parse_regex_all.rs: every match → array of objects. Same
+    plan-time-literal-pattern stance as parse_regex; one
+    regexp_extract_all per emitted group, arrays_zip packs them into
+    array<struct> (field names = group names)."""
+    pat = _as_py_val(pattern)
+    if not isinstance(pat, str):
+        raise ValueError(
+            f"parse_regex_all: expected a regex or string literal pattern, "
+            f"got {pat!r}"
+        )
+    try:
+        cre = re.compile(pat)
+    except re.error as exc:
+        raise ValueError(
+            f"parse_regex_all: invalid regex {pat!r}: {exc}"
+        ) from exc
+    jpat = re.sub(r"\(\?P<[^>]+>", "(", pat)  # numbered groups (see parse_regex)
+    want_numeric = False
+    if numeric_groups is not None:
+        nv = _pyv(numeric_groups)
+        want_numeric = bool(nv) if nv is not _MISSING else False
+    arrays: list[Column] = []
+    if want_numeric:
+        for i in range(cre.groups + 1):
+            arrays.append(
+                F.regexp_extract_all(value, F.lit(jpat), F.lit(i)).alias(str(i))
+            )
+    for gname, gidx in cre.groupindex.items():
+        arrays.append(
+            F.regexp_extract_all(value, F.lit(jpat), F.lit(gidx)).alias(gname)
+        )
+    if not arrays:
+        arrays.append(
+            F.regexp_extract_all(value, F.lit(jpat), F.lit(0)).alias("0")
+        )
+    return _tag(F.arrays_zip(*arrays), "array")
+
+
+def _is_kind(a, target: str) -> Column:
+    """is_string/is_integer/… (lib/vrl/stdlib/src/is_*.rs): value-kind
+    predicate. Known plan-time kinds fold to a null-guarded boolean;
+    unknown kinds dispatch on F.typeof (a Catalyst-constant dtype
+    probe, not per-row reflection). A null VALUE is no kind (VRL:
+    is_string(null) == false)."""
+    k0 = _stype(a)
+    if k0 == "null":
+        return _lit_static(False)
+    if k0 is not None:
+        if k0 != target:
+            return _lit_static(False)
+        p0 = _pyv(a)
+        if p0 is not _MISSING:
+            return _lit_static(p0 is not None)
+        return a.isNotNull()
+    if target == "regex":
+        # regex values exist only as plan-time literals here
+        return _lit_static(False)
+    t = F.typeof(a)
+    if target == "integer":
+        m = t.isin("int", "bigint", "smallint", "tinyint")
+    elif target == "float":
+        m = t.isin("double", "float") | t.startswith("decimal")
+    elif target == "array":
+        m = t.startswith("array")
+    elif target == "object":
+        m = t.startswith("struct") | t.startswith("map")
+    else:  # string / boolean / timestamp
+        m = t == F.lit(target)
+    return F.when(a.isNull(), F.lit(False)).otherwise(m)
+
+
+def _vrl_parse_glog(a) -> Column:
+    """parse_glog.rs / parse_klog.rs — column form returning a
+    known-fields object (glog wire format, _GLOG_RE groups)."""
+    from vector_spark.functions.logformats import _GLOG_RE
+
+    a = a.cast("string")
+    # numbered groups: Java group names reject underscores
+    # (thread_id, message_text)
+    jre = re.sub(r"\(\?P<[^>]+>", "(", _GLOG_RE)
+
+    def g(i: int) -> Column:
+        v = F.regexp_extract(a, jre, i)
+        return F.when(v == "", F.lit(None)).otherwise(v)
+
+    level_map = F.create_map(
+        F.lit("I"), F.lit("info"), F.lit("W"), F.lit("warning"),
+        F.lit("E"), F.lit("error"), F.lit("F"), F.lit("fatal"),
+    )
+    fields = {
+        "level": _tag(F.element_at(level_map, g(1)), "string"),
+        "timestamp": _tag(
+            F.try_to_timestamp(
+                F.concat(
+                    F.date_format(F.current_date(), "yyyy"), g(2), F.lit(" "), g(3)
+                ),
+                F.lit("yyyyMMdd HH:mm:ss.SSSSSS"),
+            ),
+            "timestamp",
+        ),
+        "id": _tag(g(4).cast("long"), "integer"),
+        "file": _tag(g(5), "string"),
+        "line": _tag(g(6).cast("long"), "integer"),
+        "message": _tag(g(7), "string"),
+    }
+    return _obj_struct(fields)
+
+
+def _parse_grok(value, pattern) -> Column:
+    """parse_grok.rs: grok pattern (plan-time literal) → object via the
+    shared grok→regex translation (operators/grok.py registry)."""
+    from vector_spark.operators.grok import grok_to_regex
+
+    pat = _as_py_val(pattern)
+    if not isinstance(pat, str):
+        raise ValueError(
+            f"parse_grok: expected a grok pattern literal, got {pat!r}"
+        )
+    return _parse_regex(value, _lit_static(grok_to_regex(pat)))
+
+
+def _parse_kv_runtime(a) -> Column:
+    """Expression-level parse_key_value / parse_logfmt on a runtime
+    column: space-separated k=v pairs → map, surrounding quotes
+    stripped. Values containing quoted spaces need the quote-aware
+    DataFrame operator (operators/parsers.key_value_parser) — the bulk
+    path; this is the per-field remap form. Literal inputs fold
+    statically in program mode instead."""
+    m = F.str_to_map(a.cast("string"), F.lit(" "), F.lit("="))
+    return _tag(
+        F.transform_values(
+            m, lambda k, v: F.regexp_replace(v, '^"|"$', "")
+        ),
+        "object",
+    )
+
+
+# late registrations: these helpers are defined below the _FUNCS dict
+_FUNCS["parse_key_value"] = _parse_kv_runtime
+_FUNCS["parse_logfmt"] = _parse_kv_runtime
+# is_* value-kind predicates (is_string.rs … is_timestamp.rs)
+for _k in (
+    "string", "integer", "float", "boolean", "array", "object", "regex",
+    "timestamp",
+):
+    _FUNCS[f"is_{_k}"] = (lambda t: lambda a: _is_kind(a, t))(_k)
+# glog/klog share one wire format (parse_klog.rs delegates)
+_FUNCS["parse_glog"] = _vrl_parse_glog
+_FUNCS["parse_klog"] = _vrl_parse_glog
 
 
 def _to_regex(a) -> Column:
@@ -580,29 +743,19 @@ def _parse_json_literal(a):
 
 
 def _sha3(a, variant=None):
-    """sha3.rs — SHA-3 digests (default SHA3-512). The JVM has no
-    built-in SHA-3, so literals fold via hashlib and runtime columns
-    go through an Arrow-batched pandas_udf (the documented slow-path
-    escape hatch; never per-row Python)."""
+    """sha3.rs — SHA-3 digests (default SHA3-512). Literals fold via
+    hashlib; runtime columns delegate to functions/vrl.sha3 (the
+    Arrow-batched pandas_udf — the JVM has no SHA-3 builtin)."""
     import hashlib
 
     v = _as_py_val(variant) if variant is not None else "SHA3-512"
     bits = int(str(v).rsplit("-", 1)[-1])
-    algo = f"sha3_{bits}"
     p = _pyv(a)
     if isinstance(p, str):
-        return _lit_static(hashlib.new(algo, p.encode()).hexdigest())
-    import pandas as pd  # noqa: F401  (Arrow batch transfer)
+        return _lit_static(hashlib.new(f"sha3_{bits}", p.encode()).hexdigest())
+    from vector_spark.functions.vrl import sha3
 
-    @F.pandas_udf("string")
-    def _u(s):
-        return s.map(
-            lambda x: hashlib.new(algo, str(x).encode()).hexdigest()
-            if x is not None
-            else None
-        )
-
-    out = _u(a.cast("string"))
+    out = sha3(a, f"SHA3-{bits}")
     out._vs_isstr = True
     return out
 
@@ -1222,6 +1375,8 @@ class _Parser:
 _KW_ORDER = {
     "parse_timestamp": ("format",),
     "parse_regex": ("pattern", "numeric_groups"),
+    "parse_regex_all": ("pattern", "numeric_groups"),
+    "parse_grok": ("pattern",),
     "format_timestamp": ("format",),
     "slice": ("start", "end"),
     "replace": ("pattern", "with"),

@@ -814,7 +814,10 @@ class _ProgramParser(_Parser):
                         f"this expression can fail; handle the error "
                         f"before passing it in as an argument [E630]"
                     )
-        if name == "parse_syslog" and args:
+        if (
+            name in ("parse_syslog", "parse_linux_authorization") and args
+        ):
+            # parse_linux_authorization.rs delegates to parse_syslog
             out = _vrl_parse_syslog(args[0], span)
         else:
             out = self._call_func_inner(name, args, kwargs)
@@ -849,7 +852,9 @@ class _ProgramParser(_Parser):
                     'function call error for "parse_json": unable to parse '
                     "json"
                 )
-        if name == "parse_key_value" and isinstance(a0, str):
+        if name in ("parse_key_value", "parse_logfmt") and isinstance(a0, str):
+            # parse_logfmt.rs is parse_key_value with the default
+            # separators (logfmt IS k=v space-separated)
             try:
                 pairs = {}
                 for part in a0.split():

@@ -33,9 +33,50 @@ def add_fields(df: DataFrame, fields: dict[str, Any], overwrite: bool = True) ->
     a fixed-schema column is not, so elements render as strings. Gaps
     below the max index are null, like the reference's null-padded
     array insertion."""
+    # nested paths: TOML `x.y = 456`, quoted `"x.z" = 789`, and YAML
+    # `x: {y: 456}` are all the same nested field (the reference's
+    # tests/behavior/formats corpus pins the spellings) — dotted keys
+    # and dict values unify into one nested tree per root, emitted as
+    # a struct column so `.x.y` conditions resolve natively
+    flat: dict[str, Any] = {}
+
+    def _deep_set(d: dict, parts: list[str], v: Any) -> None:
+        if len(parts) == 1:
+            if isinstance(v, dict) and isinstance(d.get(parts[0]), dict):
+                for k, sub in v.items():
+                    _deep_set(d[parts[0]], [k], sub)
+            else:
+                d[parts[0]] = v
+            return
+        nxt = d.setdefault(parts[0], {})
+        if not isinstance(nxt, dict):
+            nxt = d[parts[0]] = {}
+        _deep_set(nxt, parts[1:], v)
+
+    nested: dict[str, Any] = {}
+    for name, value in fields.items():
+        if _ARRAY_PATH_RE.match(name) or "." not in name:
+            flat[name] = value
+        else:
+            _deep_set(nested, name.split("."), value)
+    for name, value in flat.items():
+        if isinstance(value, dict):
+            _deep_set(nested, [name], value)
+    for name in nested:
+        flat.pop(name, None)
+
+    def _struct_lit(v: Any):
+        if isinstance(v, dict):
+            return F.struct(*[_struct_lit(x).alias(k) for k, x in v.items()])
+        if isinstance(v, str) and is_template(v):
+            return compile_template(v)
+        return F.lit(v)
+
     cols = {}
     arrays: dict[str, dict[int, Any]] = {}
-    for name, value in fields.items():
+    for name, value in nested.items():
+        cols[name] = _struct_lit(value)
+    for name, value in flat.items():
         m = _ARRAY_PATH_RE.match(name)
         if m:
             arrays.setdefault(m.group("name"), {})[int(m.group("idx"))] = value

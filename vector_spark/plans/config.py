@@ -97,9 +97,27 @@ def _convert_transform(name: str, spec: dict[str, Any]) -> dict[str, Any]:
     return out
 
 
-def load_pipeline_config(toml_text: str) -> dict[str, Any]:
-    """TOML → Pipeline config dict (transforms + sinks + fanout)."""
-    raw = tomllib.loads(toml_text)
+def parse_config_text(text: str, fmt: str = "toml") -> dict[str, Any]:
+    """Config text → raw dict. The reference accepts the same topology
+    in TOML, JSON, and YAML (tests/behavior/formats/simple.{toml,json,
+    yaml,yml} are one config four ways); fmt picks the parser."""
+    if fmt in ("toml",):
+        return tomllib.loads(text)
+    if fmt in ("json",):
+        import json as _json
+
+        return _json.loads(text)
+    if fmt in ("yaml", "yml"):
+        import yaml as _yaml
+
+        return _yaml.safe_load(text)
+    raise ValueError(f"unknown config format: {fmt!r}")
+
+
+def load_pipeline_config(toml_text: str, fmt: str = "toml") -> dict[str, Any]:
+    """TOML/JSON/YAML → Pipeline config dict (transforms + sinks +
+    fanout)."""
+    raw = parse_config_text(toml_text, fmt)
     transforms = {
         name: _convert_transform(name, spec)
         for name, spec in (raw.get("transforms") or {}).items()

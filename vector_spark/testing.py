@@ -62,6 +62,27 @@ def run_behavior_test(
     enrich_tables=None,
 ) -> BehaviorResult:
     pipe = Pipeline(config, enrich_tables=enrich_tables)
+    if "input_rows" not in test and "input" in test:
+        # the reference's NATIVE [tests.input] form (unit tests in
+        # tests/behavior/formats/*): type raw carries one message line;
+        # type log carries a field map
+        inp = test["input"]
+        if inp.get("type") == "log":
+            fields = dict(inp.get("log_fields", {}))
+            schema = ", ".join(
+                f"`{k}` " + (
+                    "bigint" if isinstance(v, int) and not isinstance(v, bool)
+                    else "boolean" if isinstance(v, bool)
+                    else "double" if isinstance(v, float)
+                    else "string"
+                )
+                for k, v in fields.items()
+            )
+            test = {**test, "input_rows": [tuple(fields.values())],
+                    "input_schema": schema}
+        else:  # raw
+            test = {**test, "input_rows": [(inp.get("value", ""),)],
+                    "input_schema": "message string"}
     df = spark.createDataFrame(test["input_rows"], test["input_schema"])
 
     # run transforms only (no sinks) — mirror unit_test.rs which builds
@@ -71,7 +92,7 @@ def run_behavior_test(
     for name in pipe._order:
         spec = dict(pipe.transforms[name])
         typ = spec.pop("type")
-        inputs = spec.pop("inputs", ["in"])
+        inputs = spec.pop("inputs", ["in"]) or ["in"]  # [] = test input
         src = pipe._resolve_input(frames, inputs)
         frames[name] = pipe._apply(name, typ, spec, src, telemetry_sink)
 
@@ -105,12 +126,16 @@ def run_behavior_test(
     return BehaviorResult(test.get("name", "unnamed"), not failures, failures)
 
 
-def run_behavior_file(spark: SparkSession, toml_text: str, enrich_tables=None):
-    """A full behavior file: pipeline config + [[tests]] tables."""
-    from vector_spark.plans.config import load_pipeline_config
+def run_behavior_file(
+    spark: SparkSession, toml_text: str, enrich_tables=None, fmt: str = "toml"
+):
+    """A full behavior file: pipeline config + [[tests]] tables.
+    fmt selects toml/json/yaml — the reference loads the same topology
+    from any of them (tests/behavior/formats/)."""
+    from vector_spark.plans.config import load_pipeline_config, parse_config_text
 
-    raw = tomllib.loads(toml_text)
-    config = load_pipeline_config(toml_text)
+    raw = parse_config_text(toml_text, fmt)
+    config = load_pipeline_config(toml_text, fmt)
     results = []
     for test in raw.get("tests", []):
         results.append(
