@@ -37,10 +37,21 @@ Documented divergences from the reference compiler:
   condition as an infallible boolean at compile time; a runtime error
   would leave the event unmodified — on a typed schema the null guard
   is the analogous no-op path).
-- fallible-assignment targets (``.ok, .err = f()``) are not parsed;
-  use ``??`` (errors are already null-valued here).
+- event paths are schema-static: an absent column reads as typed
+  null (kind "null") rather than the reference's ``any``, so the
+  fallibility analysis is MORE precise — programs the reference
+  rejects for possible-runtime-error on unknown paths can compile
+  here (tests/test_vrl_golden.py lists the three corpus files).
 - ``return`` terminates only the reference's function blocks — not a
   remap program — and is not accepted.
+
+Strict static diagnostics (strict=True, always on for programs):
+unhandled fallibility E100/E103 (kind-aware per-function
+fallibility), unnecessary handling E104/E651 (plan-time literals
+only), abort-on-infallible E620, fallible arguments E630, type
+checks E102/E610/E652/E660, syntax/lexical E101/E202/E203/E205 —
+the reference's diagnostics corpus is pinned in the REJECTED tier of
+tests/test_vrl_golden.py.
 """
 
 from __future__ import annotations
