@@ -1522,6 +1522,40 @@ def _q_pack_sequences(spark, sf):
     )
 
 
+def _q_chunk_tokens(spark, sf):
+    """Concat-and-chunk MATERIALIZATION over the pre-tokenized shape:
+    each stream's sequences are concatenated in (stream, shard, doc_id)
+    order and emitted as exact 64-token training blocks
+    (``chunk_tokens`` — the metadata counterpart is
+    ``pack_sequences``). Runs the SHARDED path (3 parallel window
+    sorts per stream); drop_last trainer convention, so every row is
+    exactly 64 tokens. Tokens are emitted as a joined string for
+    engine-portable value comparison; the per-block token-array
+    equality vs the oracle IS the north-rule token invariant."""
+    from vector_spark.dataops.tokens import chunk_tokens, tokenize_words
+
+    docs = _load(spark, sf, "documents")
+    seqs = docs.select(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(4)).alias("stream"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokenize_words(F.col("text"), hash_mode="portable").alias("tokens"),
+    )
+    blocks = chunk_tokens(
+        seqs,
+        64,
+        stream_cols=["stream"],
+        shard_expr=F.pmod(F.floor(F.col("doc_id") / 4), F.lit(3)).cast("long"),
+        drop_last=True,
+    )
+    return blocks.select(
+        "stream",
+        "shard",
+        "block",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tok",
+    )
+
+
 def _q_ec2_metadata(spark, sf):
     """aws_ec2_metadata analogue (aws_ec2_metadata.rs:74-250):
     driver-fetched instance constants become literal columns —
@@ -2201,6 +2235,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "ec2_metadata": _q_ec2_metadata,
         "pack_sequences": _q_pack_sequences,
+        "chunk_tokens": _q_chunk_tokens,
         "stream_dedupe": _q_stream_dedupe,
         "datadog_search": _q_datadog_search,
         "pii_scrub": _q_pii_scrub,
@@ -2856,6 +2891,51 @@ def _legacy_oracle_sql() -> dict[str, str]:
                    cast(floor(cumb / 256) AS bigint) AS bin,
                    cast(cumb % 256 AS bigint) AS offset
             FROM cum
+        """,
+        "chunk_tokens": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), toks AS (
+              SELECT doc_id % 4 AS stream,
+                     cast(floor(doc_id / 4) % 3 AS bigint) AS shard,
+                     doc_id,
+                     [ (length(w)*31 + ascii(substr(w,1,1))*7
+                        + ascii(substr(w,-1,1))) % 32768 for w in ws ] AS t
+              FROM words
+            ), cum AS (
+              SELECT stream, shard, doc_id, t,
+                     cast(len(t) AS bigint) AS n,
+                     cast(coalesce(sum(len(t)) OVER (
+                         PARTITION BY stream, shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS bigint) AS cumb
+              FROM toks
+              WHERE len(t) > 0
+            ), pieces AS (
+              SELECT stream, shard, blk AS block,
+                     greatest(cumb - blk*64, 0) AS pos,
+                     t[(greatest(blk*64 - cumb, 0) + 1)
+                       : least((blk+1)*64 - cumb, n)] AS piece
+              FROM (
+                SELECT *, unnest(generate_series(cumb // 64,
+                                                 (cumb + n - 1) // 64)) AS blk
+                FROM cum
+              )
+            ), blocks AS (
+              SELECT stream, shard, block,
+                     flatten(list(piece ORDER BY pos)) AS tok
+              FROM pieces
+              GROUP BY stream, shard, block
+            )
+            SELECT cast(stream AS bigint) AS stream,
+                   shard,
+                   cast(block AS bigint) AS block,
+                   array_to_string(tok, ' ') AS tokens_str,
+                   cast(len(tok) AS int) AS n_tok
+            FROM blocks
+            WHERE len(tok) = 64
         """,
         "ec2_metadata": """
             SELECT event_id,

@@ -81,3 +81,67 @@ def test_unigram_logprob_ranks_rarity(spark):
     assert out[1].n_tok == 10 and out[2].n_tok == 2
     # scores are positive, finite
     assert all(0 < r.mean_neg_logprob < 50 for r in out.values())
+
+
+def test_chunk_tokens_exact_reassembly(spark):
+    """Blocks must reassemble the stream's exact concatenation — the
+    north-rule token-array-equality invariant, asserted per block."""
+    from vector_spark.dataops.tokens import chunk_tokens
+
+    rows = [
+        ("a", 1, list(range(0, 5))),      # stream a: 5 + 3 + 6 = 14 tokens
+        ("a", 2, list(range(5, 8))),
+        ("a", 3, list(range(8, 14))),
+        ("b", 1, list(range(100, 109))),  # stream b: 9 tokens
+        ("b", 2, []),                     # empty doc contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<int>")
+    out = chunk_tokens(df, 4, stream_cols=["source"], drop_last=False)
+    blocks = {
+        (r.source, r.block): (r.tokens, r.n_tok) for r in out.collect()
+    }
+    # stream a concatenation = 0..13 → blocks of 4: [0-3][4-7][8-11][12-13]
+    assert blocks[("a", 0)] == ([0, 1, 2, 3], 4)
+    assert blocks[("a", 1)] == ([4, 5, 6, 7], 4)   # doc 1 tail + doc 2 + doc 3 head
+    assert blocks[("a", 2)] == ([8, 9, 10, 11], 4)
+    assert blocks[("a", 3)] == ([12, 13], 2)       # partial tail kept
+    assert blocks[("b", 0)] == ([100, 101, 102, 103], 4)
+    assert blocks[("b", 2)] == ([108], 1)
+    assert len(blocks) == 7
+
+
+def test_chunk_tokens_drop_last_and_block_alignment(spark):
+    from vector_spark.dataops.tokens import chunk_tokens
+
+    rows = [("s", i, [i * 10 + j for j in range(3)]) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<int>")
+    out = chunk_tokens(df, 8, stream_cols=["source"]).collect()  # 21 tokens → 2 full blocks
+    assert sorted(r.block for r in out) == [0, 1]
+    assert all(r.n_tok == 8 for r in out)
+    concat = []
+    for r in sorted(out, key=lambda r: r.block):
+        concat.extend(r.tokens)
+    expect = [i * 10 + j for i in range(1, 8) for j in range(3)]
+    assert concat == expect[:16]
+
+
+def test_chunk_tokens_sharded_parallel_windows(spark):
+    """n_shards splits the stream into K independent window sorts;
+    block ids restart per shard and reassembly holds within a shard."""
+    from vector_spark.dataops.tokens import chunk_tokens
+
+    rows = [("s", i, [i] * 5) for i in range(20)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<int>")
+    out = chunk_tokens(df, 5, stream_cols=["source"], n_shards=4, drop_last=False)
+    assert "shard" in out.columns
+    got = out.collect()
+    # every doc is 5 tokens = exactly one block; with block_size 5 each
+    # block is one doc's tokens — verify per-shard block ids are dense 0..k-1
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert sum(len(v) for v in by_shard.values()) == 20
+    for shard, rs in by_shard.items():
+        assert sorted(r.block for r in rs) == list(range(len(rs)))
+        for r in rs:
+            assert r.n_tok == 5 and len(set(r.tokens)) == 1

@@ -163,3 +163,136 @@ def unigram_logprob(
         F.count(F.lit(1)).alias("n_tok"),
         F.round(F.avg("_nlp"), 6).alias("mean_neg_logprob"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    block_size: int,
+    stream_cols: list[str] = ("source",),
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_shards: int | None = None,
+    shard_expr: Column | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Concat-and-chunk MATERIALIZATION — the standard GPT-style
+    training-data prep: concatenate each stream's token sequences in
+    deterministic (stream, id) order and emit fixed-length blocks of
+    exactly ``block_size`` tokens. Where ``pack_sequences`` computes
+    the bin/offset ASSIGNMENT (metadata), this materializes the block
+    token arrays themselves, so downstream exact token-array equality
+    can be asserted per block.
+
+    Distributed shape (no per-token rows, no UDF):
+
+    1. one running-sum window per (stream[, shard]) gives each
+       document its global start position ``cum_before``;
+    2. each document is sliced array-side into the blocks it touches
+       (``sequence(first_block, last_block)`` × ``slice`` — explode
+       factor per document is ceil(n/B)+1, bounded and tiny);
+    3. one hash-aggregate keyed by (stream[, shard], block) reorders
+       the pieces by position (``array_sort`` on struct — collect_list
+       order is nondeterministic under parallel merge) and flattens
+       them into the block's token array.
+
+    The only shuffles are the window exchange and the block
+    hash-aggregate; block keys are fine-grained (10^15 tokens /
+    block_size keys), so no skew. ``n_shards``/``shard_expr`` split a
+    too-large stream into K parallel window sorts exactly as in
+    ``pack_sequences`` (block ids then restart per shard and ``shard``
+    is emitted).
+
+    ``drop_last=True`` (trainer convention) drops each stream's final
+    partial block, so every output row has exactly ``block_size``
+    tokens.
+
+    Output: (*stream_cols[, shard], block, tokens, n_tok).
+    """
+    from pyspark.sql import Window
+
+    parts = list(stream_cols)
+    extra: list[str] = []
+    if shard_expr is not None or (n_shards is not None and n_shards > 1):
+        if shard_expr is None:
+            shard_expr = F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)
+            )
+        df = df.withColumn("shard", shard_expr)
+        parts.append("shard")
+        extra = ["shard"]
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col(tokens_col)
+    n = F.size(t).cast("long")
+    cum_before = F.coalesce(
+        F.sum(F.size(t).cast("long")).over(w), F.lit(0).cast("long")
+    )
+    b = F.lit(int(block_size)).cast("long")
+    first_blk = F.floor(cum_before / b)
+    last_blk = F.floor((cum_before + n - F.lit(1)) / b)
+    placed = df.select(
+        *stream_cols,
+        *extra,
+        cum_before.alias("_cumb"),
+        n.alias("_n"),
+        t.alias("_t"),
+    ).filter(F.col("_n") > 0)
+    # slice the document into per-block pieces, array-side
+    pieces = placed.select(
+        *stream_cols,
+        *extra,
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.floor(F.col("_cumb") / b),
+                    F.floor((F.col("_cumb") + F.col("_n") - 1) / b),
+                ),
+                lambda blk: F.struct(
+                    blk.alias("block"),
+                    # position of this piece inside its block — unique
+                    # per (block, document), so the sort key below is
+                    # total
+                    F.greatest(
+                        F.col("_cumb") - blk * b, F.lit(0).cast("long")
+                    ).alias("pos"),
+                    F.slice(
+                        F.col("_t"),
+                        (
+                            F.greatest(
+                                blk * b - F.col("_cumb"), F.lit(0).cast("long")
+                            )
+                            + 1
+                        ).cast("int"),
+                        (
+                            F.least(
+                                (blk + 1) * b - F.col("_cumb"), F.col("_n")
+                            )
+                            - F.greatest(
+                                blk * b - F.col("_cumb"), F.lit(0).cast("long")
+                            )
+                        ).cast("int"),
+                    ).alias("piece"),
+                ),
+            )
+        ).alias("p"),
+    )
+    blocks = (
+        pieces.groupBy(*stream_cols, *extra, F.col("p.block").alias("block"))
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p.pos", "p.piece"))
+                    ),
+                    lambda x: x["piece"],
+                )
+            ).alias(tokens_col)
+        )
+        .withColumn("n_tok", F.size(F.col(tokens_col)))
+    )
+    if drop_last:
+        blocks = blocks.filter(F.col("n_tok") == int(block_size))
+    return blocks
