@@ -1556,6 +1556,37 @@ def _q_chunk_tokens(spark, sf):
     )
 
 
+def _q_quality_classifier(spark, sf):
+    """Model-based quality filtering END-TO-END: closed-form NB
+    log-odds training on deterministic pseudo-labels (docs with >= 30
+    words are 'good') over hashed unigram+bigram features, then
+    broadcast-join scoring of the same corpus — the fasttext-style
+    classifier stage of an LLM curation pipeline, all DataFrame
+    algebra, no MLlib, no RNG. The oracle replays train AND score in
+    SQL, so the driver gate pins the whole model, not just the
+    scorer."""
+    from vector_spark.dataops.classify import (
+        hash_features,
+        score_classifier,
+        train_nb_classifier,
+    )
+    from vector_spark.dataops.dedup import normalize_text
+
+    docs = _load(spark, sf, "documents")
+    ws = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
+    )
+    feats = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.size(ws) >= 30).alias("label"),
+        hash_features(
+            F.col("text"), n_features=4096, bigrams=True, hash_mode="portable"
+        ).alias("features"),
+    )
+    w = train_nb_classifier(feats, "label", n_features=4096)
+    return score_classifier(feats, w)
+
+
 def _q_ec2_metadata(spark, sf):
     """aws_ec2_metadata analogue (aws_ec2_metadata.rs:74-250):
     driver-fetched instance constants become literal columns —
@@ -2236,6 +2267,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec2_metadata": _q_ec2_metadata,
         "pack_sequences": _q_pack_sequences,
         "chunk_tokens": _q_chunk_tokens,
+        "quality_classifier": _q_quality_classifier,
         "stream_dedupe": _q_stream_dedupe,
         "datadog_search": _q_datadog_search,
         "pii_scrub": _q_pii_scrub,
@@ -2936,6 +2968,53 @@ def _legacy_oracle_sql() -> dict[str, str]:
                    cast(len(tok) AS int) AS n_tok
             FROM blocks
             WHERE len(tok) = 64
+        """,
+        "quality_classifier": f"""
+            WITH base AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, len(ws) >= 30 AS label,
+                     [ (length(w)*31 + ascii(substr(w,1,1))*7
+                        + ascii(substr(w,-1,1))) % 4096 for w in ws ]
+                     || [ ((length(p[1]) + 1 + length(p[2]))*31
+                           + ascii(substr(p[1],1,1))*7
+                           + ascii(substr(p[2],-1,1))) % 4096
+                          for p in list_zip(ws, ws[2:], true) ] AS fs
+              FROM base
+            ), occ AS (
+              SELECT doc_id, label, unnest(fs) AS feature FROM feat
+            ), perfeat AS (
+              SELECT feature,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_pos,
+                     sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS c_neg
+              FROM occ GROUP BY feature
+            ), totals AS (
+              SELECT sum(CASE WHEN label THEN len(fs) ELSE 0 END) AS t_pos,
+                     sum(CASE WHEN NOT label THEN len(fs) ELSE 0 END) AS t_neg,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END) AS d_pos,
+                     sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS d_neg
+              FROM feat
+            ), weights AS (
+              SELECT feature,
+                     round(ln((c_pos + 1.0) / (t_pos + 4096.0))
+                           - ln((c_neg + 1.0) / (t_neg + 4096.0)), 12) AS weight
+              FROM perfeat CROSS JOIN totals
+            ), scored AS (
+              SELECT o.doc_id, count(*) AS n_feat,
+                     sum(coalesce(w.weight, 0.0)) AS acc
+              FROM occ o LEFT JOIN weights w USING (feature)
+              GROUP BY o.doc_id
+            )
+            SELECT s.doc_id,
+                   cast(s.n_feat AS bigint) AS n_feat,
+                   round(s.acc + round(ln(t.d_pos * 1.0 / t.d_neg), 12), 6)
+                       AS logit,
+                   round(1.0 / (1.0 + exp(-(s.acc
+                       + round(ln(t.d_pos * 1.0 / t.d_neg), 12)))), 6)
+                       AS score
+            FROM scored s CROSS JOIN totals t
         """,
         "ec2_metadata": """
             SELECT event_id,
