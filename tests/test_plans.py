@@ -217,3 +217,49 @@ def test_minhash_signatures_hash_aggregate_not_sort(spark):
     plan = _plan(minhash_signatures(docs, k=8))
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_chunk_tokens_two_shuffles_sharded_window(spark):
+    """chunk_tokens must cost exactly its two stated shuffles — the
+    running-sum window exchange and the block-reassembly aggregate —
+    and the window partitioning must include the shard column (K
+    parallel sorts per stream, not one task per source)."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.tokens import chunk_tokens
+
+    df = spark.createDataFrame(
+        [("s", i, list(range(5))) for i in range(10)],
+        "source string, doc_id long, tokens array<int>",
+    )
+    plan = _plan(chunk_tokens(df, 8, stream_cols=["source"], n_shards=4))
+    # ONE exchange: the block aggregate's keys (stream, shard, block)
+    # are a superset of the window partitioning (stream, shard), so
+    # Catalyst reuses the window exchange for the reassembly
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortAggregate" not in plan  # reassembly stays hash-based
+    # block ids are integer `div`, never double division (exactness
+    # past 2^53)
+    assert "/ 8.0" not in plan
+    # window partition keys: (source, shard)
+    wline = next(
+        ln for ln in plan.splitlines() if ln.lstrip().startswith(("Window", "+- Window"))
+    )
+    assert "shard" in wline
+
+
+def test_classifier_training_aggregate_is_hash_partial(spark):
+    """NB training must plan as partial/final HashAggregate on the
+    exploded features (shuffle bounded by n_features, map-side
+    combine) — not a sort, not a row-count-bound exchange."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.classify import hash_features, train_nb_classifier
+
+    df = spark.createDataFrame(
+        [(True, "a b"), (False, "c d")], "label boolean, text string"
+    )
+    feats = df.withColumn("features", hash_features(F.col("text"), 256))
+    plan = _plan(train_nb_classifier(feats, "label", n_features=256))
+    assert "SortAggregate" not in plan
+    assert "partial_sum" in plan

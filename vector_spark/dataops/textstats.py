@@ -299,11 +299,20 @@ def pack_sequences(
     cum_before = F.coalesce(
         F.sum(F.col(n_col).cast("long")).over(w), F.lit(0).cast("long")
     )
+    # integer `div`, not floor(x / N): `/` on longs is DOUBLE division,
+    # which loses exactness past 2^53 (reachable by a per-stream
+    # running token total at the 10^12-sequence target)
     return df.select(
         *stream_cols,
         *extra,
         id_col,
         F.col(n_col),
-        F.floor(cum_before / max_tokens).cast("long").alias("bin"),
-        (cum_before % max_tokens).cast("long").alias("offset"),
+        cum_before.alias("_cumb"),
+    ).select(
+        *stream_cols,
+        *extra,
+        id_col,
+        F.col(n_col),
+        F.expr(f"_cumb div {int(max_tokens)}").alias("bin"),
+        (F.col("_cumb") % max_tokens).cast("long").alias("offset"),
     )

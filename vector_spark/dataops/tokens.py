@@ -231,8 +231,7 @@ def chunk_tokens(
         F.sum(F.size(t).cast("long")).over(w), F.lit(0).cast("long")
     )
     b = F.lit(int(block_size)).cast("long")
-    first_blk = F.floor(cum_before / b)
-    last_blk = F.floor((cum_before + n - F.lit(1)) / b)
+    bs = int(block_size)
     placed = df.select(
         *stream_cols,
         *extra,
@@ -240,15 +239,18 @@ def chunk_tokens(
         n.alias("_n"),
         t.alias("_t"),
     ).filter(F.col("_n") > 0)
-    # slice the document into per-block pieces, array-side
+    # slice the document into per-block pieces, array-side. Block ids
+    # use integer `div`, NOT floor(x / B): `/` on longs is DOUBLE
+    # division, which silently loses exactness past 2^53 — real at
+    # 10^15-token per-shard running totals.
     pieces = placed.select(
         *stream_cols,
         *extra,
         F.explode(
             F.transform(
                 F.sequence(
-                    F.floor(F.col("_cumb") / b),
-                    F.floor((F.col("_cumb") + F.col("_n") - 1) / b),
+                    F.expr(f"_cumb div {bs}"),
+                    F.expr(f"(_cumb + _n - 1) div {bs}"),
                 ),
                 lambda blk: F.struct(
                     blk.alias("block"),
