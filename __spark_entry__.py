@@ -3009,10 +3009,10 @@ def _legacy_oracle_sql() -> dict[str, str]:
             )
             SELECT s.doc_id,
                    cast(s.n_feat AS bigint) AS n_feat,
-                   round(s.acc + round(ln(t.d_pos * 1.0 / t.d_neg), 12), 6)
+                   round(s.acc + round(ln((t.d_pos + 1.0) / (t.d_neg + 1.0)), 12), 6)
                        AS logit,
                    round(1.0 / (1.0 + exp(-(s.acc
-                       + round(ln(t.d_pos * 1.0 / t.d_neg), 12)))), 6)
+                       + round(ln((t.d_pos + 1.0) / (t.d_neg + 1.0)), 12)))), 6)
                        AS score
             FROM scored s CROSS JOIN totals t
         """,

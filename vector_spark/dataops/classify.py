@@ -124,10 +124,14 @@ def train_nb_classifier(
             12,
         ).alias("weight"),
     )
+    # Laplace-smoothed prior: ln((d_pos+α)/(d_neg+α)) — an integer
+    # ratio would divide by zero (ANSI mode) when a shard's labels
+    # collapse to one class, a real occurrence under pseudo-labeling;
+    # smoothing keeps the bias finite and the model usable
     bias = totals.select(
         F.lit(BIAS_FEATURE).alias("feature"),
         F.round(
-            F.log(F.col("d_pos") / F.col("d_neg")), 12
+            F.log((F.col("d_pos") + a) / (F.col("d_neg") + a)), 12
         ).alias("weight"),
     )
     return weights.unionByName(bias)

@@ -204,7 +204,11 @@ def chunk_tokens(
 
     ``drop_last=True`` (trainer convention) drops each stream's final
     partial block, so every output row has exactly ``block_size``
-    tokens.
+    tokens. Sizing note: every (stream, shard) unit loses its tail —
+    expected waste ≈ streams × n_shards × block_size/2 tokens — so
+    pick ``n_shards`` for per-shard token mass ≫ block_size (at the
+    10^12-sequence target any K does; on a small corpus K=1). A
+    too-large K silently truncates a small corpus to zero blocks.
 
     Output: (*stream_cols[, shard], block, tokens, n_tok).
     """
