@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "rollup_tiers",
     "session_windows",
     "curation_pipeline",
+    # round-4 additions
+    "chunk_tokens",
+    "quality_classifier",
 ]
 
 
