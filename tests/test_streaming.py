@@ -133,3 +133,84 @@ def test_stream_enrich_broadcast_per_batch(spark, stream_input):
     assert (1, "alpha", False) in rows
     assert (3, None, True) in rows  # k='b' miss kept + flagged
     assert got.count() == 5
+
+
+def test_stream_chunk_tokens_carries_tail_across_batches(spark, tmp_path):
+    """Stateful concat-and-chunk: full blocks emit per batch, the
+    partial tail persists in state and completes in a later
+    micro-batch (maxFilesPerTrigger=1 → one file per batch)."""
+    import time
+
+    from vector_spark.streaming.ops import stream_chunk_tokens
+
+    d = str(tmp_path / "in")
+    schema = "src string, seq long, tokens array<int>"
+    # batch 1: 5 + 4 = 9 tokens -> blocks [1..4],[5..8], carry [9]
+    spark.createDataFrame(
+        [("s", 1, [1, 2, 3, 4, 5]), ("s", 2, [6, 7, 8, 9])], schema
+    ).coalesce(1).write.parquet(d, mode="append")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 2: 7 tokens -> carry+7 = 8 -> blocks [9..12],[13..16]
+    spark.createDataFrame(
+        [("s", 3, [10, 11, 12, 13, 14, 15, 16])], schema
+    ).coalesce(1).write.parquet(d, mode="append")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = stream_chunk_tokens(
+        stream, 4, stream_cols=["src"], order_col="seq"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunks")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r.block: list(r.tokens)
+        for r in spark.sql("select * from chunks").collect()
+    }
+    assert rows == {
+        0: [1, 2, 3, 4],
+        1: [5, 6, 7, 8],
+        2: [9, 10, 11, 12],
+        3: [13, 14, 15, 16],
+    }
+
+
+def test_stream_reduce_ends_when_state_survives_batches(spark, tmp_path):
+    """Regression: GroupState.get is a PROPERTY in pyspark>=4 — the
+    old `state.get()` call only explodes when a group stays open
+    ACROSS micro-batches, which the single-batch test never hit."""
+    import time
+
+    from vector_spark.streaming.ops import stream_reduce_ends_when
+
+    d = str(tmp_path / "in")
+    schema = "k string, id long, v double"
+    spark.createDataFrame([("a", 1, 0.0), ("a", 2, 0.0)], schema) \
+        .coalesce(1).write.parquet(d, mode="append")
+    time.sleep(1.1)
+    spark.createDataFrame([("a", 3, 9.0)], schema) \
+        .coalesce(1).write.parquet(d, mode="append")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = stream_reduce_ends_when(
+        stream, group_by=["k"], ends_when=".v >= 2.0",
+        concat_field="id", order_col="id", joiner=",",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("srew2")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r.k, r.merged): r.n_events
+            for r in spark.sql("select * from srew2").collect()}
+    # ids 1,2 buffered in batch 1; id 3 (v=9) closes in batch 2
+    assert rows == {("a", "1,2,3"): 3}

@@ -164,7 +164,9 @@ def stream_reduce_ends_when(
     state_schema = "acc string, n long"
 
     def fn(key, pdfs, state):
-        acc, n = state.get() if state.exists else ("", 0)
+        # .get is a PROPERTY returning the state tuple (pyspark>=4);
+        # calling it raises 'tuple is not callable' on the second batch
+        acc, n = state.get if state.exists else ("", 0)
         emitted = []
         for pdf in pdfs:
             if order_col is not None:
@@ -201,3 +203,68 @@ def stream_enrich(
     from vector_spark.operators.enrich import enrich as enrich_fn
 
     return enrich_fn(stream, dim, on=on, prefix=prefix, miss_flag_field=miss_flag_field)
+
+
+def stream_chunk_tokens(
+    stream: DataFrame,
+    block_size: int,
+    stream_cols: list[str] = ("source",),
+    tokens_col: str = "tokens",
+    order_col: str | None = None,
+):
+    """Streaming concat-and-chunk: the continuous counterpart of
+    ``dataops.tokens.chunk_tokens`` — sequences arriving on a stream
+    are concatenated per stream key in ARRIVAL order
+    (processing-time, Vector's ordering model) and full
+    ``block_size``-token training blocks are emitted as soon as they
+    complete; the partial tail stays in the state store across
+    micro-batches, so no token is ever dropped or duplicated
+    (exactly-once under checkpointed state).
+
+    ``applyInPandasWithState`` keyed by the stream columns; state is
+    (carry-over token buffer, next block id). ``order_col`` sorts
+    WITHIN a micro-batch for determinism — cross-batch order is
+    arrival order by definition. State size is bounded by
+    block_size-1 tokens per stream key.
+
+    Output: (*stream_cols, block, tokens array<int>, n_tok int) —
+    every row exactly ``block_size`` tokens.
+    """
+    import pandas as pd
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in stream_cols)
+        + ", block long, tokens array<int>, n_tok int"
+    )
+    state_schema = "buf array<int>, next_block long"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            buf_raw, next_block = state.get  # property in pyspark>=4
+            buf = list(buf_raw) if buf_raw is not None else []
+        else:
+            buf, next_block = [], 0
+        emitted = []
+        for pdf in pdfs:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col)
+            for toks in pdf[tokens_col]:
+                if toks is None:
+                    continue
+                buf.extend(int(t) for t in toks)
+                while len(buf) >= block_size:
+                    emitted.append(
+                        (*key, next_block, buf[:block_size], block_size)
+                    )
+                    buf = buf[block_size:]
+                    next_block += 1
+        state.update((buf, next_block))
+        if emitted:
+            yield pd.DataFrame(
+                emitted,
+                columns=[*stream_cols, "block", "tokens", "n_tok"],
+            )
+
+    return stream.groupBy(*stream_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
