@@ -3001,20 +3001,24 @@ def _legacy_oracle_sql() -> dict[str, str]:
                      round(ln((c_pos + 1.0) / (t_pos + 4096.0))
                            - ln((c_neg + 1.0) / (t_neg + 4096.0)), 12) AS weight
               FROM perfeat CROSS JOIN totals
+              UNION ALL
+              SELECT -1 AS feature,
+                     round(ln((d_pos + 1.0) / (d_neg + 1.0)), 12) AS weight
+              FROM totals
+            ), socc AS (
+              -- scoring appends the reserved bias feature to every doc
+              SELECT doc_id, unnest(fs || [-1]) AS feature FROM feat
             ), scored AS (
-              SELECT o.doc_id, count(*) AS n_feat,
+              SELECT o.doc_id, count(*) - 1 AS n_feat,
                      sum(coalesce(w.weight, 0.0)) AS acc
-              FROM occ o LEFT JOIN weights w USING (feature)
+              FROM socc o LEFT JOIN weights w USING (feature)
               GROUP BY o.doc_id
             )
-            SELECT s.doc_id,
-                   cast(s.n_feat AS bigint) AS n_feat,
-                   round(s.acc + round(ln((t.d_pos + 1.0) / (t.d_neg + 1.0)), 12), 6)
-                       AS logit,
-                   round(1.0 / (1.0 + exp(-(s.acc
-                       + round(ln((t.d_pos + 1.0) / (t.d_neg + 1.0)), 12)))), 6)
-                       AS score
-            FROM scored s CROSS JOIN totals t
+            SELECT doc_id,
+                   cast(n_feat AS bigint) AS n_feat,
+                   round(acc, 6) AS logit,
+                   round(1.0 / (1.0 + exp(-acc)), 6) AS score
+            FROM scored
         """,
         "ec2_metadata": """
             SELECT event_id,

@@ -64,15 +64,21 @@ def hash_features(
     uni = F.transform(words, lambda w: _hash_word(w, n_features, hash_mode))
     if not bigrams:
         return uni
+    # bigrams via zip_with over two shifted slices — NOT a lambda that
+    # reads `element_at(words, i+1)`: an outer expression referenced
+    # inside a HOF lambda is re-evaluated PER ELEMENT (no CSE across
+    # the lambda boundary), turning the normalize+split+filter chain
+    # into O(words²) regex work per document (measured 45× on the
+    # sf0.1 gate; same pathology class as the winnowing fix, SCALE.md)
     n = F.size(words)
-    bi = F.when(n >= 2, F.transform(
-        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
-        lambda w, i: _hash_word(
-            F.concat(w, F.lit(" "), F.element_at(words, i + 2)),
-            n_features,
-            hash_mode,
+    m = F.greatest(n - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(words, 1, m),
+        F.slice(words, 2, m),
+        lambda a, b: _hash_word(
+            F.concat(a, F.lit(" "), b), n_features, hash_mode
         ),
-    )).otherwise(F.array().cast("array<int>"))
+    )
     return F.concat(uni, bi)
 
 
@@ -149,28 +155,35 @@ def score_classifier(
 
     Broadcast hash join (weight table ≤ n_features rows) — the corpus
     side never shuffles for the join; unseen features contribute 0.
-    One per-doc aggregate keyed by ``id_col``. Output: (id[, keep],
-    n_feat, logit, score), rounded for cross-engine comparison.
+    The bias is folded into the SAME join by appending the reserved
+    ``BIAS_FEATURE`` to every document's feature multiset (real
+    feature ids are non-negative, so it never collides) — one weight
+    join, one per-doc aggregate, and the training DAG behind
+    ``weights`` executes exactly once instead of once per
+    weights/bias branch. Output: (id[, keep], n_feat, logit, score),
+    rounded for cross-engine comparison; ``n_feat`` counts the
+    document's real features only.
     """
-    w = weights.filter(F.col("feature") != BIAS_FEATURE)
-    b = weights.filter(F.col("feature") == BIAS_FEATURE).select(
-        F.col("weight").alias("_bias")
-    )
     occ = df.select(
         F.col(id_col),
         *keep_cols,
-        F.explode(F.col(features_col)).alias("feature"),
+        F.explode(
+            F.concat(
+                F.col(features_col),
+                F.array(F.lit(BIAS_FEATURE).cast("int")),
+            )
+        ).alias("feature"),
     )
     summed = (
-        occ.join(F.broadcast(w), "feature", "left")
+        occ.join(F.broadcast(weights), "feature", "left")
         .groupBy(id_col, *keep_cols)
         .agg(
-            F.count(F.lit(1)).alias("n_feat"),
+            (F.count(F.lit(1)) - 1).alias("n_feat"),
             F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_acc"),
         )
     )
-    logit = F.col("_acc") + F.col("_bias")
-    return summed.crossJoin(F.broadcast(b)).select(
+    logit = F.col("_acc")
+    return summed.select(
         id_col,
         *keep_cols,
         "n_feat",
