@@ -113,3 +113,31 @@ def test_explain_prints_plan(tmp_path, capsys, spark):
     # it once killed the harness's session-scoped SparkSession and
     # took down every test that ran after this module
     assert spark.range(1).count() == 1
+
+
+def test_vrl_check_ok_and_diagnostic(spark, capsys):
+    from vector_spark.cli import main as cli_main
+
+    assert cli_main(["vrl", "-e", ".x = 1 + 2", "--check"]) == 0
+    assert "ok" in capsys.readouterr().out
+    # E-coded diagnostic on a type-invalid program
+    assert cli_main(["vrl", "-e", '.x = 1 + "a"', "--check"]) == 1
+    assert "error" in capsys.readouterr().err
+
+
+def test_vrl_runs_event(spark, capsys):
+    from vector_spark.cli import main as cli_main
+
+    rc = cli_main([
+        "vrl", "-e",
+        '.total = .a + .b\n.msg = upcase(.msg)\ndel(.b)',
+        "--event", '{"a": 2, "b": 3, "msg": "hi"}',
+    ])
+    assert rc == 0
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out)
+    assert out["event"] == {"a": 2, "msg": "HI", "total": 5}
+    assert out["value"] == 3  # del returns the deleted value
+    # must not have stopped the harness session
+    assert spark.range(1).count() == 1

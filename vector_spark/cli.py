@@ -8,6 +8,7 @@ topology check, validate.rs), ``test`` (behavior-TOML harness, the
     python -m vector_spark.cli list   [--format text|json]
     python -m vector_spark.cli validate -c pipeline.toml
     python -m vector_spark.cli test   tests/behavior_corpus/*.toml
+    python -m vector_spark.cli vrl    program.vrl --event '{"a": 1}'
 
 ``graph``/``list``/``validate`` are driver-side only (no SparkSession,
 no JVM start): topology is config-level. ``test`` starts a local
@@ -290,6 +291,90 @@ def cmd_top(args) -> int:
     return 0
 
 
+def cmd_vrl(args) -> int:
+    """`vector vrl` analogue (src/cli.rs SubCommand::Vrl → vrl_cli):
+    compile a VRL program and run it against JSON events.
+
+    - ``--check``: compile-only — prints OK or the reference-style
+      diagnostic (E1xx/E6xx) and exits nonzero. No JVM.
+    - ``--event '{...}'`` or JSON-lines on stdin: each event becomes a
+      one-row frame, the program's net effect is applied, and the
+      resulting event (or final expression value) prints as JSON.
+    """
+    if args.program == "-":
+        source = sys.stdin.read()
+    elif args.expr:
+        source = args.program
+    else:
+        with open(args.program) as f:
+            source = f.read()
+
+    from vector_spark.functions.vrl_program import compile_vrl_program
+
+    events: list[dict] = []
+    if args.event:
+        events.append(json.loads(args.event))
+    elif not args.check and not sys.stdin.isatty() and args.program != "-":
+        for line in sys.stdin:
+            line = line.strip()
+            if line:
+                events.append(json.loads(line))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from vector_spark import get_spark
+
+    # even compile-only needs a SparkContext: the compiler's symbolic
+    # execution builds real Column trees. Never stop a session this
+    # command did not create (see cmd_test / the explain regression).
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark("vrl_cli", shuffle_partitions=1)
+    try:
+        if args.check or not events:
+            try:
+                compile_vrl_program(source)
+            except ValueError as e:  # diagnostics carry reference E-codes
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            print("ok")
+            return 0
+        rc = 0
+        for obj in events:
+            df = spark.read.json(
+                spark.sparkContext.parallelize([json.dumps(obj)])
+            )
+            try:
+                prog = compile_vrl_program(
+                    source,
+                    columns=df.columns,
+                    schema={
+                        f.name: f.dataType.simpleString() for f in df.schema
+                    },
+                )
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            # a pipeline transform emits the TRANSFORMED EVENT — print
+            # that; a trailing bare expression additionally prints as
+            # the program value (the reference REPL's behavior)
+            res = prog.event_struct(df.columns)
+            row = df.select(
+                F.to_json(F.struct(res.alias("r"))).alias("j")
+            ).first()
+            out = {"event": json.loads(row["j"]).get("r")}
+            if prog.result is not None and not prog.result_is_event:
+                vrow = df.select(
+                    F.to_json(F.struct(prog.result.alias("v"))).alias("j")
+                ).first()
+                out["value"] = json.loads(vrow["j"]).get("v")
+            print(json.dumps(out["event"] if args.raw else out))
+    finally:
+        if not preexisting:
+            spark.stop()
+    return rc
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vector_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -326,6 +411,23 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "formatted", "cost"],
     )
     ex.set_defaults(fn=cmd_explain)
+    vr = sub.add_parser(
+        "vrl", help="compile/run a VRL program against JSON events"
+    )
+    vr.add_argument("program", help="program file, '-' for stdin")
+    vr.add_argument(
+        "-e", "--expr", action="store_true",
+        help="treat PROGRAM as inline source, not a path",
+    )
+    vr.add_argument("--event", help="one JSON event (else stdin JSON-lines)")
+    vr.add_argument(
+        "--check", action="store_true", help="compile-only diagnostics"
+    )
+    vr.add_argument(
+        "--raw", action="store_true",
+        help="print scalar results unquoted",
+    )
+    vr.set_defaults(fn=cmd_vrl)
     args = p.parse_args(argv)
     return args.fn(args)
 
