@@ -214,3 +214,48 @@ def test_stream_reduce_ends_when_state_survives_batches(spark, tmp_path):
             for r in spark.sql("select * from srew2").collect()}
     # ids 1,2 buffered in batch 1; id 3 (v=9) closes in batch 2
     assert rows == {("a", "1,2,3"): 3}
+
+
+def test_stream_chunk_tokens_idle_flush(spark, tmp_path):
+    """flush_after_ms: an idle stream key's partial tail emits as a
+    short block and its state is removed. ProcessingTimeTimeout means
+    the engine runs timer batches even with no new data — so the test
+    runs an always-on query with a real trigger interval and polls the
+    sink (an availableNow run never terminates under active timers,
+    and the default ASAP trigger busy-loops)."""
+    import time
+
+    from vector_spark.streaming.ops import stream_chunk_tokens
+
+    d = str(tmp_path / "in")
+    schema = "src string, seq long, tokens array<int>"
+    # key s: 5 tokens at block 4 -> one full block + tail [5]
+    spark.createDataFrame([("s", 1, [1, 2, 3, 4, 5])], schema) \
+        .coalesce(1).write.parquet(d, mode="append")
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stream_chunk_tokens(
+        stream, 4, stream_cols=["src"], order_col="seq",
+        flush_after_ms=1500,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("cflush")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 90
+        rows = {}
+        while time.time() < deadline:
+            rows = {
+                (r.src, r.block): (list(r.tokens), r.n_tok)
+                for r in spark.sql("select * from cflush").collect()
+            }
+            if ("s", 1) in rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert rows.get(("s", 0)) == ([1, 2, 3, 4], 4)
+    # the idle tail flushed via a no-data timer batch
+    assert rows.get(("s", 1)) == ([5], 1)

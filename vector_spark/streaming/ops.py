@@ -211,6 +211,7 @@ def stream_chunk_tokens(
     stream_cols: list[str] = ("source",),
     tokens_col: str = "tokens",
     order_col: str | None = None,
+    flush_after_ms: int | None = None,
 ):
     """Streaming concat-and-chunk: the continuous counterpart of
     ``dataops.tokens.chunk_tokens`` — sequences arriving on a stream
@@ -228,7 +229,18 @@ def stream_chunk_tokens(
     block_size-1 tokens per stream key.
 
     Output: (*stream_cols, block, tokens array<int>, n_tok int) —
-    every row exactly ``block_size`` tokens.
+    every row exactly ``block_size`` tokens, except a flushed tail.
+
+    ``flush_after_ms``: without it the final partial tail waits in the
+    state store for more tokens forever (the drop_last analogue). With
+    it, a stream key idle for that long has its partial tail emitted
+    as a short block (n_tok < block_size) and its state removed.
+    ProcessingTimeTimeout makes the engine schedule NO-DATA timer
+    batches, so pair it with a real trigger interval
+    (``.trigger(processingTime="30 seconds")``): the default ASAP
+    trigger busy-loops on empty timer batches, and
+    ``availableNow``/``processAllAvailable`` never settle while
+    timers are pending (measured, pinned by the test).
     """
     import pandas as pd
 
@@ -237,6 +249,7 @@ def stream_chunk_tokens(
         + ", block long, tokens array<int>, n_tok int"
     )
     state_schema = "buf array<int>, next_block long"
+    timeout = "ProcessingTimeTimeout" if flush_after_ms else "NoTimeout"
 
     def fn(key, pdfs, state):
         if state.exists:
@@ -245,20 +258,28 @@ def stream_chunk_tokens(
         else:
             buf, next_block = [], 0
         emitted = []
-        for pdf in pdfs:
-            if order_col is not None:
-                pdf = pdf.sort_values(order_col)
-            for toks in pdf[tokens_col]:
-                if toks is None:
-                    continue
-                buf.extend(int(t) for t in toks)
-                while len(buf) >= block_size:
-                    emitted.append(
-                        (*key, next_block, buf[:block_size], block_size)
-                    )
-                    buf = buf[block_size:]
-                    next_block += 1
-        state.update((buf, next_block))
+        if getattr(state, "hasTimedOut", False):
+            # idle flush: emit the partial tail, drop the state
+            if buf:
+                emitted.append((*key, next_block, buf, len(buf)))
+            state.remove()
+        else:
+            for pdf in pdfs:
+                if order_col is not None:
+                    pdf = pdf.sort_values(order_col)
+                for toks in pdf[tokens_col]:
+                    if toks is None:
+                        continue
+                    buf.extend(int(t) for t in toks)
+                    while len(buf) >= block_size:
+                        emitted.append(
+                            (*key, next_block, buf[:block_size], block_size)
+                        )
+                        buf = buf[block_size:]
+                        next_block += 1
+            state.update((buf, next_block))
+            if flush_after_ms:
+                state.setTimeoutDuration(flush_after_ms)
         if emitted:
             yield pd.DataFrame(
                 emitted,
@@ -266,5 +287,5 @@ def stream_chunk_tokens(
             )
 
     return stream.groupBy(*stream_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", "NoTimeout"
+        fn, out_schema, state_schema, "append", timeout
     )
