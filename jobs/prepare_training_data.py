@@ -29,8 +29,7 @@ as NOT a substitute for a real labeled model.
 
 Sharding caveat (documented, not hidden): exact dedup runs WITHIN a
 resumable shard. Global dedup across 100 TB is a separate
-whole-corpus pass (dataops.dedup exact/minhash + resolve_keepers)
-run BEFORE this job; per-shard dedup here only catches intra-shard
+whole-corpus pass — ``jobs/dedup_corpus.py`` — run BEFORE this job; per-shard dedup here only catches intra-shard
 repeats. The shard is the resume unit, so cross-shard state would
 break replay idempotency.
 """
