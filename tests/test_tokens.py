@@ -145,3 +145,42 @@ def test_chunk_tokens_sharded_parallel_windows(spark):
         assert sorted(r.block for r in rs) == list(range(len(rs)))
         for r in rs:
             assert r.n_tok == 5 and len(set(r.tokens)) == 1
+
+
+def test_chunk_tokens_property_vs_reference(spark):
+    """Property check against a pure-Python reference: for random doc
+    shapes (empty docs, exact-block docs, giant docs), the emitted
+    blocks must equal chunking the concatenation of each stream's docs
+    in id order. Deterministic example set — hypothesis's per-example
+    Spark jobs are too slow for its shrinking loop."""
+    from vector_spark.dataops.tokens import chunk_tokens
+
+    cases = [
+        # (block_size, lengths per doc on one stream)
+        (4, [0]),
+        (4, [4]),
+        (4, [3, 1]),
+        (5, [2, 2, 2, 2, 2]),
+        (8, [20]),
+        (7, [1, 0, 13, 7, 2]),
+        (3, [9, 9, 9]),
+        (16, [5, 5, 5]),  # total < block -> zero blocks with drop_last
+    ]
+    for bs, lens in cases:
+        rows, nxt = [], 0
+        for i, ln in enumerate(lens):
+            rows.append(("s", i, list(range(nxt, nxt + ln))))
+            nxt += ln
+        df = spark.createDataFrame(
+            rows, "source string, doc_id long, tokens array<int>"
+        )
+        got = {
+            r.block: list(r.tokens)
+            for r in chunk_tokens(df, bs, stream_cols=["source"]).collect()
+        }
+        stream = list(range(nxt))
+        want = {
+            b: stream[b * bs:(b + 1) * bs]
+            for b in range(len(stream) // bs)
+        }
+        assert got == want, f"bs={bs} lens={lens}"
