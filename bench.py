@@ -123,7 +123,10 @@ def _quiesce_writeback(max_wait: float = 90.0) -> None:
 def run_pipeline(spark, input_path: str, out_dir: str):
     """The flagship sequences pipeline: remap → filter → enrich
     (broadcast) → route (3 lanes) → single explode-write with
-    piggybacked telemetry. Returns (rows_in, wall_seconds).
+    piggybacked telemetry. Returns (rows_in, wall_seconds,
+    sink_counts) — the per-sink routed
+    row counts ride along so the scaling legs can prove ROUTED-ROW
+    EQUALITY across parallelism levels, not just throughput.
     (Also imported by tools/bench_leg.py.)"""
     from vector_spark.fixtures import HOT_SOURCE, enrich_sources
     from vector_spark.plans import Pipeline
@@ -170,7 +173,7 @@ def run_pipeline(spark, input_path: str, out_dir: str):
     t0 = time.monotonic()
     res = pipe.run(df, write=True, collect_telemetry=True)
     wall = time.monotonic() - t0
-    return res.telemetry["events_in_total"], wall
+    return res.telemetry["events_in_total"], wall, dict(res.sink_counts)
 
 
 def _dir_bytes(path: str) -> int:
@@ -278,6 +281,7 @@ def main() -> None:
                 SCALE_4N: {"w1": [], "w2": []},
             }
             cpu_pct: dict[int, float] = {}
+            sink_counts: dict[int, dict] = {}
             schedule = [SCALE_N, SCALE_4N] * LEGS_PER_SIDE
             for t in schedule:
                 reps = base_reps if t == SCALE_N else fast_reps
@@ -288,6 +292,8 @@ def main() -> None:
                     walls[t]["w1"] += r["w1_walls"]
                     walls[t]["w2"] += r["w2_walls"]
                     cpu_pct[t] = max(cpu_pct.get(t, 0.0), r.get("mean_cpu_pct", 0.0))
+                    if r.get("sink_counts"):
+                        sink_counts[t] = r["sink_counts"]
 
             def _marginal(t: int) -> float | None:
                 if not walls[t]["w1"] or not walls[t]["w2"]:
@@ -315,6 +321,15 @@ def main() -> None:
                 # conservative (fixed costs penalize the fast leg)
                 "efficiency": eff_inc,
                 "marginal_seq_per_sec": {str(SCALE_N): marg_n, str(SCALE_4N): marg_4n},
+                # routed-row equality across the two parallelism levels:
+                # identical per-sink counts prove the fan-out routes the
+                # same rows regardless of cluster size (north-rule check)
+                "sink_counts": {str(t): c for t, c in sink_counts.items()},
+                "routed_rows_equal": (
+                    sink_counts.get(SCALE_N) == sink_counts.get(SCALE_4N)
+                    if len(sink_counts) == 2
+                    else None
+                ),
                 "efficiency_marginal_diagnostic": eff_marg,
                 "scale_rows": n_rows,
                 "scale_rows_2x": 2 * n_rows,

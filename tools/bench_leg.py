@@ -52,10 +52,10 @@ def _timed(spark, path, out, cpu_out):
     samples: list[float] = []
     thr = threading.Thread(target=cpu_sampler, args=(stop, samples), daemon=True)
     thr.start()
-    rows, wall = run_pipeline(spark, path, out)
+    rows, wall, sinks = run_pipeline(spark, path, out)
     stop.set()
     cpu_out.append(round(sum(samples) / max(len(samples), 1), 1))
-    return rows, round(wall, 3)
+    return rows, round(wall, 3), sinks
 
 
 def main():
@@ -83,10 +83,11 @@ def main():
     w2s: list[float] = []
     cpus: list[float] = []
     rows = 0
+    sink_counts: dict = {}
     for i in range(reps):
-        rows, w1 = _timed(spark, input_path, f"{out_dir}/o1_{i}", cpus)
+        rows, w1, sink_counts = _timed(spark, input_path, f"{out_dir}/o1_{i}", cpus)
         w1s.append(w1)
-    _, w2 = _timed(spark, input2_path, f"{out_dir}/o2", cpus)
+    _, w2, _ = _timed(spark, input2_path, f"{out_dir}/o2", cpus)
     w2s.append(w2)
     spark.stop()
     delta = min(w2s) - min(w1s)
@@ -101,6 +102,7 @@ def main():
                 "w1_walls": w1s,
                 "w2_walls": w2s,
                 "mean_cpu_pct": round(sum(cpus) / max(len(cpus), 1), 1),
+                "sink_counts": sink_counts,
             }
         )
     )
