@@ -184,3 +184,46 @@ def test_chunk_tokens_property_vs_reference(spark):
             for b in range(len(stream) // bs)
         }
         assert got == want, f"bs={bs} lens={lens}"
+
+
+def test_bpe_encode_greedy_merge_order(spark):
+    """Rank-greedy BPE vs a hand-computed expectation: lower-rank
+    merges apply first, unknown symbols map to unk."""
+    from vector_spark.dataops.tokens import bpe_encode
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    # derived vocab: chars l,o,w,e,r -> 1..5; merges lo=6, low=7, er=8
+    df = spark.createDataFrame(
+        [(1, "low lower"), (2, "wool"), (3, None), (4, "LOW")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.tokens for r in bpe_encode(df, merges).collect()}
+    assert out[1] == [7, 7, 8]            # "low" -> low; "lower" -> low+er
+    assert out[2] == [3, 2, 2, 1]         # w o o l — no merges apply
+    assert out[3] == []                   # null text -> empty
+    assert out[4] == [7]                  # lowercased pre-tokenizer
+
+
+def test_bpe_encode_explicit_vocab_and_unk(spark):
+    from vector_spark.dataops.tokens import bpe_encode
+
+    merges = [("a", "b")]
+    vocab = {"ab": 10, "a": 11, "b": 12}
+    df = spark.createDataFrame([(1, "ab ba xq")], "doc_id long, text string")
+    out = bpe_encode(df, merges, vocab=vocab, unk_id=99).collect()[0].tokens
+    assert out == [10, 12, 11, 99, 99]    # ab; b,a; x,q -> unk
+
+
+def test_bpe_encode_feeds_token_ops(spark):
+    """Raw text -> BPE tokens -> the existing token analytics — the
+    full produce-then-consume path over the real documents table."""
+    from vector_spark.dataops.tokens import bpe_encode, token_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+    toks = bpe_encode(docs.select("doc_id", "text"), merges)
+    stats = token_stats(toks.withColumn("doc_id", toks["doc_id"].cast("long")))
+    rows = stats.collect()
+    assert len(rows) == 500
+    assert all(r.n_tok > 0 for r in rows)
+    assert all(r.max_token is not None for r in rows)
