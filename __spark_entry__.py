@@ -1556,6 +1556,21 @@ def _q_chunk_tokens(spark, sf):
     )
 
 
+def _q_bigram_logprob(spark, sf):
+    """Bigram-LM perplexity scoring over the pre-tokenized shape
+    (portable hash tokenization, V=4096) — the order-sensitive quality
+    signal; packed-long bigram keys, partial-agg frequency tables."""
+    from vector_spark.dataops.tokens import bigram_logprob, tokenize_words
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokenize_words(
+            F.col("text"), vocab_size=4096, hash_mode="portable"
+        ).alias("tokens"),
+    )
+    return bigram_logprob(docs, vocab_size=4096)
+
+
 def _q_quality_classifier(spark, sf):
     """Model-based quality filtering END-TO-END: closed-form NB
     log-odds training on deterministic pseudo-labels (docs with >= 30
@@ -2268,6 +2283,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_tokens": _q_chunk_tokens,
         "quality_classifier": _q_quality_classifier,
+        "bigram_logprob": _q_bigram_logprob,
         "stream_dedupe": _q_stream_dedupe,
         "datadog_search": _q_datadog_search,
         "pii_scrub": _q_pii_scrub,
@@ -2968,6 +2984,44 @@ def _legacy_oracle_sql() -> dict[str, str]:
                    cast(len(tok) AS int) AS n_tok
             FROM blocks
             WHERE len(tok) = 64
+        """,
+        "bigram_logprob": f"""
+            WITH words AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     [ (length(w)*31 + ascii(substr(w,1,1))*7
+                        + ascii(substr(w,-1,1))) % 4096 for w in ws ] AS t
+              FROM words
+            ), pairs AS (
+              SELECT doc_id,
+                     [ cast(p[1] AS bigint) * 4096 + cast(p[2] AS bigint)
+                       for p in list_zip(t, t[2:], true) ] AS ps
+              FROM toks
+            ), big AS (
+              SELECT bigram, count(*) AS big_freq
+              FROM (SELECT unnest(ps) AS bigram FROM pairs)
+              GROUP BY bigram
+            ), uni AS (
+              SELECT token, count(*) AS uni_freq
+              FROM (SELECT unnest(t) AS token FROM toks)
+              GROUP BY token
+            ), occ AS (
+              SELECT doc_id, unnest(ps) AS bigram FROM pairs
+            ), scored AS (
+              SELECT o.doc_id,
+                     -ln((coalesce(b.big_freq, 0) + 0.5)
+                         / (coalesce(u.uni_freq, 0) + 0.5 * 4096)) AS nlp
+              FROM occ o
+              LEFT JOIN big b USING (bigram)
+              LEFT JOIN uni u ON u.token = o.bigram // 4096
+            )
+            SELECT doc_id,
+                   cast(count(*) AS bigint) AS n_bigrams,
+                   round(avg(nlp), 6) AS mean_neg_logprob
+            FROM scored GROUP BY doc_id
         """,
         "quality_classifier": f"""
             WITH base AS (

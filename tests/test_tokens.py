@@ -227,3 +227,26 @@ def test_bpe_encode_feeds_token_ops(spark):
     assert len(rows) == 500
     assert all(r.n_tok > 0 for r in rows)
     assert all(r.max_token is not None for r in rows)
+
+
+def test_bigram_logprob_scores_order(spark):
+    """Bigram LM distinguishes token ORDER where unigram stats cannot:
+    a doc repeating the corpus's dominant transition scores lower
+    (more probable) than the same multiset shuffled."""
+    from vector_spark.dataops.tokens import bigram_logprob
+
+    rows = [
+        (1, [1, 2] * 10),          # follows the dominant 1->2 transition
+        (2, [2, 1] * 10),          # same multiset, reversed transitions
+        (3, [1, 2] * 10),
+        (4, [1, 2, 1, 2, 1, 2]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r.doc_id: r for r in bigram_logprob(df, vocab_size=64).collect()}
+    assert out[1].mean_neg_logprob < out[2].mean_neg_logprob
+    assert out[1].n_bigrams == 19
+    # single-token / empty docs produce no bigrams
+    df2 = spark.createDataFrame(
+        [(9, [5]), (10, [])], "doc_id long, tokens array<int>"
+    )
+    assert bigram_logprob(df2, vocab_size=64).count() == 0

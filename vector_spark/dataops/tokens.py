@@ -394,3 +394,77 @@ def bpe_encode(
             yield out
 
     return df.mapInPandas(op, schema=schema)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    vocab_size: int = 32768,
+) -> DataFrame:
+    """Per-sequence mean bigram negative log-probability under the
+    corpus's own transition model — the stronger perplexity-style
+    quality signal (unigram_logprob scores token rarity; this scores
+    token ORDER: shuffled boilerplate that unigram statistics cannot
+    distinguish scores high here).
+
+    P(w | prev) = (c(prev,w) + α) / (c(prev) + α·V), add-α smoothed.
+
+    Scale shape: bigram keys are packed into ONE long
+    (prev · V + w) array-side via ``zip_with`` on shifted slices (the
+    HOF-lambda-safe form — see SCALE.md on per-element re-evaluation),
+    so the frequency tables come from the same explode →
+    partial-hash-aggregate shape as ``vocab_histogram``: the exchange
+    is bounded by DISTINCT bigrams per partition (sparse: ≪ V²),
+    never corpus token count. Scoring joins both frequency tables
+    back; the bigram table can exceed broadcast size at real vocab —
+    it joins on the packed key (uniform), the unigram table
+    broadcasts. Output: (id_col, n_bigrams, mean_neg_logprob).
+    Sequences shorter than 2 tokens produce no bigrams and are absent
+    from the output (no defined transition to score).
+    """
+    t = F.col(tokens_col)
+    n = F.size(t)
+    m = F.greatest(n - 1, F.lit(0))
+    pair_keys = F.zip_with(
+        F.slice(t, 1, m),
+        F.slice(t, 2, m),
+        lambda a, b: a.cast("long") * vocab_size + b.cast("long"),
+    )
+    pairs = df.select(F.col(id_col), pair_keys.alias("_pairs"))
+
+    big_freq = (
+        pairs.select(F.explode("_pairs").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("big_freq"))
+    )
+    uni_freq = (
+        df.select(F.explode(t).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("uni_freq"))
+    )
+
+    occ = pairs.select(
+        F.col(id_col),
+        F.explode("_pairs").alias("bigram"),
+    ).withColumn("prev", F.expr(f"bigram div {int(vocab_size)}"))
+    a = F.lit(float(alpha))
+    av = F.lit(float(alpha) * float(vocab_size))
+    scored = (
+        occ.join(big_freq, "bigram", "left")
+        .join(F.broadcast(uni_freq.withColumnRenamed("token", "prev")), "prev", "left")
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("big_freq"), F.lit(0)) + a)
+                    / (F.coalesce(F.col("uni_freq"), F.lit(0)) + av)
+                )
+            ).alias("_nlp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_nlp"), 6).alias("mean_neg_logprob"),
+    )
