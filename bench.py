@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     # round-4 additions
     "chunk_tokens",
     "quality_classifier",
+    "bigram_logprob",
 ]
 
 
