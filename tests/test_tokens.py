@@ -250,3 +250,28 @@ def test_bigram_logprob_scores_order(spark):
         [(9, [5]), (10, [])], "doc_id long, tokens array<int>"
     )
     assert bigram_logprob(df2, vocab_size=64).count() == 0
+
+
+def test_new_token_ops_survive_nulls(spark):
+    """Engine invariant: malformed/null input is a per-row null or an
+    absent row, never a job abort (ANSI mode semantics)."""
+    from vector_spark.dataops.tokens import (
+        bigram_logprob,
+        bpe_encode,
+        chunk_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, None), ("s", 2, [1, 2, 3]), (None, 3, [4, 5])],
+        "source string, doc_id long, tokens array<int>",
+    )
+    # null tokens row contributes nothing; null stream key is its own group
+    blocks = chunk_tokens(df, 2, stream_cols=["source"]).collect()
+    assert all(r.n_tok == 2 for r in blocks)
+    lm = bigram_logprob(df, vocab_size=64).collect()
+    assert {r.doc_id for r in lm} == {2, 3}
+    txt = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab")], "doc_id long, text string"
+    )
+    enc = {r.doc_id: r.tokens for r in bpe_encode(txt, [("a", "b")]).collect()}
+    assert enc[1] == [] and enc[2] == [] and len(enc[3]) == 1
