@@ -90,3 +90,39 @@ def test_ivf_nprobe_improves_recall_toward_brute_force(spark):
     r1, r4, r8 = recall(1), recall(4), recall(8)
     assert r1 <= r4 <= r8
     assert r8 == 1.0  # probing every cell == brute force
+
+
+def test_ivf_refine_centroids_improves_and_deterministic(spark):
+    """Distributed Lloyd refinement: the mean best-cell similarity
+    over the FULL corpus must not decrease, refinement is
+    deterministic, and empty cells keep their seed centroid."""
+    import numpy as np
+
+    from vector_spark.dataops.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_refine_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = ivf_centroids(emb, n_cells=8, sample_rows=64, iters=2)
+    refined = ivf_refine_centroids(emb, seed, iters=2)
+    assert len(refined) == len(seed) and len(refined[0]) == len(seed[0])
+    again = ivf_refine_centroids(emb, seed, iters=2)
+    assert refined == again  # deterministic
+
+    def objective(cents):
+        import pandas as pd
+
+        x = np.array(
+            [r[0] for r in emb.select("embedding").collect()], dtype=np.float64
+        )
+        c = np.array(cents, dtype=np.float64)
+        sim = (x @ c.T) / (
+            np.linalg.norm(x, axis=1, keepdims=True)
+            * np.linalg.norm(c, axis=1)[None, :]
+            + 1e-12
+        )
+        return sim.max(axis=1).mean()
+
+    assert objective(refined) >= objective(seed) - 1e-9
