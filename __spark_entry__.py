@@ -1571,6 +1571,21 @@ def _q_bigram_logprob(spark, sf):
     return bigram_logprob(docs, vocab_size=4096)
 
 
+def _q_lang_id_ngram(spark, sf):
+    """Profile-based n-gram language ID (Cavnar-Trenkle style) over
+    documents — engine-parity gate (the synthetic corpus is
+    English-ish for every label, so linguistic accuracy is pinned by
+    tests/test_dataops.py on authentic snippets; this gate pins the
+    trigram extraction + broadcast profile join + conditional-sum
+    argmax against DuckDB)."""
+    from vector_spark.dataops.textstats import lang_id_ngram
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return lang_id_ngram(docs)
+
+
 def _q_quality_classifier(spark, sf):
     """Model-based quality filtering END-TO-END: closed-form NB
     log-odds training on deterministic pseudo-labels (docs with >= 30
@@ -2284,6 +2299,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": _q_chunk_tokens,
         "quality_classifier": _q_quality_classifier,
         "bigram_logprob": _q_bigram_logprob,
+        "lang_id_ngram": _q_lang_id_ngram,
         "stream_dedupe": _q_stream_dedupe,
         "datadog_search": _q_datadog_search,
         "pii_scrub": _q_pii_scrub,
@@ -2506,6 +2522,60 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
             FROM ({o["stratified_sample"]})
         """,
     }
+
+
+
+
+def _lang_id_oracle() -> str:
+    from vector_spark.dataops.textstats import LANG_TRIGRAM_PROFILES
+
+    prof_values = ", ".join(
+        f"('{lang}', '{tri.replace(chr(39), chr(39)*2)}', {w})"
+        for lang, prof in sorted(LANG_TRIGRAM_PROFILES.items())
+        for tri, w in sorted(prof.items())
+    )
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+    score_cols = ",\n                     ".join(
+        f"sum(CASE WHEN p.lang = '{lg}' THEN p.w ELSE 0 END) AS s_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    winner = "'unk'"
+    for lg in reversed(langs):
+        winner = f"CASE WHEN s_{lg} = {best} THEN '{lg}' ELSE {winner} END"
+    return f"""
+        WITH base AS (
+          SELECT cast(doc_id AS bigint) AS doc_id,
+                 {_NORM} AS t,
+                 length(text)
+                   - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk,
+                 length(text) AS len
+          FROM documents
+        ), occ AS (
+          SELECT doc_id, cjk, len,
+                 unnest([substr(t, i, 3)
+                         for i in generate_series(1, greatest(length(t) - 2, 0))])
+                     AS trigram
+          FROM base
+        ), prof(lang, trigram, w) AS (VALUES {prof_values}),
+        scored AS (
+          SELECT o.doc_id,
+                 any_value(o.cjk) AS cjk, any_value(o.len) AS len,
+                 {score_cols}
+          FROM occ o LEFT JOIN prof p USING (trigram)
+          GROUP BY o.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN cjk * 3 >= len THEN 'zh'
+                    WHEN {best} < 8 THEN 'unk'
+                    ELSE {winner} END AS lang,
+               CASE WHEN cjk * 3 >= len THEN NULL
+                    ELSE cast({best} AS bigint) END AS lang_score
+        FROM scored
+    """
+
+
+_LANG_ID_ORACLE = _lang_id_oracle()
 
 
 def _legacy_oracle_sql() -> dict[str, str]:
@@ -2985,6 +3055,7 @@ def _legacy_oracle_sql() -> dict[str, str]:
             FROM blocks
             WHERE len(tok) = 64
         """,
+        "lang_id_ngram": _LANG_ID_ORACLE,
         "bigram_logprob": f"""
             WITH words AS (
               SELECT cast(doc_id AS bigint) AS doc_id,

@@ -482,3 +482,27 @@ def test_simhash64_band_key_cardinality(spark):
         F.max(F.greatest(*[F.col(f"s{k}") for k in range(4)])).alias("hi"),
     ).first()
     assert rng.lo >= 0 and rng.hi < 65536
+
+
+def test_lang_id_ngram_real_snippets(spark):
+    """Profile-based n-gram language ID on authentic snippets — the
+    upgrade over the stopword-threshold heuristic."""
+    from vector_spark.dataops.textstats import lang_id_ngram
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and runs into the woods."),
+        (2, "Der schnelle braune Fuchs springt über den faulen Hund und rennt in den Wald."),
+        (3, "Le renard brun rapide saute par-dessus le chien paresseux et court dans les bois."),
+        (4, "El rápido zorro marrón salta sobre el perro perezoso y corre hacia el bosque con decisión."),
+        (5, "敏捷的棕色狐狸跳过懒狗然后跑进树林"),
+        (6, "zzz qqq xxx"),  # no profile hits -> unk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.lang, r.lang_score) for r in lang_id_ngram(df).collect()}
+    assert out[1][0] == "en"
+    assert out[2][0] == "de"
+    assert out[3][0] == "fr"
+    assert out[4][0] == "es"
+    assert out[5][0] == "zh"
+    assert out[6][0] == "unk"
+    assert out[1][1] > 0 and out[5][1] is None  # CJK bypasses scoring

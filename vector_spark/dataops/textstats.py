@@ -316,3 +316,109 @@ def pack_sequences(
         F.expr(f"_cumb div {int(max_tokens)}").alias("bin"),
         (F.col("_cumb") % max_tokens).cast("long").alias("offset"),
     )
+
+
+# Character-trigram profiles for n-gram language ID (Cavnar-Trenkle
+# style, public method): hand-ranked high-frequency trigrams per
+# language; weight = rank score (higher = more characteristic).
+# Trigrams include word-boundary spaces (text is normalized to
+# single-space separators first).
+LANG_TRIGRAM_PROFILES: dict[str, dict[str, int]] = {
+    "en": {" th": 10, "the": 10, "he ": 8, "ing": 8, "ng ": 6, "and": 8,
+           " an": 6, " of": 7, "of ": 6, "ion": 5, " to": 6, "ed ": 5,
+           "er ": 4, " in": 5, "ent": 3},
+    "de": {"en ": 10, "er ": 8, "der": 9, " de": 7, "ein": 8, " ei": 6,
+           "ich": 9, "sch": 9, "ch ": 7, "und": 9, " un": 6, "die": 8,
+           "ung": 8, "ie ": 6, "cht": 7},
+    "fr": {" de": 9, "de ": 8, "es ": 8, " le": 9, "le ": 8, "ent": 7,
+           "la ": 7, " la": 7, "que": 8, " qu": 6, "ait": 7, "les": 7,
+           "ais": 7, "eur": 6, "tio": 5},
+    "es": {" de": 9, "de ": 8, "os ": 9, "la ": 8, " la": 8, "ión": 9,
+           "ció": 9, "que": 8, " qu": 6, "ado": 8, "ar ": 7, " el": 8,
+           "el ": 7, "as ": 7, "nte": 6},
+}
+
+#: CJK unified ideographs — unsegmented scripts bypass trigram scoring
+_CJK_RE = r"[一-鿿]"
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_score: int = 8,
+) -> DataFrame:
+    """Profile-based n-gram language ID (Cavnar-Trenkle style) —
+    upgrades the stopword-threshold ``lang_id`` heuristic to scored
+    classification over character-trigram profiles.
+
+    Plan shape: trigrams are extracted ARRAY-SIDE from the normalized
+    text (sequence + substring over an attribute — no per-element
+    re-evaluation), exploded, and joined to the broadcast profile
+    table (|profiles| ≈ dozens of rows); one per-doc aggregate computes
+    each language's score as a conditional sum (fixed small language
+    set — no pivot), and the winner is a chained greatest/when. CJK
+    text bypasses trigram scoring via a codepoint-ratio check
+    (unsegmented script; trigram profiles assume space-delimited
+    words). Docs scoring below ``min_score`` on every profile → 'unk'.
+
+    Output: (id_col, lang, lang_score). Deterministic; ties break by
+    language name order (documented).
+    """
+    from vector_spark.dataops.dedup import normalize_text
+
+    spark = df.sparkSession
+    prof_rows = [
+        (lang, tri, w)
+        for lang, prof in sorted(LANG_TRIGRAM_PROFILES.items())
+        for tri, w in sorted(prof.items())
+    ]
+    profiles = spark.createDataFrame(
+        prof_rows, "lang string, trigram string, w int"
+    )
+
+    norm = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        norm.alias("_t"),
+        F.regexp_count(F.col(text_col), F.lit(_CJK_RE)).alias("_cjk"),
+        F.length(F.col(text_col)).alias("_len"),
+    )
+    # trigrams array-side over the MATERIALIZED _t attribute (per the
+    # HOF-lambda rule, an attribute reference inside the lambda is
+    # cheap; substr needs the expr form for a column start index)
+    tris = F.expr(
+        "transform(sequence(1, greatest(length(_t) - 2, 0)),"
+        " i -> substr(_t, i, 3))"
+    )
+    occ = base.select(
+        id_col, "_cjk", "_len", F.explode(tris).alias("trigram")
+    )
+    langs = sorted(LANG_TRIGRAM_PROFILES)
+    scored = (
+        occ.join(F.broadcast(profiles), "trigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("_cjk").alias("_cjk"),
+            F.first("_len").alias("_len"),
+            *[
+                F.sum(
+                    F.when(F.col("lang") == lg, F.col("w")).otherwise(0)
+                ).alias(f"_s_{lg}")
+                for lg in langs
+            ],
+        )
+    )
+    best_score = F.greatest(*[F.col(f"_s_{lg}") for lg in langs])
+    winner = F.lit("unk")
+    for lg in reversed(langs):  # earlier name wins ties (last when wins)
+        winner = F.when(F.col(f"_s_{lg}") == best_score, F.lit(lg)).otherwise(winner)
+    winner = F.when(best_score < min_score, F.lit("unk")).otherwise(winner)
+    is_cjk = (F.col("_cjk") * 3) >= F.col("_len")
+    return scored.select(
+        id_col,
+        F.when(is_cjk, F.lit("zh")).otherwise(winner).alias("lang"),
+        F.when(is_cjk, F.lit(None).cast("long")).otherwise(
+            best_score.cast("long")
+        ).alias("lang_score"),
+    )
