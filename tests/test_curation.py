@@ -156,3 +156,31 @@ def test_null_inputs_never_abort(spark):
     assert token_stats(toks).count() == 2
     assert oov_rate(toks, 10).count() == 1
     assert docs.select(tokenize_words(F.col("text"))).count() == 2
+
+
+def test_contamination_fuzzy_catches_paraphrase(spark):
+    """Near-dup decontamination flags a lightly-edited benchmark item
+    that exact n-gram overlap would need a verbatim 8-gram to catch."""
+    from vector_spark.dataops.curation import contamination_fuzzy
+
+    bench_text = (
+        "what is the capital of france the capital of france is paris "
+        "which is located on the seine river in the north of the country"
+    )
+    leaked = bench_text.replace("located on", "situated on")  # paraphrased
+    docs = spark.createDataFrame(
+        [
+            (1, leaked),
+            (2, "a completely unrelated training document about spark plans "
+                "and shuffle exchanges in distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(7, bench_text)], "doc_id long, text string"
+    )
+    out = contamination_fuzzy(docs, bench, threshold=0.4).collect()
+    flagged = {(r.doc_id, r.bench_id) for r in out}
+    assert (1, 7) in flagged
+    assert all(r.doc_id != 2 for r in out)
+    assert all(0.0 <= r.est_jaccard <= 1.0 for r in out)

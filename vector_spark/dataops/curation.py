@@ -143,6 +143,65 @@ def contamination_check(
     )
 
 
+def contamination_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    minhash_k: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """NEAR-DUP decontamination: flag training documents whose content
+    is a MinHash near-duplicate of a benchmark item — catches
+    paraphrased / lightly-edited leakage that ``contamination_check``'s
+    exact n-gram overlap misses (and that real eval leakage usually
+    is).
+
+    Pure composition of the oracle-gated dedup machinery pointed
+    across two frames: signatures for docs ∪ benchmark (benchmark ids
+    offset into a disjoint key space), banded LSH candidates, Jaccard
+    verification on the signature table, then only doc↔benchmark
+    pairs kept. Scale shape inherits from the dedup ops — band
+    equi-join, no all-pairs; the benchmark side is tiny so its
+    signatures are a rounding error.
+
+    Output: (id_col, bench_id, est_jaccard) — one row per
+    (document, benchmark item) near-dup relation at or above
+    ``threshold``.
+    """
+    from vector_spark.dataops.dedup import (
+        minhash_jaccard_estimate,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    OFFSET = 1 << 40  # benchmark ids land in a disjoint id space
+    d = docs.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    )
+    b = benchmark.select(
+        (F.col(id_col).cast("long") + OFFSET).alias(id_col), F.col(text_col)
+    )
+    sigs = minhash_signatures(
+        d.unionByName(b), k=minhash_k, text_col=text_col, id_col=id_col
+    )
+    cands = minhash_lsh_candidates(
+        sigs, bands=bands, rows_per_band=max(1, minhash_k // bands)
+    )
+    pairs = minhash_jaccard_estimate(sigs, cands, threshold=threshold)
+    # keep only doc-vs-benchmark relations (either orientation)
+    doc_a = (F.col("id_a") < OFFSET) & (F.col("id_b") >= OFFSET)
+    doc_b = (F.col("id_b") < OFFSET) & (F.col("id_a") >= OFFSET)
+    return pairs.filter(doc_a | doc_b).select(
+        F.when(doc_a, F.col("id_a")).otherwise(F.col("id_b")).alias(id_col),
+        (
+            F.when(doc_a, F.col("id_b")).otherwise(F.col("id_a")) - OFFSET
+        ).alias("bench_id"),
+        "est_jaccard",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stratified sampling
 # ---------------------------------------------------------------------------
