@@ -49,3 +49,30 @@ def test_dedup_decisions_deterministic(spark):
     assert a == b
     kept = [r for r in a if r[2]]
     assert len(kept) == 20  # 21 docs, one dropped
+
+
+def test_dedup_then_prepare_composed(spark, tmp_path):
+    """The deployment composition: global dedup decisions semi-join
+    into the curation job's input — duplicates never reach the block
+    writer, and the blocks are exact."""
+    from pyspark.sql import functions as F
+
+    from jobs.dedup_corpus import dedup_decisions
+    from jobs.prepare_training_data import curate_to_blocks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    decisions, _ = dedup_decisions(docs)
+    keepers = decisions.filter("keep").select("doc_id")
+    kept_docs = docs.join(
+        keepers.withColumn("doc_id", F.col("doc_id").cast(docs.schema["doc_id"].dataType)),
+        "doc_id",
+    )
+    n_kept = kept_docs.count()
+    assert n_kept < docs.count()  # the corpus contains duplicates
+    blocks, obs = curate_to_blocks(
+        kept_docs, weights=None, min_score=0.4, block_size=256,
+        n_window_shards=1,
+    )
+    rows = blocks.collect()
+    assert len(rows) > 0 and all(r.n_tok == 256 for r in rows)
+    assert obs["in"].get["n"] == n_kept
