@@ -46,6 +46,15 @@ COMPONENTS: dict[str, list[str]] = {
         "kafka (classpath-gated)", "iceberg (classpath-gated)",
     ],
     "conditions": ["check_fields", "vrl (VRL-lite)", "datadog_search"],
+    "dataops": [
+        "dedup: exact / minhash-lsh / simhash64 / jaccard / clusters+keepers",
+        "similarity: brute-force / sign-LSH / IVF (+distributed Lloyd refine)",
+        "text: stats / quality / repetition / winnowing / lang_id_ngram",
+        "tokens: stats / vocab / oov / unigram+bigram LM / chunk / pack / bpe",
+        "curation: pii_scrub / contamination (exact+fuzzy) / stratified mix",
+        "classify: hashed-ngram NB quality classifier (train+score)",
+        "jobs: run_pipeline / prepare_training_data / dedup_corpus",
+    ],
 }
 
 
