@@ -2982,7 +2982,7 @@ def _legacy_oracle_sql() -> dict[str, str]:
                      len(t) AS n
               FROM toks
             )
-            SELECT source, sum(o) AS n_oov, sum(n) AS n_tok,
+            SELECT source, cast(sum(o) AS BIGINT) AS n_oov, cast(sum(n) AS BIGINT) AS n_tok,
                    round(sum(o) / greatest(sum(n), 1), 6) AS oov_rate
             FROM per GROUP BY source
         """,

@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import numbers
 import sys
 
 sys.path.insert(0, ".")
@@ -16,12 +17,21 @@ import duckdb
 
 
 def norm_cell(v):
+    # Dtype-faithful: the driver's value hash distinguishes int64 917
+    # from float64 917.0 (the r4 oov_rate red row), so ints and floats
+    # must normalize differently here too. Floats keep a 6-sig-digit
+    # tolerance but carry an "f:" tag; integrals carry "i:".
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, numbers.Integral):
+        return f"i:{int(v)}"
+    if isinstance(v, numbers.Real):
+        fv = float(v)
+        if math.isnan(fv):
+            return "f:NaN"
+        return f"f:{fv:.6g}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
