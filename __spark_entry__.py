@@ -1455,9 +1455,41 @@ def _q_curation_pipeline(spark, sf):
         rate_field=None,
         hash_mode="md5",
     )
-    return sampled.groupBy("source").agg(
+    # model-based quality stage (r4 fold): train the NB classifier on
+    # the FULL corpus (deterministic pseudo-labels, same shape as the
+    # quality_classifier fine gate), score the sampled survivors with
+    # the broadcast weight table, and roll the scores into the
+    # per-source survivor summary — the fasttext-style "classifier
+    # filter" step of a real curation pipeline, chained, not unioned
+    from vector_spark.dataops.classify import (
+        hash_features,
+        score_classifier,
+        train_nb_classifier,
+    )
+
+    ws = F.filter(F.split(normalize_text(F.col("text")), " "), lambda x: x != "")
+    feats_all = docs.select(
+        (F.size(ws) >= 30).alias("label"),
+        hash_features(
+            F.col("text"), n_features=4096, bigrams=True, hash_mode="portable"
+        ).alias("features"),
+    )
+    wtab = train_nb_classifier(feats_all, "label", n_features=4096)
+    scored = score_classifier(
+        sampled.withColumn(
+            "features",
+            hash_features(
+                F.col("text"), n_features=4096, bigrams=True, hash_mode="portable"
+            ),
+        ),
+        wtab,
+        keep_cols=("source", "n_chars"),
+    )
+    return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        F.round(F.avg("score"), 6).alias("avg_quality"),
+        F.sum((F.col("score") >= 0.5).cast("long")).alias("n_good"),
     )
 
 
@@ -2138,15 +2170,57 @@ def _q_text_doc_signals(spark, sf):
     ts = _q_text_stats(spark, sf)
     rep = _q_repetition_signals(spark, sf).drop("n_words")
     ma = _q_match_any(spark, sf)
-    return ts.join(rep, "doc_id").join(ma, "doc_id")
+    lid = _q_lang_id_ngram(spark, sf).select(
+        "doc_id", F.col("lang").alias("lang_ngram"), "lang_score"
+    )
+    return (
+        ts.join(rep, "doc_id")
+        .join(ma, "doc_id")
+        .join(lid, "doc_id", "left")
+        .withColumn("lang_ngram", F.coalesce("lang_ngram", F.lit("unk")))
+    )
+
+
+def _q_packing_suite(spark, sf):
+    """Sequence-packing family: concat-and-chunk PLACEMENT metadata
+    (``pack_sequences`` — where each sequence lands) and the block
+    MATERIALIZATION (``chunk_tokens`` — exact 64-token training
+    blocks), unioned with a mode discriminator. Both run the SHARDED
+    path (3 parallel window sorts per stream); the chunk rows carry
+    the per-block token string, so the north-rule token-array
+    invariant stays inside the driver window."""
+    nul = F.lit(None).cast("string")
+    p = _q_pack_sequences(spark, sf).select(
+        F.lit("pack").alias("mode"), "stream", "shard",
+        F.col("doc_id").alias("k1"), F.col("bin").alias("k2"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.col("offset").cast("string").alias("payload"),
+    )
+    c = _q_chunk_tokens(spark, sf).select(
+        F.lit("chunk").alias("mode"), "stream", "shard",
+        F.col("block").alias("k1"), F.lit(None).cast("long").alias("k2"),
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.col("tokens_str").alias("payload"),
+    )
+    return p.unionByName(c)
 
 
 def _q_tokens_doc(spark, sf):
     """Per-sequence token family over the pre-tokenized shape: token
-    stats + unigram-LM mean negative logprob, joined on doc_id."""
+    stats + unigram-LM mean negative logprob + bigram-LM (the
+    order-sensitive signal), joined on doc_id. Bigram rows exist only
+    for docs with >= 2 tokens — LEFT join, n_bigrams coalesced to 0."""
     t = _q_token_stats(spark, sf)
     u = _q_unigram_logprob(spark, sf).select("doc_id", "mean_neg_logprob")
-    return t.join(u, "doc_id")
+    b = _q_bigram_logprob(spark, sf).select(
+        "doc_id", "n_bigrams",
+        F.col("mean_neg_logprob").alias("bigram_neg_logprob"),
+    )
+    return (
+        t.join(u, "doc_id")
+        .join(b, "doc_id", "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0).cast("long")))
+    )
 
 
 def _q_sampling_mix(spark, sf):
@@ -2213,7 +2287,7 @@ _WINDOW = [
     "sampling_mix",
     "pii_scrub",
     "contamination",
-    "pack_sequences",
+    "packing_suite",
     "curation_pipeline",
     "multimodal_features",
     "stream_aggregate",
@@ -2333,6 +2407,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "text_doc_signals": _q_text_doc_signals,
         "tokens_doc": _q_tokens_doc,
+        "packing_suite": _q_packing_suite,
         "sampling_mix": _q_sampling_mix,
     }
 
@@ -2504,15 +2579,30 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
         """,
         "text_doc_signals": f"""
             SELECT t.*, r.mean_word_len, r.symbol_word_ratio, r.bullet_ratio,
-                   r.ellipsis_ratio, r.dup_2gram_frac, r.dup_3gram_frac, m.hit
+                   r.ellipsis_ratio, r.dup_2gram_frac, r.dup_3gram_frac, m.hit,
+                   coalesce(l.lang, 'unk') AS lang_ngram, l.lang_score
             FROM ({o["text_stats"]}) t
             JOIN ({o["repetition_signals"]}) r USING (doc_id)
             JOIN ({o["vrl_match_any"]}) m USING (doc_id)
+            LEFT JOIN ({o["lang_id_ngram"]}) l ON l.doc_id = t.doc_id
         """,
         "tokens_doc": f"""
-            SELECT t.*, u.mean_neg_logprob
+            SELECT t.*, u.mean_neg_logprob,
+                   coalesce(b.n_bigrams, 0) AS n_bigrams,
+                   b.mean_neg_logprob AS bigram_neg_logprob
             FROM ({o["token_stats"]}) t
             JOIN ({o["unigram_logprob"]}) u USING (doc_id)
+            LEFT JOIN ({o["bigram_logprob"]}) b ON b.doc_id = t.doc_id
+        """,
+        "packing_suite": f"""
+            SELECT 'pack' AS mode, stream, shard, doc_id AS k1, bin AS k2,
+                   cast(n_tok AS int) AS n_tok, cast("offset" AS varchar) AS payload
+            FROM ({o["pack_sequences"]})
+            UNION ALL
+            SELECT 'chunk' AS mode, stream, shard, block AS k1,
+                   cast(NULL AS bigint) AS k2, cast(n_tok AS int) AS n_tok,
+                   tokens_str AS payload
+            FROM ({o["chunk_tokens"]})
         """,
         "sampling_mix": f"""
             SELECT 'mix' AS part, lang AS k, rate, cast(NULL AS bigint) AS doc_id
@@ -3594,10 +3684,63 @@ def _legacy_oracle_sql() -> dict[str, str]:
                       WHEN 'src1' THEN substr(md5(cast(doc_id AS varchar)), 1, 4) < 'c000'
                       WHEN 'src2' THEN substr(md5(cast(doc_id AS varchar)), 1, 4) < '8000'
                       ELSE true END
+            ),
+            -- model-based quality stage: NB classifier trained on the
+            -- FULL corpus (same fragment as the quality_classifier
+            -- oracle), scoring only the sampled survivors
+            cbase AS (
+              SELECT cast(doc_id AS bigint) AS doc_id,
+                     list_filter(string_split({_NORM}, ' '), w -> w <> '') AS ws
+              FROM documents
+            ), cfeat AS (
+              SELECT doc_id, len(ws) >= 30 AS label,
+                     [ (length(w)*31 + ascii(substr(w,1,1))*7
+                        + ascii(substr(w,-1,1))) % 4096 for w in ws ]
+                     || [ ((length(p[1]) + 1 + length(p[2]))*31
+                           + ascii(substr(p[1],1,1))*7
+                           + ascii(substr(p[2],-1,1))) % 4096
+                          for p in list_zip(ws, ws[2:], true) ] AS fs
+              FROM cbase
+            ), cocc AS (
+              SELECT doc_id, label, unnest(fs) AS feature FROM cfeat
+            ), cperfeat AS (
+              SELECT feature,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_pos,
+                     sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS c_neg
+              FROM cocc GROUP BY feature
+            ), ctotals AS (
+              SELECT sum(CASE WHEN label THEN len(fs) ELSE 0 END) AS t_pos,
+                     sum(CASE WHEN NOT label THEN len(fs) ELSE 0 END) AS t_neg,
+                     sum(CASE WHEN label THEN 1 ELSE 0 END) AS d_pos,
+                     sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS d_neg
+              FROM cfeat
+            ), cweights AS (
+              SELECT feature,
+                     round(ln((c_pos + 1.0) / (t_pos + 4096.0))
+                           - ln((c_neg + 1.0) / (t_neg + 4096.0)), 12) AS weight
+              FROM cperfeat CROSS JOIN ctotals
+              UNION ALL
+              SELECT -1 AS feature,
+                     round(ln((d_pos + 1.0) / (d_neg + 1.0)), 12) AS weight
+              FROM ctotals
+            ), socc AS (
+              SELECT s.doc_id, s.source, s.n_chars,
+                     unnest(f.fs || [-1]) AS feature
+              FROM sampled s JOIN cfeat f USING (doc_id)
+            ), cscored AS (
+              SELECT o.doc_id, any_value(o.source) AS source,
+                     any_value(o.n_chars) AS n_chars,
+                     round(1.0 / (1.0 + exp(-sum(coalesce(w.weight, 0.0)))), 6)
+                         AS score
+              FROM socc o LEFT JOIN cweights w USING (feature)
+              GROUP BY o.doc_id
             )
             SELECT source, count(*) AS n_docs,
-                   cast(sum(n_chars) AS bigint) AS chars
-            FROM sampled GROUP BY source
+                   cast(sum(n_chars) AS bigint) AS chars,
+                   round(avg(score), 6) AS avg_quality,
+                   cast(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+                        AS bigint) AS n_good
+            FROM cscored GROUP BY source
         """,
         "dedup_resolution": f"""
             WITH RECURSIVE sh AS ({_SHINGLES}),

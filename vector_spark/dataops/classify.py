@@ -164,12 +164,17 @@ def score_classifier(
     rounded for cross-engine comparison; ``n_feat`` counts the
     document's real features only.
     """
+    # NULL features (e.g. a null-text document) count as empty —
+    # concat(NULL, array(bias)) is NULL and the explode would silently
+    # drop the document; coalescing guarantees a bias-only score row
     occ = df.select(
         F.col(id_col),
         *keep_cols,
         F.explode(
             F.concat(
-                F.col(features_col),
+                F.coalesce(
+                    F.col(features_col), F.array().cast("array<int>")
+                ),
                 F.array(F.lit(BIAS_FEATURE).cast("int")),
             )
         ).alias("feature"),
