@@ -1760,6 +1760,48 @@ def _q_contamination(spark, sf):
     return contamination_check(train, bench, n=3)
 
 
+def _q_contamination_fuzzy(spark, sf):
+    """MinHash-LSH NEAR-DUP decontamination: training docs flagged as
+    near-duplicates of benchmark items — catches the paraphrased
+    leakage the exact n-gram overlap gate misses. The benchmark split
+    is a LIGHTLY-EDITED copy of the docs it came from (doc_id % 97 ==
+    0, last word dropped — simulated paraphrase), so the gate provably
+    fires: every bench item should re-find its source doc. Pure
+    composition of the oracle-gated signature/band/estimate machinery
+    across docs ∪ offset benchmark ids."""
+    from vector_spark.dataops.curation import contamination_fuzzy
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    w = F.split(F.col("text"), " ")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).withColumn(
+        "text",
+        F.array_join(F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))), " "),
+    )
+    return contamination_fuzzy(docs, bench, threshold=0.25)
+
+
+def _q_decontamination(spark, sf):
+    """Decontamination family — exact word-n-gram overlap
+    (contamination_check) and MinHash-LSH near-dup flags
+    (contamination_fuzzy) against the same benchmark split, unioned
+    with a part discriminator."""
+    ex = _q_contamination(spark, sf).select(
+        F.lit("exact").alias("part"), "doc_id",
+        F.col("n_grams").cast("long").alias("k"),
+        F.col("n_contaminated").cast("long").alias("n"),
+        F.col("contamination").alias("ratio"),
+    )
+    fz = _q_contamination_fuzzy(spark, sf).select(
+        F.lit("fuzzy").alias("part"), "doc_id",
+        F.col("bench_id").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("est_jaccard").alias("ratio"),
+    )
+    return ex.unionByName(fz)
+
+
 def _q_stratified_sample(spark, sf):
     """Domain-mixing sampler: deterministic per-source keep rates via
     md5-uniform hashing (engine-portable mode; xxhash64 is the fast
@@ -2286,7 +2328,7 @@ _WINDOW = [
     "oov_rate",
     "sampling_mix",
     "pii_scrub",
-    "contamination",
+    "decontamination",
     "packing_suite",
     "curation_pipeline",
     "multimodal_features",
@@ -2408,6 +2450,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_doc_signals": _q_text_doc_signals,
         "tokens_doc": _q_tokens_doc,
         "packing_suite": _q_packing_suite,
+        "contamination_fuzzy": _q_contamination_fuzzy,
+        "decontamination": _q_decontamination,
         "sampling_mix": _q_sampling_mix,
     }
 
@@ -2593,6 +2637,15 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
             FROM ({o["token_stats"]}) t
             JOIN ({o["unigram_logprob"]}) u USING (doc_id)
             LEFT JOIN ({o["bigram_logprob"]}) b ON b.doc_id = t.doc_id
+        """,
+        "decontamination": f"""
+            SELECT 'exact' AS part, doc_id, cast(n_grams AS bigint) AS k,
+                   cast(n_contaminated AS bigint) AS n, contamination AS ratio
+            FROM ({o["contamination"]})
+            UNION ALL
+            SELECT 'fuzzy' AS part, doc_id, bench_id AS k,
+                   cast(NULL AS bigint) AS n, est_jaccard AS ratio
+            FROM ({o["contamination_fuzzy"]})
         """,
         "packing_suite": f"""
             SELECT 'pack' AS mode, stream, shard, doc_id AS k1, bin AS k2,
@@ -2993,6 +3046,55 @@ def _legacy_oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.n_grams, h.n_contaminated,
                    round(h.n_contaminated / t.n_grams, 6) AS contamination
             FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+        """,
+        "contamination_fuzzy": """
+            WITH ids AS (
+              -- every doc is on the training side; the benchmark side
+              -- is the lightly-edited copy (last word dropped) of the
+              -- doc_id % 97 == 0 docs, offset into the 2^40 id space
+              SELECT cast(doc_id AS bigint) AS id,
+                     string_split(text, ' ') AS words
+              FROM documents
+              UNION ALL
+              SELECT cast(doc_id AS bigint) + 1099511627776 AS id,
+                     ws[1:len(ws)-1] AS words
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents WHERE doc_id % 97 = 0)
+            ), sh AS (
+              SELECT DISTINCT id, array_to_string(words[i:i+2], ' ') AS shingle
+              FROM (
+                SELECT id, words,
+                       unnest(generate_series(1, greatest(len(words)-2, 0))) AS i
+                FROM ids
+              )
+            ), sig AS (
+              SELECT id, seed,
+                     min(CAST(('0x' || substr(md5(cast(seed AS varchar) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
+              FROM sh, range(0, 16) s(seed) GROUP BY id, seed
+            ), banded AS (
+              SELECT id, cast(floor(seed / 2) AS int) AS band,
+                     md5(string_agg(CAST(minhash AS varchar), '|' ORDER BY minhash)) AS band_hash
+              FROM sig GROUP BY id, band
+            ), cands AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.band_hash = b.band_hash AND a.id < b.id
+            ), est AS (
+              SELECT c.id_a, c.id_b,
+                     round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6)
+                       AS est_jaccard
+              FROM cands c
+              JOIN sig sa ON sa.id = c.id_a
+              JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
+              GROUP BY c.id_a, c.id_b
+              HAVING round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 6) >= 0.25
+            )
+            SELECT CASE WHEN id_a < 1099511627776 THEN id_a ELSE id_b END AS doc_id,
+                   CASE WHEN id_a >= 1099511627776 THEN id_a ELSE id_b END
+                     - 1099511627776 AS bench_id,
+                   est_jaccard
+            FROM est
+            WHERE (id_a < 1099511627776) <> (id_b < 1099511627776)
         """,
         "stratified_sample": """
             WITH d AS (

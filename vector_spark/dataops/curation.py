@@ -151,6 +151,7 @@ def contamination_fuzzy(
     threshold: float = 0.5,
     minhash_k: int = 16,
     bands: int = 8,
+    check_ids: bool = True,
 ) -> DataFrame:
     """NEAR-DUP decontamination: flag training documents whose content
     is a MinHash near-duplicate of a benchmark item — catches
@@ -183,6 +184,24 @@ def contamination_fuzzy(
     b = benchmark.select(
         (F.col(id_col).cast("long") + OFFSET).alias(id_col), F.col(text_col)
     )
+    if check_ids:
+        # id-range contract: doc ids must sit below OFFSET and bench
+        # ids must be non-negative, or the doc/benchmark orientation
+        # silently flips. Two bounded aggregates (column-pruned min/max
+        # scans — trivial next to the minhash pass itself); disable
+        # with check_ids=False when the caller owns the contract.
+        dmax = d.agg(F.max(id_col).alias("m")).first()["m"]
+        if dmax is not None and dmax >= OFFSET:
+            raise ValueError(
+                f"contamination_fuzzy: doc {id_col} {dmax} >= 2^40; the "
+                "benchmark id offset would collide — remap ids first"
+            )
+        bmin = benchmark.agg(F.min(F.col(id_col).cast("long")).alias("m")).first()["m"]
+        if bmin is not None and bmin < 0:
+            raise ValueError(
+                f"contamination_fuzzy: benchmark {id_col} {bmin} < 0 — "
+                "negative ids break the disjoint id-space mapping"
+            )
     sigs = minhash_signatures(
         d.unionByName(b), k=minhash_k, text_col=text_col, id_col=id_col
     )
