@@ -2187,11 +2187,36 @@ def _q_vrl_stdlib(spark, sf):
     )
 
 
+def _q_ivf_refine(spark, sf):
+    """Distributed Lloyd refinement of the IVF coarse quantizer over
+    the FULL corpus: seeds are the embeddings of the 8 smallest
+    vec_ids (deterministic, engine-portable), two
+    assign→per-(cell,dim)-mean iterations with round-6 similarity and
+    mean rounding so the DuckDB oracle replays the refinement exactly.
+    Output: one row per (cell, dim) of the refined quantizer."""
+    from vector_spark.dataops.similarity import ivf_refine_centroids
+
+    emb = _load(spark, sf, "embeddings")
+    seeds = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(8).select("embedding").collect()
+    ]
+    refined = ivf_refine_centroids(emb, seeds, iters=2, round_digits=6)
+    rows = [
+        (c, d, float(v))
+        for c, vec in enumerate(refined)
+        for d, v in enumerate(vec)
+    ]
+    return spark.createDataFrame(rows, "cell bigint, dim bigint, val double")
+
+
 def _q_ann_topk(spark, sf):
     """The ANN family — brute-force cosine top-k (cross-validation
-    baseline), sign-LSH bucketed top-k, and IVF multi-probe top-k —
-    unioned with a method discriminator. Bucket/cell candidate
-    generation is exercised transitively (both prune before scoring)."""
+    baseline), sign-LSH bucketed top-k, IVF multi-probe top-k, and
+    the refined coarse quantizer itself (distributed Lloyd over the
+    full corpus, emitted per (cell, dim)) — unioned with a method
+    discriminator. Bucket/cell candidate generation is exercised
+    transitively (both prune before scoring)."""
     b = _q_embed_topk(spark, sf).select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "cos"
     )
@@ -2201,7 +2226,13 @@ def _q_ann_topk(spark, sf):
     i = _q_ivf_topk(spark, sf).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "cos"
     )
-    return b.unionByName(l).unionByName(i)
+    r = _q_ivf_refine(spark, sf).select(
+        F.lit("centroid").alias("method"),
+        F.col("cell").alias("query_id"),
+        F.col("dim").alias("neighbor_id"),
+        F.col("val").alias("cos"),
+    )
+    return b.unionByName(l).unionByName(i).unionByName(r)
 
 
 def _q_text_doc_signals(spark, sf):
@@ -2451,6 +2482,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_doc": _q_tokens_doc,
         "packing_suite": _q_packing_suite,
         "contamination_fuzzy": _q_contamination_fuzzy,
+        "ivf_refine": _q_ivf_refine,
         "decontamination": _q_decontamination,
         "sampling_mix": _q_sampling_mix,
     }
@@ -2620,6 +2652,10 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
             UNION ALL
             SELECT 'ivf' AS method, query_id, neighbor_id, cos
             FROM ({o["ivf_topk"]})
+            UNION ALL
+            SELECT 'centroid' AS method, cell AS query_id,
+                   dim AS neighbor_id, val AS cos
+            FROM ({o["ivf_refine"]})
         """,
         "text_doc_signals": f"""
             SELECT t.*, r.mean_word_len, r.symbol_word_ratio, r.bullet_ratio,
@@ -3046,6 +3082,64 @@ def _legacy_oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.n_grams, h.n_contaminated,
                    round(h.n_contaminated / t.n_grams, 6) AS contamination
             FROM hits h JOIN totals t ON h.doc_id = t.doc_id
+        """,
+        "ivf_refine": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding::DOUBLE[] AS c
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), a1 AS (
+              SELECT vec_id, cell, v FROM (
+                SELECT e.vec_id, s.cell, e.v,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_dot_product(e.v, s.c)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(s.c, s.c)) + 1e-12), 6)
+                           DESC, s.cell ASC) AS rk
+                FROM emb e CROSS JOIN seeds s
+              ) WHERE rk = 1
+            ), m1 AS (
+              SELECT cell, dim, round(avg(v[dim]), 6) AS m
+              FROM (SELECT cell, v,
+                           unnest(generate_series(1, len(v))) AS dim
+                    FROM a1)
+              GROUP BY cell, dim
+            ), cents1 AS (
+              SELECT s.cell, coalesce(g.c, s.c) AS c
+              FROM seeds s LEFT JOIN (
+                SELECT cell, list(m ORDER BY dim) AS c FROM m1 GROUP BY cell
+              ) g USING (cell)
+            ), a2 AS (
+              SELECT vec_id, cell, v FROM (
+                SELECT e.vec_id, s.cell, e.v,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY round(list_dot_product(e.v, s.c)
+                           / (sqrt(list_dot_product(e.v, e.v))
+                              * sqrt(list_dot_product(s.c, s.c)) + 1e-12), 6)
+                           DESC, s.cell ASC) AS rk
+                FROM emb e CROSS JOIN cents1 s
+              ) WHERE rk = 1
+            ), m2 AS (
+              SELECT cell, dim, round(avg(v[dim]), 6) AS m
+              FROM (SELECT cell, v,
+                           unnest(generate_series(1, len(v))) AS dim
+                    FROM a2)
+              GROUP BY cell, dim
+            ), final AS (
+              SELECT s.cell, dd.dim,
+                     coalesce(m2.m, s.c[dd.dim]) AS val
+              FROM cents1 s
+              CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) dd
+              LEFT JOIN m2 ON m2.cell = s.cell AND m2.dim = dd.dim
+            )
+            SELECT cast(cell AS bigint) AS cell,
+                   cast(dim - 1 AS bigint) AS dim,
+                   val
+            FROM final
         """,
         "contamination_fuzzy": """
             WITH ids AS (

@@ -171,10 +171,18 @@ def ivf_centroids(
     return [c.tolist() for c in cents]
 
 
-def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
     """Assign each vector to its nearest centroid cell — vectorized
     pandas UDF (Arrow batches; numpy matmul per batch, no per-row
-    Python)."""
+    Python). ``round_digits`` rounds similarities before the argmax
+    (ties break to the lowest cell) so the assignment is reproducible
+    across engines/float-summation orders — used by the oracle-gated
+    refinement path."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -187,6 +195,8 @@ def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding") -> DataFram
         sim = (x @ cents.T) / (
             np.linalg.norm(x, axis=1, keepdims=True) * cnorm[None, :] + 1e-12
         )
+        if round_digits is not None:
+            sim = np.round(sim, round_digits)
         return pd.Series(sim.argmax(axis=1).astype("int32"))
 
     return df.withColumn("cell", cell_of(F.col(vec_col)))
@@ -270,6 +280,7 @@ def ivf_refine_centroids(
     centroids,
     iters: int = 2,
     vec_col: str = "embedding",
+    round_digits: int | None = None,
 ):
     """DISTRIBUTED Lloyd refinement of the IVF coarse quantizer —
     upgrades ``ivf_centroids``'s bounded driver-side sample (2048
@@ -287,16 +298,25 @@ def ivf_refine_centroids(
 
     Per iteration: one map pass + one partial-agg pass. Empty cells
     keep their previous centroid (no collapse). Deterministic — same
-    input and seed centroids give the same refined centroids.
+    input and seed centroids give the same refined centroids;
+    ``round_digits`` additionally rounds assignment similarities and
+    the per-(cell, dim) means each iteration so the whole refinement
+    is bit-reproducible across engines (the DuckDB oracle replays it).
     """
     cents = [list(map(float, c)) for c in centroids]
     d = len(cents[0])
     for _ in range(iters):
-        assigned = ivf_assign(df.select(F.col(vec_col)), cents, vec_col=vec_col)
+        assigned = ivf_assign(
+            df.select(F.col(vec_col)), cents, vec_col=vec_col,
+            round_digits=round_digits,
+        )
+        m_expr = F.avg("v")
+        if round_digits is not None:
+            m_expr = F.round(m_expr, round_digits)
         means = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("dim", "v"))
             .groupBy("cell", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(m_expr.alias("m"))
             .collect()
         )
         by_cell: dict[int, list[float]] = {}
