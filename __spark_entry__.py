@@ -1588,6 +1588,48 @@ def _q_chunk_tokens(spark, sf):
     )
 
 
+# Fixed BPE merge table for the bpe_encode gate: multi-step merge
+# chains over the synthetic corpus vocabulary (table/value/scan/hash/
+# row/slow/fast/data/the), deliberate rank interleavings ("row" must
+# go r|o → ro|w, not o|w; "slow" must go o|w → s|l → sl|ow), and
+# chars absent from every merge part (k, g, p, …) so the unk_id=0
+# path is exercised. The DuckDB oracle replays the greedy loop with a
+# recursive CTE over the SAME table (see _bpe_oracle()).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("r", "o"), ("ro", "w"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("e", "r"), ("t", "h"), ("th", "e"),
+    ("o", "w"), ("s", "l"), ("sl", "ow"),
+    ("f", "a"), ("fa", "s"), ("fas", "t"),
+    ("d", "a"), ("da", "t"), ("dat", "a"),
+]
+
+
+def _q_bpe_encode(spark, sf):
+    """BPE tokenization over raw document text — the engine PRODUCES
+    the pre-tokenized sequence shape (rank-greedy merge loop in the
+    sanctioned mapInPandas escape hatch, per-batch word cache).
+    Output is the fully-exploded (doc_id, pos, token_id) table so the
+    oracle pins every token id at every position, not a digest."""
+    from vector_spark.dataops.tokens import bpe_encode
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+    )
+    enc = bpe_encode(docs, _BPE_MERGES, text_col="text", out_col="tokens")
+    return enc.select(
+        "doc_id", "source", F.posexplode("tokens").alias("pos", "token_id")
+    ).select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("token_id").cast("int").alias("token_id"),
+    )
+
+
 def _q_bigram_logprob(spark, sf):
     """Bigram-LM perplexity scoring over the pre-tokenized shape
     (portable hash tokenization, V=4096) — the order-sensitive quality
@@ -2275,7 +2317,16 @@ def _q_packing_suite(spark, sf):
         F.col("n_tok").cast("int").alias("n_tok"),
         F.col("tokens_str").alias("payload"),
     )
-    return p.unionByName(c)
+    b = _q_bpe_encode(spark, sf).select(
+        F.lit("bpe").alias("mode"),
+        F.pmod(F.col("doc_id"), F.lit(4)).alias("stream"),
+        F.pmod(F.floor(F.col("doc_id") / 4), F.lit(3)).cast("long").alias("shard"),
+        F.col("doc_id").alias("k1"),
+        F.col("pos").alias("k2"),
+        F.col("token_id").alias("n_tok"),
+        F.col("source").alias("payload"),
+    )
+    return p.unionByName(c).unionByName(b)
 
 
 def _q_tokens_doc(spark, sf):
@@ -2444,6 +2495,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec2_metadata": _q_ec2_metadata,
         "pack_sequences": _q_pack_sequences,
         "chunk_tokens": _q_chunk_tokens,
+        "bpe_encode": _q_bpe_encode,
         "quality_classifier": _q_quality_classifier,
         "bigram_logprob": _q_bigram_logprob,
         "lang_id_ngram": _q_lang_id_ngram,
@@ -2692,6 +2744,12 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
                    cast(NULL AS bigint) AS k2, cast(n_tok AS int) AS n_tok,
                    tokens_str AS payload
             FROM ({o["chunk_tokens"]})
+            UNION ALL
+            SELECT 'bpe' AS mode, doc_id % 4 AS stream,
+                   cast(floor(doc_id / 4) % 3 AS bigint) AS shard,
+                   doc_id AS k1, pos AS k2, token_id AS n_tok,
+                   source AS payload
+            FROM ({o["bpe_encode"]})
         """,
         "sampling_mix": f"""
             SELECT 'mix' AS part, lang AS k, rate, cast(NULL AS bigint) AS doc_id
@@ -2755,6 +2813,80 @@ def _lang_id_oracle() -> str:
 
 
 _LANG_ID_ORACLE = _lang_id_oracle()
+
+
+def _bpe_oracle() -> str:
+    """DuckDB replay of the rank-greedy BPE merge loop: a recursive
+    CTE carries (word, parts[]) and each iteration merges the single
+    lowest-rank adjacent pair (leftmost on ties — ``list_position``
+    returns the first minimum, matching the engine's strict ``<``
+    scan). Merge ranks and the derived vocabulary ship as MAP
+    literals built from the SAME ``_BPE_MERGES`` constant the Spark
+    gate uses, so gate and oracle cannot drift."""
+    from vector_spark.dataops.tokens import derive_bpe_vocab
+
+    vocab = derive_bpe_vocab(_BPE_MERGES)
+    mkeys = ", ".join(f"'{a}|{b}'" for a, b in _BPE_MERGES)
+    mvals = ", ".join(str(i) for i in range(len(_BPE_MERGES)))
+    vkeys = ", ".join(f"'{s}'" for s in vocab)
+    vvals = ", ".join(str(i) for i in vocab.values())
+    return f"""
+        WITH RECURSIVE
+        ws AS (
+          SELECT cast(doc_id AS bigint) AS doc_id, source,
+                 list_filter(string_split({_NORM}, ' '), w -> w <> '') AS words
+          FROM documents
+        ),
+        wpos AS (
+          SELECT doc_id, source,
+                 unnest(range(1, len(words)+1)) AS widx,
+                 unnest(words) AS word
+          FROM ws
+        ),
+        dw AS (SELECT DISTINCT word FROM wpos),
+        step(word, parts, done) AS (
+          SELECT word,
+                 list_transform(range(1, length(word)+1), i -> word[i]),
+                 false
+          FROM dw
+          UNION ALL
+          SELECT word,
+                 CASE WHEN bj IS NULL THEN parts
+                      ELSE parts[1:bj-1] || [parts[bj] || parts[bj+1]]
+                           || parts[bj+2:] END,
+                 bj IS NULL
+          FROM (
+            SELECT word, parts,
+                   CASE WHEN list_min(rks) >= 999999 THEN NULL
+                        ELSE list_position(rks, list_min(rks)) END AS bj
+            FROM (
+              SELECT word, parts,
+                     list_transform(range(1, len(parts)),
+                       j -> coalesce(map_extract(MAP([{mkeys}], [{mvals}]),
+                                     parts[j] || '|' || parts[j+1])[1],
+                                     999999)) AS rks
+              FROM step WHERE NOT done
+            )
+          )
+        ),
+        enc AS (
+          SELECT word,
+                 list_transform(parts,
+                   p -> coalesce(map_extract(MAP([{vkeys}], [{vvals}]),
+                                 p)[1], 0)) AS ids
+          FROM step WHERE done
+        ),
+        flat AS (
+          SELECT w.doc_id, w.source,
+                 flatten(list(e.ids ORDER BY w.widx)) AS toks
+          FROM wpos w JOIN enc e USING (word)
+          GROUP BY w.doc_id, w.source
+        )
+        SELECT doc_id, source,
+               unnest(range(0, len(toks))) AS pos,
+               cast(unnest(toks) AS int) AS token_id
+        FROM flat
+    """
 
 
 def _legacy_oracle_sql() -> dict[str, str]:
@@ -3342,6 +3474,7 @@ def _legacy_oracle_sql() -> dict[str, str]:
             WHERE len(tok) = 64
         """,
         "lang_id_ngram": _LANG_ID_ORACLE,
+        "bpe_encode": _bpe_oracle(),
         "bigram_logprob": f"""
             WITH words AS (
               SELECT cast(doc_id AS bigint) AS doc_id,

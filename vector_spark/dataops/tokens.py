@@ -304,6 +304,23 @@ def chunk_tokens(
     return blocks
 
 
+def derive_bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic vocabulary from a BPE merge table: single chars of
+    all merge parts first (order of first appearance), then merge
+    outputs in table order; ids start at 1 (0 = unk). This is the
+    exact derivation ``bpe_encode`` applies when ``vocab=None`` —
+    exposed so oracles/tools can replicate it."""
+    symbols: list[str] = []
+    for a, b in merges:
+        for ch in (*a, *b):
+            if ch not in symbols:
+                symbols.append(ch)
+    for a, b in merges:
+        if a + b not in symbols:
+            symbols.append(a + b)
+    return {s: i + 1 for i, s in enumerate(symbols)}
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -338,15 +355,7 @@ def bpe_encode(
     """
     ranks = {pair: i for i, pair in enumerate(merges)}
     if vocab is None:
-        symbols: list[str] = []
-        for a, b in merges:
-            for ch in (*a, *b):
-                if ch not in symbols:
-                    symbols.append(ch)
-        for a, b in merges:
-            if a + b not in symbols:
-                symbols.append(a + b)
-        vocab = {s: i + 1 for i, s in enumerate(symbols)}  # 0 = unk
+        vocab = derive_bpe_vocab(merges)  # 0 = unk
 
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
