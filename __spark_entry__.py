@@ -1687,6 +1687,10 @@ def _q_quality_classifier(spark, sf):
             F.col("text"), n_features=4096, bigrams=True, hash_mode="portable"
         ).alias("features"),
     )
+    # feats feeds BOTH the training aggregation and the scoring pass —
+    # stage it so the hash_features lineage executes once (SCALE.md
+    # staging rule; same cut the curation flagship applies).
+    feats = feats.persist()
     w = train_nb_classifier(feats, "label", n_features=4096)
     return score_classifier(feats, w)
 

@@ -45,3 +45,46 @@ def test_window_gate_plan_quality(spark, name, fn):
         assert "SortAggregate" not in plan, f"{name}: sort-based aggregate"
     if name not in CARTESIAN_OK:
         assert "CartesianProduct" not in plan, f"{name}: all-pairs join"
+
+
+def test_bigram_logprob_stages_tokenize_subtree(spark):
+    """The tokenize/zip_with lineage feeding bigram_logprob is read by
+    three consumers (bigram freq, unigram freq, scoring); the op must
+    cut it with a persist so it executes once — the plan should read
+    the staged frame (InMemoryTableScan) everywhere and never re-run
+    the zip_with packing outside the cached subtree."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.tokens import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [2, 3]), (3, [7])], "doc_id long, tokens array<int>"
+    )
+    out = bigram_logprob(df, vocab_size=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("InMemoryTableScan")
+    assert scans >= 2, f"expected >=2 cached reads, got {scans}:\n{plan}"
+    # every zip_with mention must sit inside a cached-relation body —
+    # i.e. no consumer recomputes the packing from the raw source
+    # (the cached plan prints its child, so zip_with can APPEAR, but
+    # only at/under an InMemoryRelation node)
+    first_cache = plan.find("InMemoryRelation")
+    assert first_cache != -1
+    assert "zip_with" not in plan[:first_cache], (
+        "tokenize subtree re-executed outside cache"
+    )
+
+
+def test_bigram_logprob_rejects_out_of_vocab_ids(spark):
+    """Packed-key invariant guard: a token id >= vocab_size must fail
+    loudly (silent prev*V+w collisions corrupt the transition model)."""
+    import pyspark
+
+    from vector_spark.dataops.tokens import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, [1, 99]), (2, [2, 3])], "doc_id long, tokens array<int>"
+    )
+    out = bigram_logprob(df, vocab_size=16)
+    with pytest.raises(Exception, match="vocab_size|assert"):
+        out.collect()

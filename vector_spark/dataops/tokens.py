@@ -411,6 +411,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     vocab_size: int = 32768,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """Per-sequence mean bigram negative log-probability under the
     corpus's own transition model — the stronger perplexity-style
@@ -436,12 +437,39 @@ def bigram_logprob(
     t = F.col(tokens_col)
     n = F.size(t)
     m = F.greatest(n - 1, F.lit(0))
-    pair_keys = F.zip_with(
-        F.slice(t, 1, m),
-        F.slice(t, 2, m),
-        lambda a, b: a.cast("long") * vocab_size + b.cast("long"),
-    )
-    pairs = df.select(F.col(id_col), pair_keys.alias("_pairs"))
+    # Packed-key invariant: token ids MUST lie in [0, vocab_size) or
+    # prev*V+w collides silently (a token from a larger vocab, e.g.
+    # bpe_encode-derived ids, would corrupt the transition model, not
+    # error). Enforced per element JVM-side — two comparisons inside
+    # the same codegen stage, no extra pass or action.
+    def _pack(a, b):
+        ok = (
+            (a >= 0) & (a < vocab_size) & (b >= 0) & (b < vocab_size)
+        )
+        return F.when(
+            F.assert_true(
+                ok,
+                F.lit(
+                    f"bigram_logprob: token id outside [0, {int(vocab_size)})"
+                    " — raise vocab_size to cover the tokenizer's id space"
+                ),
+            ).isNull(),
+            a.cast("long") * vocab_size + b.cast("long"),
+        )
+
+    pair_keys = F.zip_with(F.slice(t, 1, m), F.slice(t, 2, m), _pack)
+    # Stage the tokenize/zip_with lineage ONCE: three consumers read
+    # this frame (bigram freq table, unigram freq table, per-doc
+    # scoring pass), so without a cut the upstream tokenization
+    # executes 3×. Same rule as the dedup shingle frame: persist by
+    # default, parquet-stage when the corpus exceeds cluster memory.
+    base = df.select(F.col(id_col), t.alias("_toks"), pair_keys.alias("_pairs"))
+    if staging_path is not None:
+        base.write.mode("overwrite").parquet(staging_path)
+        base = df.sparkSession.read.parquet(staging_path)
+    else:
+        base = base.persist()
+    pairs = base.select(F.col(id_col), F.col("_pairs"))
 
     big_freq = (
         pairs.select(F.explode("_pairs").alias("bigram"))
@@ -449,7 +477,7 @@ def bigram_logprob(
         .agg(F.count(F.lit(1)).alias("big_freq"))
     )
     uni_freq = (
-        df.select(F.explode(t).alias("token"))
+        base.select(F.explode("_toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("uni_freq"))
     )
