@@ -122,3 +122,31 @@ def test_coercer_int_exact_above_2pow53(spark):
     r = out.first()
     assert r.id == 823563440601616987
     assert r.f == 3 and r.bad is None
+
+
+def test_add_fields_nested_merges_existing_struct(spark):
+    """ADVICE r4: a dotted path landing on an existing struct root
+    must INSERT at the path (add_fields.rs:104), preserving sibling
+    fields — not rebuild the root from the literal alone — and
+    overwrite=False must keep an existing non-null leaf."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.operators.shapers import add_fields
+
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "x", F.struct(F.lit(7).alias("a"))
+    )
+    r = add_fields(df, {"x.y": 456}).select("x").first().x
+    assert r.a == 7 and r.y == 456  # sibling survives
+    r = add_fields(df, {"x.a": 99}, overwrite=False).select("x").first().x
+    assert r.a == 7  # keep-existing applies to nested leaves
+    r = add_fields(df, {"x.a": 99}).select("x").first().x
+    assert r.a == 99
+    r = add_fields(df, {"x.b.c": 1}).select("x").first().x
+    assert r.a == 7 and r.b.c == 1  # deep path builds missing levels
+    # null leaf + overwrite=False → insert (reference skips only
+    # when the path resolves to a value)
+    dfn = spark.createDataFrame([(1,)], "id int").withColumn(
+        "x", F.struct(F.lit(None).cast("int").alias("a"))
+    )
+    assert add_fields(dfn, {"x.a": 9}, overwrite=False).first().x.a == 9

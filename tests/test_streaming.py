@@ -259,3 +259,31 @@ def test_stream_chunk_tokens_idle_flush(spark, tmp_path):
     assert rows.get(("s", 0)) == ([1, 2, 3, 4], 4)
     # the idle tail flushed via a no-data timer batch
     assert rows.get(("s", 1)) == ([5], 1)
+
+
+def test_stream_chunk_tokens_nonstring_key(spark, tmp_path):
+    """ADVICE r4: the output schema must derive stream-key dtypes from
+    the source schema — a bigint key previously came out mistyped
+    (hardcoded string)."""
+    from vector_spark.streaming.ops import stream_chunk_tokens
+
+    d = str(tmp_path / "in")
+    schema = "src long, seq long, tokens array<int>"
+    spark.createDataFrame(
+        [(7, 1, [1, 2, 3, 4, 5])], schema
+    ).coalesce(1).write.parquet(d, mode="append")
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stream_chunk_tokens(stream, 4, stream_cols=["src"], order_col="seq")
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema)[
+        "src"
+    ] == "bigint"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunks_intkey")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from chunks_intkey").collect()
+    assert rows and rows[0].src == 7 and list(rows[0].tokens) == [1, 2, 3, 4]

@@ -72,10 +72,52 @@ def add_fields(df: DataFrame, fields: dict[str, Any], overwrite: bool = True) ->
             return compile_template(v)
         return F.lit(v)
 
+    from pyspark.sql.types import StructType
+
+    def _merge_struct(parts: tuple[str, ...], dt: StructType, tree: dict):
+        """Rebuild the struct at column path ``parts`` with ``tree``
+        inserted leaf-by-leaf: existing sibling fields pass through
+        untouched (the reference inserts at the path —
+        add_fields.rs:104 — it never replaces the whole object).
+        ``overwrite=False`` keeps an existing non-null leaf; a dict
+        landing on a non-struct leaf replaces it (path-insert
+        semantics: the parent is coerced to an object)."""
+        out = []
+        for f in dt.fields:
+            if f.name not in tree:
+                out.append(F.col(".".join(parts + (f.name,))).alias(f.name))
+                continue
+            v = tree[f.name]
+            sub = parts + (f.name,)
+            if isinstance(v, dict) and isinstance(f.dataType, StructType):
+                out.append(_merge_struct(sub, f.dataType, v).alias(f.name))
+            elif isinstance(v, dict):
+                out.append(_struct_lit(v).alias(f.name))
+            elif not overwrite and isinstance(f.dataType, StructType):
+                # scalar onto an existing struct with keep-existing:
+                # the path exists (as an object) — skip the insert
+                out.append(F.col(".".join(sub)).alias(f.name))
+            elif not overwrite:
+                out.append(
+                    F.coalesce(F.col(".".join(sub)), _struct_lit(v)).alias(f.name)
+                )
+            else:
+                out.append(_struct_lit(v).alias(f.name))
+        for k, v in tree.items():
+            if k not in dt.fieldNames():
+                out.append(_struct_lit(v).alias(k))
+        return F.struct(*out)
+
+    schema_by_name = {f.name: f.dataType for f in df.schema.fields}
+
     cols = {}
     arrays: dict[str, dict[int, Any]] = {}
     for name, value in nested.items():
-        cols[name] = _struct_lit(value)
+        existing = schema_by_name.get(name)
+        if isinstance(existing, StructType) and isinstance(value, dict):
+            cols[name] = _merge_struct((name,), existing, value)
+        else:
+            cols[name] = _struct_lit(value)
     for name, value in flat.items():
         m = _ARRAY_PATH_RE.match(name)
         if m:

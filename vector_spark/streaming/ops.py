@@ -244,8 +244,11 @@ def stream_chunk_tokens(
     """
     import pandas as pd
 
+    # stream-key columns keep their SOURCE dtypes (a bigint key stays
+    # bigint — hardcoding string here mistyped non-string keys)
+    key_types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
     out_schema = (
-        ", ".join(f"{c} string" for c in stream_cols)
+        ", ".join(f"{c} {key_types[c]}" for c in stream_cols)
         + ", block long, tokens array<int>, n_tok int"
     )
     state_schema = "buf array<int>, next_block long"
