@@ -34,7 +34,7 @@ parse_syslog static+column forms with position-bearing error values
 successful_parse_syslog_type, inner_type_defs), and a SHA-3 stdlib
 entry (hashlib fold / Arrow-batched pandas_udf).
 
-The 7 remaining exclusions are documented divergences:
+The 6 remaining exclusions are documented divergences:
 
 - internal/fallible_op1.vrl, fallible_op2.vrl,
   issues/6469_fallible_operations_marked_as_infallible.vrl: runtime
@@ -47,9 +47,6 @@ The 7 remaining exclusions are documented divergences:
   demands a literal where this engine's symbolic executor resolves
   the variable to its static value — a superset that accepts the
   program.
-- diagnostics/unhandled_parse_regex_all_type.vrl: E103 via
-  array-element fallibility tracking (`.result[0].an` after
-  parse_regex_all) — element-level fallibility is not modeled.
 - issues/6266_root_objects_are_not_valid_paths.vrl: `compact(.)` must
   drop null-valued FIELDS per row; column presence is schema-level in
   Spark, not row-level.
@@ -237,6 +234,10 @@ REJECTED = [
     "diagnostics/reserved_keyword.vrl",
     "diagnostics/invalid_string.vrl",
     "diagnostics/syntax_error_path_segment.vrl",
+    # round-5: element-level fallibility — array-element access unions
+    # null into the kind, so sha3(.result[0].an) is an unhandled
+    # fallible assignment (E103), matching the reference
+    "diagnostics/unhandled_parse_regex_all_type.vrl",
     # second strict-mode sweep: merge type checks, scalar queries,
     # static-literal aborts, redact filter validation
     "issues/6571_invalid_escape.vrl",
@@ -396,3 +397,18 @@ def test_vrl_golden(spark, rel):
     assert res is not None, "program produced no result value"
     got = norm(df.select(res.alias("r")).first()["r"])
     assert same(got, expected), f"{rel}: got={got!r} want={expected!r}"
+
+
+def test_element_fallibility_is_e103(spark):
+    """The rejection class must be E103 (unhandled fallible
+    assignment), not a generic parse failure — element access after
+    parse_regex_all! unions null into the kind and sha3 requires
+    bytes (unhandled_parse_regex_all_type.vrl)."""
+    from vector_spark.functions.vrl_program import compile_vrl_program
+
+    src = (
+        ".result = parse_regex_all!(.message, r'(?P<an>an.)')\n"
+        '.a = sha3(.result[0].an)\n"x"'
+    )
+    with pytest.raises(ValueError, match=r"\[E103\]"):
+        compile_vrl_program(src, columns=["message"])

@@ -327,11 +327,17 @@ def _get_field(col: Column, name: str) -> Column:
             return fields[name]
         return _tag(F.lit(None), "null")
     flds = _dt_struct_fields(_col_tags(col).get("_vs_dtype"))
+    absent = _col_tags(col).get("_vs_maybe_absent")
     if flds is not None:
         if name not in flds:
             return _tag(F.lit(None), "null")
-        return _with_dtype(col.getField(name), flds[name])
-    return col.getField(name)
+        out = _with_dtype(col.getField(name), flds[name])
+    else:
+        out = col.getField(name)
+    if absent:
+        # a field of a maybe-absent parent is itself maybe-absent
+        out._vs_maybe_absent = True
+    return out
 
 
 def _get_index(col: Column, idx: int) -> Column:
@@ -346,14 +352,28 @@ def _get_index(col: Column, idx: int) -> Column:
     if isinstance(sv, list):
         v = sv[idx] if -len(sv) <= idx < len(sv) else None
         return _render_static(v)
+    mem = d.get("_vs_members")
+    if isinstance(mem, list):
+        # literal array: the member column IS the element — exact
+        # kind, known in-range (out-of-range is a plan-time null)
+        if -len(mem) <= idx < len(mem):
+            return mem[idx]
+        return _tag(F.lit(None), "null")
     if d.get("_vs_tuple"):
         return col.getField(f"_{idx}")
     # array element dtype flows through (schema-typed nested access)
     dt = _col_tags(col).get("_vs_dtype")
     el = dt[6:-1] if dt and dt.startswith("array<") and dt.endswith(">") else None
     if idx < 0:
-        return _with_dtype(F.get(col, F.size(col) + F.lit(idx)), el)
-    return _with_dtype(F.get(col, idx), el)
+        out = _with_dtype(F.get(col, F.size(col) + F.lit(idx)), el)
+    else:
+        out = _with_dtype(F.get(col, idx), el)
+    # element-level fallibility (unhandled_parse_regex_all_type.vrl):
+    # a runtime index may be out of range, so the element's kind
+    # unions null — kind-requiring functions downstream become
+    # fallible (the reference compiles array access as `kind | null`)
+    out._vs_maybe_absent = True
+    return out
 
 
 def _with_path(cur: Column | None, parts: list[str], value: Column) -> Column:
@@ -456,9 +476,16 @@ def _pack_items(items: list[Column]) -> Column:
         ]
         types = {type(p) for p in pyvals if p is not missing and p is not None}
         if any(p is missing for p in pyvals) or len(types) <= 1 or types <= {int, float}:
-            return _tag(F.array(*items), "array")
+            out = _tag(F.array(*items), "array")
+            out._vs_members = items
+            return out
     elif len(kinds) <= 1 or kinds <= {"integer", "float"}:
-        return _tag(F.array(*items), "array")
+        # literal arrays keep their member columns: indexing returns
+        # the exact member (known kind, known in-range — the reference
+        # tracks per-index kinds on literal arrays, issue 6361)
+        out = _tag(F.array(*items), "array")
+        out._vs_members = items
+        return out
     st = F.struct(*[c.alias(f"_{i}") for i, c in enumerate(items)])
     st._vs_tuple = True
     return _tag(st, "array")
@@ -671,12 +698,35 @@ _COERCE_KIND = {
 }
 
 
+# functions whose TypeDef demands a concrete input kind (bytes /
+# numeric): a maybe-absent argument (array-element access — kind
+# unions null) makes the call fallible, per the reference's
+# fallible_unless(kind) on each signature
+_KIND_REQUIRED_FNS = _STR_IN_STR_OUT | {
+    "md5", "sha1", "sha2", "sha3", "upcase", "downcase", "split",
+    "join", "length", "floor", "ceil", "round", "abs",
+    "format_timestamp", "format_number", "encode_base64", "contains",
+    "starts_with", "ends_with", "match",
+}
+
+
+def _maybe_absent(a) -> bool:
+    return bool(_col_tags(a).get("_vs_maybe_absent"))
+
+
 def _fn_fallible(name: str, args: list) -> bool:
     """Call-site fallibility, kind-aware like the reference's
     `fallible_unless`: `to_int(<timestamp>)` is infallible
     (issues/6792_lost_type_defs.vrl), `to_string(<unknown>)` is
-    fallible (internal/infallible_ok_maybe_null.vrl)."""
+    fallible (internal/infallible_ok_maybe_null.vrl). A maybe-absent
+    argument (array-element access unions null into the kind) makes
+    any kind-requiring call fallible
+    (unhandled_parse_regex_all_type.vrl → E103)."""
     k0 = _stype(args[0]) if args else None
+    if args and _maybe_absent(args[0]) and (
+        name in _KIND_REQUIRED_FNS or name in _COERCE_KIND
+    ):
+        return True
     if name in _COERCE_KIND:
         return k0 != _COERCE_KIND[name]
     if name in ("to_int", "to_float", "to_bool", "to_unix_timestamp"):
@@ -931,7 +981,7 @@ class _ProgramParser(_Parser):
                 # string→string stdlib fns: infallible on a known
                 # string input, result kind carries forward
                 out = _tag(super().call_func(name, args, kwargs), "string")
-                out._vs_infallible = True
+                out._vs_infallible = not _maybe_absent(args[0])
                 return out
             if name == "slice":
                 if k0 in ("integer", "float", "boolean", "timestamp", "null", "object"):
@@ -951,11 +1001,11 @@ class _ProgramParser(_Parser):
                             args[0], s + 1, F.greatest(F.size(args[0]) - s, F.lit(0))
                         )
                     out = _tag(out, "array")
-                    out._vs_infallible = True
+                    out._vs_infallible = not _maybe_absent(args[0])
                     return out
                 if k0 == "string":
                     out = _tag(super().call_func(name, args, kwargs), "string")
-                    out._vs_infallible = True
+                    out._vs_infallible = not _maybe_absent(args[0])
                     return out
             if name in ("upcase", "downcase"):
                 if k0 not in (None, "string", "null"):
@@ -965,7 +1015,7 @@ class _ProgramParser(_Parser):
                     )
                 if k0 == "string":
                     out = _tag(super().call_func(name, args, kwargs), "string")
-                    out._vs_infallible = True
+                    out._vs_infallible = not _maybe_absent(args[0])
                     return out
             if name == "push":
                 if k0 not in (None, "array", "null"):
@@ -975,7 +1025,7 @@ class _ProgramParser(_Parser):
                     )
                 if k0 == "array":
                     out = _tag(super().call_func(name, args, kwargs), "array")
-                    out._vs_infallible = True
+                    out._vs_infallible = not _maybe_absent(args[0])
                     return out
         return super().call_func(name, args, kwargs)
 
