@@ -307,7 +307,124 @@ def _q_grok(spark, sf):
         F.col("http_status_code").alias("ha_status"),
         F.col("http_request").alias("ha_request"),
     )
-    return apache.join(syslog, "event_id").join(haproxy, "event_id")
+    pgmsg = F.format_string(
+        "12/%02d/2015 10:00:%02d UTC user=u%d conn%d %d",
+        F.lit(1) + F.pmod(F.col("event_id"), F.lit(28)),
+        F.pmod(F.col("event_id"), F.lit(60)),
+        F.col("user_id"),
+        F.col("event_id"),
+        F.lit(100) + F.pmod(F.col("event_id"), F.lit(900)),
+    )
+    pg = grok_parser(
+        ev.select("event_id", pgmsg.alias("message")),
+        "%{POSTGRESQL}",
+        types={"pid": "int"},
+    ).select(
+        "event_id",
+        F.col("timestamp").alias("pg_ts"),
+        F.col("user_id").alias("pg_user"),
+        F.col("connection_id").alias("pg_conn"),
+        F.col("pid").alias("pg_pid"),
+    )
+
+    rlmsg = F.format_string(
+        'Started GET "/items/%d" for 10.3.0.%d at 2015-02-%02d 10:00:%02d +0100',
+        F.col("event_id"),
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.lit(1) + F.pmod(F.col("event_id"), F.lit(28)),
+        F.pmod(F.col("event_id"), F.lit(60)),
+    )
+    rails = grok_parser(
+        ev.select("event_id", rlmsg.alias("message")),
+        "%{RAILS3HEAD}",
+    ).select(
+        "event_id",
+        F.col("verb").alias("rl_verb"),
+        F.col("request").alias("rl_request"),
+        F.col("clientip").alias("rl_clientip"),
+        F.col("timestamp").alias("rl_ts"),
+    )
+
+    return (
+        apache.join(syslog, "event_id")
+        .join(haproxy, "event_id")
+        .join(pg, "event_id")
+        .join(rails, "event_id")
+    )
+
+
+def _q_grok_services(spark, sf):
+    """Round-5 grok vocabulary: the service-log families from the
+    logstash base library — POSTGRESQL, MONGO3_LOG, REDISMONLOG, EXIM,
+    RAILS3HEAD — each a map-only regexp projection over a
+    deterministic printf-built line, equi-joined 1:1 on event_id (the
+    window `grok_parser` composite folds the postgres + rails arms)."""
+    from vector_spark.operators import grok_parser
+
+    ev = _load(spark, sf, "events")
+
+    def arm(fmt, args, pattern, picks, types=None):
+        msg = F.format_string(fmt, *args)
+        parsed = grok_parser(
+            ev.select("event_id", msg.alias("message")), pattern, types=types
+        )
+        return parsed.select(
+            "event_id", *[F.col(src).alias(dst) for src, dst in picks]
+        )
+
+    e, u = F.col("event_id"), F.col("user_id")
+    mongo = arm(
+        "2015-01-%02dT10:00:%02d.000+0000 I NETWORK [conn%d] end connection 10.0.0.%d",
+        [F.lit(1) + F.pmod(e, F.lit(28)), F.pmod(e, F.lit(60)), e,
+         F.pmod(u, F.lit(256))],
+        "%{MONGO3_LOG}",
+        [("timestamp", "mg_ts"), ("severity", "mg_sev"),
+         ("component", "mg_comp"), ("context", "mg_ctx"),
+         ("message", "mg_msg")],
+    )
+    redis = arm(
+        '1424%06d.%06d [%d 10.2.3.%d:%d] "GET" key:%d',
+        [F.pmod(e, F.lit(1000000)), F.pmod(e, F.lit(1000000)),
+         F.pmod(e, F.lit(16)), F.pmod(u, F.lit(256)),
+         F.lit(40000) + F.pmod(e, F.lit(10000)), e],
+        "%{REDISMONLOG}",
+        [("timestamp", "rd_ts"), ("database", "rd_db"),
+         ("client", "rd_client"), ("port", "rd_port"),
+         ("command", "rd_cmd"), ("params", "rd_params")],
+        types={"database": "int", "port": "int"},
+    )
+    exim = arm(
+        "2015-03-%02d 11:22:%02d %06d-AbCdEf-%02d <= u%d@example.com S=%d",
+        [F.lit(1) + F.pmod(e, F.lit(28)), F.pmod(e, F.lit(60)),
+         F.pmod(e, F.lit(1000000)), F.pmod(e, F.lit(100)), u,
+         F.lit(100) + F.pmod(e, F.lit(5000))],
+        "%{EXIM}",
+        [("timestamp", "ex_ts"), ("msgid", "ex_msgid"),
+         ("flags", "ex_flags"), ("message", "ex_msg")],
+    )
+    pg = arm(
+        "12/%02d/2015 10:00:%02d UTC user=u%d conn%d %d",
+        [F.lit(1) + F.pmod(e, F.lit(28)), F.pmod(e, F.lit(60)), u, e,
+         F.lit(100) + F.pmod(e, F.lit(900))],
+        "%{POSTGRESQL}",
+        [("user_id", "pg_user"), ("connection_id", "pg_conn"),
+         ("pid", "pg_pid")],
+        types={"pid": "int"},
+    )
+    rails = arm(
+        'Started GET "/items/%d" for 10.3.0.%d at 2015-02-%02d 10:00:%02d +0100',
+        [e, F.pmod(u, F.lit(256)), F.lit(1) + F.pmod(e, F.lit(28)),
+         F.pmod(e, F.lit(60))],
+        "%{RAILS3HEAD}",
+        [("verb", "rl_verb"), ("request", "rl_request"),
+         ("clientip", "rl_clientip"), ("timestamp", "rl_ts")],
+    )
+    return (
+        mongo.join(redis, "event_id")
+        .join(exim, "event_id")
+        .join(pg, "event_id")
+        .join(rails, "event_id")
+    )
 
 
 def _q_kv_parser(spark, sf):
@@ -2444,6 +2561,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remap_program": _q_remap_program,
         "json_parser": _q_json_parser,
         "grok_parser": _q_grok,
+        "grok_services": _q_grok_services,
         "kv_parser": _q_kv_parser,
         "logfmt_parser": _q_logfmt,
         "tokenizer": _q_tokenizer,
@@ -2967,7 +3085,49 @@ def _legacy_oracle_sql() -> dict[str, str]:
                    printf('srv%d', 1 + event_id % 4) AS ha_server,
                    cast(event_id % 50 AS bigint) AS ha_t_resp,
                    cast(200 + (event_id % 4) * 100 AS bigint) AS ha_status,
-                   printf('/page/%d', event_id) AS ha_request
+                   printf('/page/%d', event_id) AS ha_request,
+                   printf('12/%02d/2015 10:00:%02d',
+                          1 + event_id % 28, event_id % 60) AS pg_ts,
+                   printf('user=u%d', user_id) AS pg_user,
+                   printf('conn%d', event_id) AS pg_conn,
+                   cast(100 + event_id % 900 AS bigint) AS pg_pid,
+                   'GET' AS rl_verb,
+                   printf('/items/%d', event_id) AS rl_request,
+                   printf('10.3.0.%d', user_id % 256) AS rl_clientip,
+                   printf('2015-02-%02d 10:00:%02d +0100',
+                          1 + event_id % 28, event_id % 60) AS rl_ts
+            FROM events
+        """,
+        "grok_services": """
+            SELECT event_id,
+                   printf('2015-01-%02dT10:00:%02d.000+0000',
+                          1 + event_id % 28, event_id % 60) AS mg_ts,
+                   'I' AS mg_sev,
+                   'NETWORK' AS mg_comp,
+                   printf('conn%d', event_id) AS mg_ctx,
+                   printf('end connection 10.0.0.%d', user_id % 256) AS mg_msg,
+                   printf('1424%06d.%06d',
+                          event_id % 1000000, event_id % 1000000) AS rd_ts,
+                   cast(event_id % 16 AS bigint) AS rd_db,
+                   printf('10.2.3.%d', user_id % 256) AS rd_client,
+                   cast(40000 + event_id % 10000 AS bigint) AS rd_port,
+                   'GET' AS rd_cmd,
+                   printf('key:%d', event_id) AS rd_params,
+                   printf('2015-03-%02d 11:22:%02d',
+                          1 + event_id % 28, event_id % 60) AS ex_ts,
+                   printf('%06d-AbCdEf-%02d',
+                          event_id % 1000000, event_id % 100) AS ex_msgid,
+                   '<=' AS ex_flags,
+                   printf('u%d@example.com S=%d',
+                          user_id, 100 + event_id % 5000) AS ex_msg,
+                   printf('user=u%d', user_id) AS pg_user,
+                   printf('conn%d', event_id) AS pg_conn,
+                   cast(100 + event_id % 900 AS bigint) AS pg_pid,
+                   'GET' AS rl_verb,
+                   printf('/items/%d', event_id) AS rl_request,
+                   printf('10.3.0.%d', user_id % 256) AS rl_clientip,
+                   printf('2015-02-%02d 10:00:%02d +0100',
+                          1 + event_id % 28, event_id % 60) AS rl_ts
             FROM events
         """,
         "kv_parser": """

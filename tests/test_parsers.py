@@ -290,3 +290,66 @@ def test_regex_parser_single_pass_edges(spark):
         df, r"(?P<num>\d+)(?:-(?P<word>\S+))?", drop_failed=True
     ).count()
     assert kept == 3
+
+
+def test_grok_round5_vocabulary(spark):
+    """Round-5 service families: POSTGRESQL, MONGO3_LOG, REDISLOG,
+    REDISMONLOG, EXIM, RAILS3HEAD/RAILS3FOOT resolve and extract (the
+    registry-wide expansion check lives in test_grok_round4)."""
+    from vector_spark.operators.grok import grok_parser
+
+    def one(pattern, line, types=None):
+        df = spark.createDataFrame([(line,)], "line string")
+        return grok_parser(df, pattern, field="line", types=types).first()
+
+    r = one(
+        "%{POSTGRESQL}",
+        "12/24/2015 10:00:05 UTC user=pg,db=app conn42 995",
+        types={"pid": "int"},
+    )
+    assert (r.timestamp, r.user_id, r.connection_id, r.pid) == (
+        "12/24/2015 10:00:05", "user=pg,db=app", "conn42", 995,
+    )
+
+    r = one(
+        "%{MONGO3_LOG}",
+        "2015-01-24T10:00:05.000+0000 W NETWORK [initandlisten] waiting",
+    )
+    assert (r.severity, r.component, r.context, r.message) == (
+        "W", "NETWORK", "initandlisten", "waiting",
+    )
+
+    r = one("%{REDISLOG}", "[4018] 14 Nov 07:01:22 * Background saving started")
+    assert (r.pid, r.timestamp) == ("4018", "14 Nov 07:01:22")
+
+    r = one(
+        "%{REDISMONLOG}",
+        '1424000000.123456 [5 10.2.3.4:61111] "SET" key value',
+        types={"database": "int", "port": "int"},
+    )
+    assert (r.database, r.client, r.port, r.command) == (
+        5, "10.2.3.4", 61111, "SET",
+    )
+
+    r = one(
+        "%{EXIM}",
+        "2015-03-02 11:22:33 1VxQaY-000EFZ-Kb == deferred@example.com T=smtp",
+    )
+    assert (r.msgid, r.flags) == ("1VxQaY-000EFZ-Kb", "==")
+    assert r.message == "deferred@example.com T=smtp"
+
+    r = one(
+        "%{RAILS3HEAD}",
+        'Started POST "/users/sign_in" for 127.0.0.1 at 2015-02-03 10:00:05 +0100',
+    )
+    assert (r.verb, r.request, r.clientip) == (
+        "POST", "/users/sign_in", "127.0.0.1",
+    )
+
+    r = one(
+        "%{RAILS3FOOT}",
+        "Completed 200 OK in 14ms (Views: 9.2ms | ActiveRecord: 1.5ms)",
+    )
+    assert (r.response, r.totalms, r.viewms, r.activerecordms) == (
+        "200", "14", "9.2", "1.5",
+    )

@@ -148,6 +148,56 @@ GROK_PATTERNS: dict[str, str] = {
         r"\[%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}\] "
         r"\[%{LOGLEVEL:loglevel}\] (?:\[client %{IPORHOST:clientip}\] )?%{GREEDYDATA:message}"
     ),
+    # round-5 widening: service-log families from the logstash base
+    # library (postgres, mongo, redis, exim, rails) — public pattern
+    # vocabulary, re-expressed
+    "POSTGRESQL": (
+        r"%{DATESTAMP:timestamp} %{TZ} %{DATA:user_id} "
+        r"%{GREEDYDATA:connection_id} %{POSINT:pid}"
+    ),
+    "MONGO_WORDDASH": r"\b[\w-]+\b",
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"(?:%{WORD}|-)",
+    "MONGO3_LOG": (
+        r"%{TIMESTAMP_ISO8601:timestamp} %{MONGO3_SEVERITY:severity} "
+        r"%{MONGO3_COMPONENT:component}%{SPACE}(?:\[%{DATA:context}\])? "
+        r"%{GREEDYDATA:message}"
+    ),
+    "REDISTIMESTAMP": r"%{MONTHDAY} %{MONTH} %{TIME}",
+    "REDISLOG": r"\[%{POSINT:pid}\] %{REDISTIMESTAMP:timestamp} \* ",
+    "REDISMONLOG": (
+        r"%{NUMBER:timestamp} \[%{INT:database} %{IP:client}:%{NUMBER:port}\] "
+        r'"%{WORD:command}"\s?%{GREEDYDATA:params}'
+    ),
+    "EXIM_MSGID": r"[0-9A-Za-z]{6}-[0-9A-Za-z]{6}-[0-9A-Za-z]{2}",
+    "EXIM_FLAGS": r"(?:<=|[-=>*]>|[*]{2}|==)",
+    "EXIM_DATE": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{TIME}",
+    "EXIM_PID": r"\[%{POSINT:pid}\]",
+    "EXIM": (
+        r"%{EXIM_DATE:timestamp} (?:%{EXIM_PID} )?%{EXIM_MSGID:msgid} "
+        r"%{EXIM_FLAGS:flags} %{GREEDYDATA:message}"
+    ),
+    "RUUID": r"[0-9a-fA-F]{32}",
+    "RAILS3TS": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND} "
+        r"%{ISO8601_TIMEZONE}"
+    ),
+    "RAILS3HEAD": (
+        r'Started %{WORD:verb} "%{URIPATHPARAM:request}" for '
+        r"%{IPORHOST:clientip} at %{RAILS3TS:timestamp}"
+    ),
+    # logstash writes this as an alternation that names
+    # `activerecordms` twice; Java/Python regex forbid duplicate
+    # group names, so the Views half is an optional prefix instead
+    # (same accepted language, same captures)
+    "RAILS3PROFILE": (
+        r"\((?:Views: %{NUMBER:viewms}ms \| )?ActiveRecord: "
+        r"%{NUMBER:activerecordms}ms\)"
+    ),
+    "RAILS3FOOT": (
+        r"Completed %{NUMBER:response}%{DATA} in %{NUMBER:totalms}ms "
+        r"%{RAILS3PROFILE}%{GREEDYDATA}"
+    ),
 }
 
 _GROK_REF_RE = re.compile(r"%\{(?P<pat>[A-Z0-9_]+)(?::(?P<name>[^}:]+))?(?::[^}]+)?\}")
