@@ -1378,6 +1378,97 @@ def _q_stream_route(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_stream_chunk_tokens(spark, sf):
+    """Stateful streaming concat-and-chunk proven equal to the BATCH
+    blocks: the pre-tokenized corpus replays as TWO ordered
+    micro-batches (maxFilesPerTrigger=1, doc_id-prefix split keeps
+    per-key arrival order), the partial tail of every (stream, shard)
+    key carries across the batch boundary in the state store, and the
+    emitted 64-token blocks must match ``chunk_tokens``' batch output
+    bit-for-bit — the gate's oracle IS the batch chunk_tokens oracle.
+    Un-flushed tails equal the batch drop_last=True convention."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from vector_spark.dataops.tokens import tokenize_words
+    from vector_spark.streaming.ops import stream_chunk_tokens
+
+    docs = _load(spark, sf, "documents")
+    seqs = docs.select(
+        F.pmod(F.col("doc_id").cast("long"), F.lit(4)).alias("stream"),
+        F.pmod(F.floor(F.col("doc_id").cast("long") / 4), F.lit(3))
+        .cast("long")
+        .alias("shard"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokenize_words(F.col("text"), hash_mode="portable").alias("tokens"),
+    )
+    mid = docs.agg(F.max(F.col("doc_id").cast("long"))).first()[0] // 2
+    work = tempfile.mkdtemp(prefix="vs_stream_chunk_")
+    indir = f"{work}/in"
+    qname = "vs_sc_" + uuid.uuid4().hex[:8]
+    try:
+        seqs.filter(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+            indir, mode="append"
+        )
+        time.sleep(1.1)  # file-source ordering is by modification time
+        seqs.filter(F.col("doc_id") > mid).coalesce(1).write.parquet(
+            indir, mode="append"
+        )
+        stream = (
+            spark.readStream.schema(seqs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        blocks = stream_chunk_tokens(
+            stream, 64, stream_cols=["stream", "shard"], order_col="doc_id"
+        )
+        q = (
+            blocks.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(qname).select(
+            "stream",
+            "shard",
+            "block",
+            F.array_join("tokens", " ").alias("tokens_str"),
+            F.col("n_tok").cast("int").alias("n_tok"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_streaming_suite(spark, sf):
+    """Streaming family composite: foreachBatch fan-out routing
+    (routed-row equality) + stateful concat-and-chunk (block-level
+    token equality vs the batch oracle), unioned on a canonical
+    schema."""
+    r = _q_stream_route(spark, sf).select(
+        F.lit("route").alias("part"),
+        F.col("lane").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("long").alias("k3"),
+        F.col("n").cast("long").alias("n"),
+        F.col("id_sum").cast("string").alias("payload"),
+    )
+    c = _q_stream_chunk_tokens(spark, sf).select(
+        F.lit("chunk").alias("part"),
+        F.col("stream").cast("string").alias("k1"),
+        F.col("shard").alias("k2"),
+        F.col("block").alias("k3"),
+        F.col("n_tok").cast("long").alias("n"),
+        F.col("tokens_str").alias("payload"),
+    )
+    return r.unionByName(c)
+
+
 def _q_winnow_dup_pairs(spark, sf):
     """Shared-passage near-dup pairs from winnowing fingerprints
     (MOSS strategy): docs sharing >= 2 fingerprints after pruning
@@ -2537,7 +2628,7 @@ _WINDOW = [
     "multimodal_features",
     "stream_aggregate",
     "stream_dedupe",
-    "stream_route",
+    "streaming_suite",
     "resumable_run",
 ]
 
@@ -2630,6 +2721,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "oov_rate": _q_oov_rate,
         "stream_route": _q_stream_route,
+        "stream_chunk_tokens": _q_stream_chunk_tokens,
+        "streaming_suite": _q_streaming_suite,
         "winnow_dup_pairs": _q_winnow_dup_pairs,
         "repetition_signals": _q_repetition_signals,
         "mix_rates": _q_mix_rates,
@@ -2872,6 +2965,18 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
                    doc_id AS k1, pos AS k2, token_id AS n_tok,
                    source AS payload
             FROM ({o["bpe_encode"]})
+        """,
+        "stream_chunk_tokens": o["chunk_tokens"],
+        "streaming_suite": f"""
+            SELECT 'route' AS part, lane AS k1,
+                   cast(NULL AS bigint) AS k2, cast(NULL AS bigint) AS k3,
+                   cast(n AS bigint) AS n, cast(id_sum AS varchar) AS payload
+            FROM ({o["stream_route"]})
+            UNION ALL
+            SELECT 'chunk' AS part, cast(stream AS varchar) AS k1,
+                   shard AS k2, block AS k3, cast(n_tok AS bigint) AS n,
+                   tokens_str AS payload
+            FROM ({o["chunk_tokens"]})
         """,
         "sampling_mix": f"""
             SELECT 'mix' AS part, lang AS k, rate, cast(NULL AS bigint) AS doc_id
