@@ -1838,6 +1838,21 @@ def _q_bpe_encode(spark, sf):
     )
 
 
+def _q_bpe_train(spark, sf):
+    """Distributed BPE merge-table LEARNING (Sennrich on the word
+    histogram): 8 iterations of count-pairs → argmax → map-only merge
+    application, ties lexicographic so DuckDB replays the exact
+    table. Output is the learned merge table itself."""
+    from vector_spark.dataops.tokens import bpe_train
+
+    docs = _load(spark, sf, "documents")
+    merges = bpe_train(docs, 8, min_freq=2)
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, lhs string, rhs string, freq bigint"
+    )
+
+
 def _q_bigram_logprob(spark, sf):
     """Bigram-LM perplexity scoring over the pre-tokenized shape
     (portable hash tokenization, V=4096) — the order-sensitive quality
@@ -2538,7 +2553,16 @@ def _q_packing_suite(spark, sf):
         F.col("token_id").alias("n_tok"),
         F.col("source").alias("payload"),
     )
-    return p.unionByName(c).unionByName(b)
+    t = _q_bpe_train(spark, sf).select(
+        F.lit("bpetrain").alias("mode"),
+        F.lit(None).cast("long").alias("stream"),
+        F.lit(None).cast("long").alias("shard"),
+        F.col("rank").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("freq").cast("int").alias("n_tok"),
+        F.concat(F.col("lhs"), F.lit("+"), F.col("rhs")).alias("payload"),
+    )
+    return p.unionByName(c).unionByName(b).unionByName(t)
 
 
 def _q_tokens_doc(spark, sf):
@@ -2709,6 +2733,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "chunk_tokens": _q_chunk_tokens,
         "bpe_encode": _q_bpe_encode,
+        "bpe_train": _q_bpe_train,
         "quality_classifier": _q_quality_classifier,
         "bigram_logprob": _q_bigram_logprob,
         "lang_id_ngram": _q_lang_id_ngram,
@@ -2965,6 +2990,14 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
                    doc_id AS k1, pos AS k2, token_id AS n_tok,
                    source AS payload
             FROM ({o["bpe_encode"]})
+            UNION ALL
+            SELECT 'bpetrain' AS mode, cast(NULL AS bigint) AS stream,
+                   cast(NULL AS bigint) AS shard,
+                   cast("rank" AS bigint) AS k1,
+                   cast(NULL AS bigint) AS k2,
+                   cast(freq AS int) AS n_tok,
+                   lhs || '+' || rhs AS payload
+            FROM ({o["bpe_train"]})
         """,
         "stream_chunk_tokens": o["chunk_tokens"],
         "streaming_suite": f"""
@@ -3113,6 +3146,69 @@ def _bpe_oracle() -> str:
                unnest(range(0, len(toks))) AS pos,
                cast(unnest(toks) AS int) AS token_id
         FROM flat
+    """
+
+
+def _bpe_train_oracle(k: int = 8) -> str:
+    """DuckDB replay of distributed BPE merge learning: k unrolled
+    stages, each computing weighted adjacent-pair counts over the
+    word histogram, the lexicographic-tie argmax, and the merge
+    application as a list_reduce string fold (pending symbol = tail
+    of a \\x1f-joined accumulator — the same fold bpe_train runs via
+    F.aggregate). A best row with freq < 2 is filtered (Spark's
+    min_freq early stop); once the max drops below 2 it can never
+    recover, so filtered rows are always a suffix and ranks align."""
+    stages = []
+    for i in range(k):
+        stages.append(f"""
+        p{i} AS (
+          SELECT pair, sum(freq) AS c
+          FROM (
+            SELECT freq,
+                   unnest([x[1] || chr(30) || x[2]
+                           for x in list_zip(arr, arr[2:], true)]) AS pair
+            FROM s{i}
+          )
+          GROUP BY pair
+        ),
+        b{i} AS (
+          SELECT {i} AS "rank",
+                 string_split(pair, chr(30))[1] AS lhs,
+                 string_split(pair, chr(30))[2] AS rhs,
+                 cast(c AS bigint) AS freq
+          FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
+        ),
+        s{i + 1} AS (
+          SELECT word, s{i}.freq AS freq,
+                 string_split(list_reduce(arr,
+                   (acc, x) -> CASE
+                     WHEN (acc = b{i}.lhs
+                           OR ends_with(acc, chr(31) || b{i}.lhs))
+                          AND x = b{i}.rhs
+                     THEN acc || b{i}.rhs
+                     ELSE acc || chr(31) || x END), chr(31)) AS arr
+          FROM s{i}, b{i}
+        )""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT * FROM b{i} WHERE freq >= 2' for i in range(k)
+    )
+    return f"""
+        WITH words AS (
+          SELECT word, cast(count(*) AS bigint) AS freq
+          FROM (
+            SELECT unnest(list_filter(string_split({_NORM}, ' '),
+                                      w -> w <> '')) AS word
+            FROM documents
+          )
+          GROUP BY word
+        ),
+        s0 AS (
+          SELECT word, freq,
+                 list_transform(range(1, length(word)+1), i -> word[i]) AS arr
+          FROM words
+        ),
+        {",".join(stages)}
+        {union}
     """
 
 
@@ -3744,6 +3840,7 @@ def _legacy_oracle_sql() -> dict[str, str]:
         """,
         "lang_id_ngram": _LANG_ID_ORACLE,
         "bpe_encode": _bpe_oracle(),
+        "bpe_train": _bpe_train_oracle(),
         "bigram_logprob": f"""
             WITH words AS (
               SELECT cast(doc_id AS bigint) AS doc_id,

@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "chunk_tokens",
     "quality_classifier",
     "bigram_logprob",
+    # round-5 additions
+    "bpe_encode",
+    "bpe_train",
+    "grok_services",
 ]
 
 

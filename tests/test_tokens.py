@@ -275,3 +275,67 @@ def test_new_token_ops_survive_nulls(spark):
     )
     enc = {r.doc_id: r.tokens for r in bpe_encode(txt, [("a", "b")]).collect()}
     assert enc[1] == [] and enc[2] == [] and len(enc[3]) == 1
+
+
+def test_bpe_train_learns_reference_merges(spark):
+    """Weighted pair counting on the word histogram with lexicographic
+    tie-break: hand-computed merge sequence on a tiny corpus (the×4,
+    table×3, fast×3, slow×1, fable×1)."""
+    from vector_spark.dataops.tokens import bpe_train
+
+    df = spark.createDataFrame(
+        [
+            ("the table the table fast",),
+            ("fast fast table the",),
+            ("slow the fable",),
+        ],
+        "text string",
+    )
+    merges = bpe_train(df, 6, min_freq=1)
+    # round 1: six pairs tie at 4 — lexicographic min is (a,b);
+    # rounds 2-3 extend it through table/fable; round 4 ties resolve
+    # to (h,e) because f-a dropped to 3 once fable became f+able
+    assert merges == [
+        ("a", "b", 4), ("ab", "l", 4), ("abl", "e", 4),
+        ("h", "e", 4), ("t", "he", 4), ("a", "s", 3),
+    ]
+
+
+def test_bpe_train_overlapping_run_merges_left_to_right(spark):
+    """'aaaa' under pair (a,a) must become [aa, aa] — the fold merges
+    left-to-right non-overlapping (the merged symbol is never eligible
+    as the left side of the same pair again)."""
+    from vector_spark.dataops.tokens import bpe_encode, bpe_train
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    merges = bpe_train(df, 1, min_freq=1)
+    assert merges[0][:2] == ("a", "a")
+    enc = bpe_encode(df, [("a", "a")], vocab={"a": 1, "aa": 2})
+    assert enc.first().tokens == [2, 2, 2, 2]
+
+
+def test_bpe_train_min_freq_stops_early(spark):
+    """Every pair unique -> best freq 1 < min_freq=2 -> no merges."""
+    from vector_spark.dataops.tokens import bpe_train
+
+    df = spark.createDataFrame([("abc def",)], "text string")
+    assert bpe_train(df, 4, min_freq=2) == []
+
+
+def test_bpe_train_roundtrip_encode(spark):
+    """Learned merges feed bpe_encode: frequent words collapse to
+    single tokens, so the token count drops vs char count."""
+    from pyspark.sql import functions as F
+
+    from vector_spark.dataops.tokens import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [("data data data table table",), ("data table data",)],
+        "text string",
+    )
+    merges = bpe_train(df, 8, min_freq=2)
+    enc = bpe_encode(df, [(a, b) for a, b, _ in merges])
+    n = enc.select(F.sum(F.size("tokens")).alias("n")).first().n
+    # 8 merges cover 'data' (3 merges) and 'table' (4 merges):
+    # every word is one token -> 8 tokens total
+    assert n == 8

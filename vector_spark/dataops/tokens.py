@@ -304,6 +304,112 @@ def chunk_tokens(
     return blocks
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """LEARN a BPE merge table from the corpus — the counterpart of
+    ``bpe_encode`` (which applies one). Returns
+    ``[(left, right, pair_freq), ...]`` in rank order; feed the
+    ``(left, right)`` pairs to ``bpe_encode`` to tokenize.
+
+    Scale shape (the classic Sennrich trick, distributed): the corpus
+    collapses to its WORD HISTOGRAM first (one explode +
+    partial-agg — the only pass whose exchange depends on corpus
+    size; everything after is bounded by |distinct words|). Each of
+    the ``n_merges`` iterations then:
+
+    - counts adjacent symbol pairs weighted by word frequency
+      (``zip_with`` on shifted slices → explode → hash-agg bounded by
+      |distinct pairs|),
+    - takes the argmax as a 1-row ``orderBy(...).limit(1)`` collect
+      (TakeOrdered — no global sort materializes), ties broken
+      lexicographically so the result is engine-portable,
+    - applies the winning merge map-only via a string fold
+      (``F.aggregate`` over the symbol array: the pending symbol is
+      the tail of a \\x1f-joined accumulator; merging appends the
+      right part with no separator). No Python UDF anywhere.
+
+    The histogram persists once; each iteration re-persists the
+    updated parts (O(n_merges) cached KB-to-MB frames, previous one
+    unpersisted) so lineage stays flat. Stops early when the best
+    pair's frequency drops below ``min_freq``."""
+    from vector_spark.dataops.dedup import normalize_text
+
+    SEP = "\x1f"
+    US = "\x1e"
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(normalize_text(F.col(text_col)), " "),
+                    lambda w: w != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # initial parts: the word's chars joined on SEP
+    cur = words.select(
+        "word",
+        "freq",
+        F.array_join(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != ""), SEP
+        ).alias("parts"),
+    ).persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(int(n_merges)):
+            arr = F.split(F.col("parts"), SEP)
+            m = F.greatest(F.size(arr) - 1, F.lit(0))
+            pair_col = F.zip_with(
+                F.slice(arr, 1, m),
+                F.slice(arr, 2, m),
+                lambda x, y: F.concat(x, F.lit(US), y),
+            )
+            best = (
+                cur.select(F.explode(pair_col).alias("pair"), "freq")
+                .groupBy("pair")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["c"] < min_freq:
+                break
+            a, b = best[0]["pair"].split(US)
+            merges.append((a, b, int(best[0]["c"])))
+
+            def _make_apply(a, b):
+                def _apply(acc, x):
+                    pending_is_a = (acc == a) | acc.endswith(SEP + a)
+                    return F.when(
+                        pending_is_a & (x == b), F.concat(acc, F.lit(b))
+                    ).otherwise(F.concat(acc, F.lit(SEP), x))
+
+                return _apply
+
+            arr2 = F.split(F.col("parts"), SEP)
+            nxt = cur.select(
+                "word",
+                "freq",
+                F.aggregate(
+                    F.slice(arr2, 2, F.greatest(F.size(arr2) - 1, F.lit(0))),
+                    F.element_at(arr2, 1),
+                    _make_apply(a, b),
+                ).alias("parts"),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
 def derive_bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
     """Deterministic vocabulary from a BPE merge table: single chars of
     all merge parts first (order of first appearance), then merge
