@@ -353,3 +353,68 @@ def test_grok_round5_vocabulary(spark):
     assert (r.response, r.totalms, r.viewms, r.activerecordms) == (
         "200", "14", "9.2", "1.5",
     )
+
+
+def test_grok_round5_tranche2(spark):
+    """Squid, bind, bacula, mongo slow query, nagios, ruby logger —
+    one authentic line per family; registry-wide expansion is covered
+    by test_grok_round4_vocabulary."""
+    from vector_spark.operators.grok import grok_parser
+
+    def one(pattern, line, types=None):
+        df = spark.createDataFrame([(line,)], "line string")
+        return grok_parser(df, pattern, field="line", types=types).first()
+
+    r = one(
+        "%{SQUID3}",
+        "1426235101.111 1527 192.168.1.100 TCP_MISS/200 864 GET "
+        "http://example.com/path - DIRECT/93.184.216.34 text/html",
+        types={"status_code": "int", "bytes": "int"},
+    )
+    assert (r.cache_result, r.status_code, r.bytes) == ("TCP_MISS", 200, 864)
+    assert (r.request_method, r.hierarchy_code) == ("GET", "DIRECT")
+
+    r = one(
+        "%{BIND9_QUERYLOG}",
+        "17-Feb-2018 23:06:56.326 queries: info: client 172.26.0.1#12345 "
+        "(test.example.com): query: test.example.com IN A (172.26.0.3)",
+        types={"clientport": "int"},
+    )
+    assert (r.clientip, r.clientport, r.query, r.querytype, r.dns) == (
+        "172.26.0.1", 12345, "test.example.com", "A", "172.26.0.3",
+    )
+
+    r = one(
+        "%{BACULA_LOGLINE}",
+        "01-Apr 18:30 backup-dir JobId 42: Bacula backup-dir 7.0.5: "
+        "Backup OK",
+        types={"jobid": "int"},
+    )
+    assert (r.hostname, r.jobid) == ("backup-dir", 42)
+    assert r.message.startswith("Bacula")
+
+    r = one(
+        "%{MONGO_SLOWQUERY}",
+        'query app.users query: { name: "x" } ntoreturn:1 ntoskip:0 '
+        "nscanned:1000 keyUpdates:0 locks(micros) r:43 nreturned:1 "
+        "reslen:123 120ms",
+        types={"duration": "int", "nscanned": "int"},
+    )
+    assert (r.database, r.collection) == ("app", "users")
+    assert (r.nscanned, r.nreturned, r.duration) == (1000, "1", 120)
+
+    r = one(
+        "%{NAGIOSLOGLINE}",
+        "[1426235101] SERVICE ALERT: host;svc;CRITICAL;SOFT;1;failure",
+    )
+    assert r.nagios_type == "SERVICE ALERT"
+    assert r.nagios_epoch == "1426235101"
+
+    r = one(
+        "%{RUBY_LOGGER}",
+        "W, [2017-01-13T15:19:35.213941 #8] WARN -- app: slow request",
+        types={"pid": "int"},
+    )
+    assert (r.pid, r.loglevel, r.progname, r.message) == (
+        8, "WARN", "app", "slow request",
+    )

@@ -198,6 +198,55 @@ GROK_PATTERNS: dict[str, str] = {
         r"Completed %{NUMBER:response}%{DATA} in %{NUMBER:totalms}ms "
         r"%{RAILS3PROFILE}%{GREEDYDATA}"
     ),
+    # round-5 tranche 2: squid, bind, bacula, mongo slow query, nagios,
+    # ruby logger, mcollective (logstash base-library long tail)
+    "SQUID3": (
+        r"%{NUMBER:timestamp}\s+%{NUMBER:duration}\s%{IP:client_address}\s"
+        r"%{WORD:cache_result}/%{POSINT:status_code}\s%{NUMBER:bytes}\s"
+        r"%{WORD:request_method}\s%{NOTSPACE:url}\s(?:%{NOTSPACE:user}|-)\s"
+        r"%{WORD:hierarchy_code}/%{IPORHOST:server}\s%{NOTSPACE:content_type}"
+    ),
+    "BIND9_TIMESTAMP": r"%{MONTHDAY}-%{MONTH}-%{YEAR} %{TIME}(?:\.\d+)?",
+    # the logstash original names `query` twice (Oniguruma allows it;
+    # Java regex does not) — the parenthesised echo is unnamed here
+    "BIND9_QUERYLOG": (
+        r"%{BIND9_TIMESTAMP:timestamp} queries: %{LOGLEVEL:loglevel}: "
+        r"client %{IP:clientip}#%{POSINT:clientport} \(%{DATA}\): "
+        r"query: %{NOTSPACE:query} IN %{WORD:querytype} \(%{IP:dns}\)"
+    ),
+    "BACULA_TIMESTAMP": r"%{MONTHDAY}-%{MONTH}(?:-%{YEAR})? %{HOUR}:%{MINUTE}",
+    "BACULA_HOST": r"[a-zA-Z0-9-]+",
+    "BACULA_DEVICE": r"%{USER}",
+    "BACULA_VOLUME": r"%{USER}",
+    "BACULA_JOB": r"%{USER}",
+    "BACULA_LOGLINE": (
+        r"%{BACULA_TIMESTAMP:timestamp} %{BACULA_HOST:hostname}"
+        r"(?: JobId %{INT:jobid})?:? %{GREEDYDATA:message}"
+    ),
+    # mongo slow-query: the logstash MONGO_QUERY uses lookbehind; the
+    # brace body is captured directly instead (same text)
+    "MONGO_QUERY": r"\{(?:[^{}]|\{[^{}]*\})*\}",
+    "MONGO_SLOWQUERY": (
+        r"%{WORD} %{MONGO_WORDDASH:database}\.%{MONGO_WORDDASH:collection} "
+        r"%{WORD}: %{MONGO_QUERY:query} %{WORD}:%{NONNEGINT:ntoreturn} "
+        r"%{WORD}:%{NONNEGINT:ntoskip} %{WORD}:%{NONNEGINT:nscanned}.*"
+        r"nreturned:%{NONNEGINT:nreturned}.* %{POSINT:duration}ms"
+    ),
+    "NAGIOSTIME": r"\[%{NUMBER:nagios_epoch}\]",
+    "NAGIOSLOGLINE": (
+        r"%{NAGIOSTIME} %{DATA:nagios_type}: %{GREEDYDATA:nagios_message}"
+    ),
+    "RUBY_LOGLEVEL": r"(?:DEBUG|FATAL|ERROR|WARN|INFO)",
+    "RUBY_LOGGER": (
+        r"[DFEWI], \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid}\] "
+        r"*%{RUBY_LOGLEVEL:loglevel} -- +%{DATA:progname}: "
+        r"%{GREEDYDATA:message}"
+    ),
+    "MCOLLECTIVE": (
+        r"., \[%{TIMESTAMP_ISO8601:timestamp} #%{POSINT:pid}\]"
+        r"%{SPACE}%{LOGLEVEL:event_level}"
+    ),
+    "MCOLLECTIVEAUDIT": r"%{TIMESTAMP_ISO8601:timestamp}:",
 }
 
 _GROK_REF_RE = re.compile(r"%\{(?P<pat>[A-Z0-9_]+)(?::(?P<name>[^}:]+))?(?::[^}]+)?\}")
