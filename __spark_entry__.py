@@ -2515,12 +2515,30 @@ def _q_text_doc_signals(spark, sf):
     lid = _q_lang_id_ngram(spark, sf).select(
         "doc_id", F.col("lang").alias("lang_ngram"), "lang_score"
     )
+    tk = (
+        _q_tf_idf(spark, sf)
+        .filter(F.col("rank") == 1)
+        .select("doc_id", F.col("word").alias("top_kw"))
+    )
     return (
         ts.join(rep, "doc_id")
         .join(ma, "doc_id")
         .join(lid, "doc_id", "left")
+        .join(tk, "doc_id", "left")
         .withColumn("lang_ngram", F.coalesce("lang_ngram", F.lit("unk")))
+        .withColumn("top_kw", F.coalesce("top_kw", F.lit("")))
     )
+
+
+def _q_tf_idf(spark, sf):
+    """Per-document TF-IDF keyword extraction (top-5, lexicographic
+    ties, round-6 scores so the DuckDB replay ranks identically)."""
+    from vector_spark.dataops.textstats import tf_idf_keywords
+
+    docs = _load(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return tf_idf_keywords(docs, top_k=5)
 
 
 def _q_packing_suite(spark, sf):
@@ -2771,6 +2789,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrl_stdlib": _q_vrl_stdlib,
         "ann_topk": _q_ann_topk,
         "text_doc_signals": _q_text_doc_signals,
+        "tf_idf": _q_tf_idf,
         "tokens_doc": _q_tokens_doc,
         "packing_suite": _q_packing_suite,
         "contamination_fuzzy": _q_contamination_fuzzy,
@@ -2952,11 +2971,14 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
         "text_doc_signals": f"""
             SELECT t.*, r.mean_word_len, r.symbol_word_ratio, r.bullet_ratio,
                    r.ellipsis_ratio, r.dup_2gram_frac, r.dup_3gram_frac, m.hit,
-                   coalesce(l.lang, 'unk') AS lang_ngram, l.lang_score
+                   coalesce(l.lang, 'unk') AS lang_ngram, l.lang_score,
+                   coalesce(k.word, '') AS top_kw
             FROM ({o["text_stats"]}) t
             JOIN ({o["repetition_signals"]}) r USING (doc_id)
             JOIN ({o["vrl_match_any"]}) m USING (doc_id)
             LEFT JOIN ({o["lang_id_ngram"]}) l ON l.doc_id = t.doc_id
+            LEFT JOIN (SELECT doc_id, word FROM ({o["tf_idf"]})
+                       WHERE "rank" = 1) k ON k.doc_id = t.doc_id
         """,
         "tokens_doc": f"""
             SELECT t.*, u.mean_neg_logprob,
@@ -3840,6 +3862,31 @@ def _legacy_oracle_sql() -> dict[str, str]:
         """,
         "lang_id_ngram": _LANG_ID_ORACLE,
         "bpe_encode": _bpe_oracle(),
+        "tf_idf": f"""
+            WITH words AS (
+              SELECT doc_id, word, cast(count(*) AS bigint) AS tf FROM (
+                SELECT cast(doc_id AS bigint) AS doc_id,
+                       unnest(list_filter(string_split({_NORM}, ' '),
+                                          w -> w <> '')) AS word
+                FROM documents
+              ) GROUP BY doc_id, word
+            ),
+            docfreq AS (SELECT word, cast(count(*) AS bigint) AS df
+                        FROM words GROUP BY word),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words),
+            scored AS (
+              SELECT doc_id, w.word,
+                     round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+              FROM words w JOIN docfreq USING (word) CROSS JOIN nd
+            )
+            SELECT doc_id, "rank", word, tfidf FROM (
+              SELECT doc_id, word, tfidf,
+                     cast(row_number() OVER (
+                         PARTITION BY doc_id
+                         ORDER BY tfidf DESC, word ASC) AS int) AS "rank"
+              FROM scored
+            ) WHERE "rank" <= 5
+        """,
         "bpe_train": _bpe_train_oracle(),
         "bigram_logprob": f"""
             WITH words AS (

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "bpe_train",
     "grok_services",
+    "tf_idf",
 ]
 
 

@@ -506,3 +506,29 @@ def test_lang_id_ngram_real_snippets(spark):
     assert out[5][0] == "zh"
     assert out[6][0] == "unk"
     assert out[1][1] > 0 and out[5][1] is None  # CJK bypasses scoring
+
+
+def test_tf_idf_keywords_ranking(spark):
+    """TF-IDF: high-tf rare words rank first; corpus-wide words score
+    ~0; ties break lexicographically; rank caps at top_k."""
+    from vector_spark.dataops.textstats import tf_idf_keywords
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark query the the"),
+            (2, "the query engine"),
+            (3, "the a an"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tf_idf_keywords(df, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.word, r.tfidf))
+    assert sorted(by_doc[1])[0][1] == "spark"  # tf=2, df=1 wins
+    assert sorted(by_doc[2])[0][1] == "engine"
+    # doc 3: 'a' and 'an' tie (df=1 each, tf=1) -> lexicographic
+    assert [w for _, w, _ in sorted(by_doc[3])] == ["a", "an"]
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # 'the' appears in every doc -> idf = ln(4/4) = ~0, never a keyword
+    assert all(w != "the" for v in by_doc.values() for _, w, _ in v)

@@ -422,3 +422,72 @@ def lang_id_ngram(
             best_score.cast("long")
         ).alias("lang_score"),
     )
+
+
+def tf_idf_keywords(
+    df: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction by TF-IDF: the standard
+    curation signal for topic tagging / boilerplate spotting.
+
+    Output: (id_col, rank 1..top_k, word, tfidf) — ties broken
+    lexicographically, scores rounded to 6 digits BEFORE ranking so
+    the ordering is engine-portable (ln() may differ in the last ULP
+    across engines).
+
+    Scale shape: one explode → (doc, word) partial-hash-agg (exchange
+    bounded by per-doc distinct words), one word-level document-
+    frequency aggregate (bounded by |vocab|), an equi-join back on
+    word (uniform: hot stopwords carry low idf but their df rows are
+    single rows, not row explosions), and a per-doc row_number window
+    — partitioned by doc id, so no single-task sort. The corpus size
+    N arrives as a broadcast 1-row frame (the repo's scalar-frame
+    pattern), never a driver constant baked into the plan lineage."""
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(normalize_text(F.col(text_col)), " "),
+                    lambda w: w != "",
+                )
+            ).alias("word"),
+        )
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = words.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        words.join(docfreq, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0))
+                    / (F.col("df") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(id_col, "rank", "word", "tfidf")
+    )
