@@ -98,31 +98,48 @@ def train_nb_classifier(
     w_f = ln((c_pos(f)+α)/(T_pos+α·V)) − ln((c_neg(f)+α)/(T_neg+α·V)),
     bias = ln(n_pos_docs / n_neg_docs); V = ``n_features``.
 
-    Plan shape: explode → ONE hash-aggregate keyed by feature with
-    per-class conditional sums (map-side partials; the exchange
-    carries ≤ n_features rows per partition, never corpus-token
-    rows) → a broadcast of the 1-row class-totals frame. Weights are
-    rounded to 12 dp so cross-engine float formatting agrees.
+    Plan shape: ONE pass over the input — a per-document sentinel
+    feature (−2) rides along in the explode, so the single
+    feature-keyed hash-aggregate yields the per-feature conditional
+    counts AND the per-class document counts; the class totals then
+    derive from the (≤ n_features)-row aggregate table, never from a
+    second corpus scan. (Previously the input executed 3× — explode
+    pass + two totals passes — which tripled the upstream
+    hash_features projection for any un-persisted caller; measured as
+    the r5 curation_pipeline bench regression.) The aggregate table
+    persists (bounded by n_features rows) for its two consumers.
+    Weights are rounded to 12 dp so cross-engine float formatting
+    agrees.
     """
+    DOC_MARK = -2  # hashed features are non-negative; -1 is the bias
     lab = F.col(label_col).cast("boolean")
+    feats = F.coalesce(
+        F.col(features_col), F.array().cast("array<int>")
+    )
     occ = df.select(
-        lab.alias("_y"), F.explode(F.col(features_col)).alias("feature")
+        lab.alias("_y"),
+        F.explode(
+            F.concat(feats, F.array(F.lit(DOC_MARK).cast("int")))
+        ).alias("feature"),
     )
-    per_feat = occ.groupBy("feature").agg(
-        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("c_neg"),
+    per_feat = (
+        occ.groupBy("feature")
+        .agg(
+            F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("c_neg"),
+        )
+        .persist()
     )
-    totals = df.select(
-        lab.alias("_y"), F.size(F.col(features_col)).alias("_n")
-    ).agg(
-        F.sum(F.when(F.col("_y"), F.col("_n")).otherwise(0)).alias("t_pos"),
-        F.sum(F.when(~F.col("_y"), F.col("_n")).otherwise(0)).alias("t_neg"),
-        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("d_pos"),
-        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("d_neg"),
+    is_doc = F.col("feature") == DOC_MARK
+    totals = per_feat.agg(
+        F.sum(F.when(~is_doc, F.col("c_pos")).otherwise(0)).alias("t_pos"),
+        F.sum(F.when(~is_doc, F.col("c_neg")).otherwise(0)).alias("t_neg"),
+        F.sum(F.when(is_doc, F.col("c_pos")).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(is_doc, F.col("c_neg")).otherwise(0)).alias("d_neg"),
     )
     av = F.lit(float(alpha)) * F.lit(float(n_features))
     a = F.lit(float(alpha))
-    weights = per_feat.crossJoin(F.broadcast(totals)).select(
+    weights = per_feat.filter(~is_doc).crossJoin(F.broadcast(totals)).select(
         "feature",
         F.round(
             F.log((F.col("c_pos") + a) / (F.col("t_pos") + av))

@@ -361,6 +361,7 @@ def bpe_train(
         ).alias("parts"),
     ).persist()
     merges: list[tuple[str, str, int]] = []
+    prev = None
     try:
         for _ in range(int(n_merges)):
             arr = F.split(F.col("parts"), SEP)
@@ -378,6 +379,12 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # this collect materialized cur's cache, so its parent
+            # (kept alive one extra round to avoid a dedicated
+            # materialization job per iteration) can go now
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best or best[0]["c"] < min_freq:
                 break
             a, b = best[0]["pair"].split(US)
@@ -402,11 +409,11 @@ def bpe_train(
                     _make_apply(a, b),
                 ).alias("parts"),
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
-            cur.unpersist()
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
