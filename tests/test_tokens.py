@@ -339,3 +339,58 @@ def test_bpe_train_roundtrip_encode(spark):
     # 8 merges cover 'data' (3 merges) and 'table' (4 merges):
     # every word is one token -> 8 tokens total
     assert n == 8
+
+
+def test_bpe_train_property_vs_reference(spark):
+    """Property check against a pure-Python BPE learner (count pairs
+    weighted by word freq → lexicographic-tie argmax → left-to-right
+    non-overlapping merge): deterministic corpus set covering runs,
+    ties, shared prefixes/suffixes, and single-char words."""
+    from collections import Counter
+
+    from vector_spark.dataops.tokens import bpe_train
+
+    def py_bpe(texts, n_merges, min_freq):
+        words = Counter()
+        for t in texts:
+            for w in " ".join(t.lower().split()).split(" "):
+                if w:
+                    words[w] += 1
+        parts = {w: list(w) for w in words}
+        out = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for w, ps in parts.items():
+                for i in range(len(ps) - 1):
+                    pc[(ps[i], ps[i + 1])] += words[w]
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_freq:
+                break
+            (a, b), c = best
+            out.append((a, b, c))
+            for w, ps in parts.items():
+                i, np_ = 0, []
+                while i < len(ps):
+                    if i + 1 < len(ps) and ps[i] == a and ps[i + 1] == b:
+                        np_.append(a + b)
+                        i += 2
+                    else:
+                        np_.append(ps[i])
+                        i += 1
+                parts[w] = np_
+        return out
+
+    corpora = [
+        ["aaa aaaa a", "aa aaa"],
+        ["abab abab", "baba ab"],
+        ["xy xy yx", "xyxy yxyx xy"],
+        ["the quick brown fox", "the lazy dog the fox"],
+        ["mississippi mississippi", "missive kiss"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_train(df, 5, min_freq=1)
+        want = py_bpe(texts, 5, 1)
+        assert got == want, f"{texts}: {got} != {want}"
