@@ -904,14 +904,24 @@ def _q_embed_near_dups(spark, sf):
 
 
 def _q_multimodal(spark, sf):
-    """Arrow-batched feature extraction over binary media columns.
-    Oracle: pure-Python recomputation of the deterministic synthetic
-    payloads (see _multimodal_oracle_sql)."""
+    """Arrow-batched feature extraction over binary media columns —
+    REAL lib-free codecs (RIFF/WAVE PCM16, binary PPM) for the
+    audio/image rows, honest decode_ok=false for video (ffmpeg-less).
+    Features explode to (media_id, fidx, fval) so every decoded value
+    is pinned. Oracle: independent pure-Python reparse of the same
+    deterministic payloads (see _multimodal_oracle_sql)."""
     from vector_spark.dataops.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 300)
     out = extract_features(media)
-    return out.select("media_id", "kind", "n_bytes", "sha", "decode_ok")
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha",
+        "decode_ok",
+        F.posexplode_outer("feat").alias("fidx", "fval"),
+    )
 
 
 def _ivf_gate_centroids() -> list[list[float]]:
@@ -973,25 +983,73 @@ def _ivf_oracle_sql() -> str:
 
 
 def _multimodal_oracle_sql(n_rows: int = 300, seed: int = 42) -> str:
-    """Independent pure-Python recomputation of the deterministic
-    synthetic media features (payload = md5-digest bytes x 64) emitted
-    as a VALUES table — DuckDB cannot sha256 BLOBs, so the hash is
-    precomputed rather than recomputed in SQL."""
+    """Independent pure-Python reparse of the deterministic media
+    payloads: the WAV/PPM bytes are rebuilt with the shared
+    generators, then the expected features are recomputed here with
+    plain struct/loops (NOT the numpy decoders under test) and
+    emitted as a VALUES table — DuckDB cannot sha256 BLOBs or parse
+    RIFF, so the expectation is precomputed rather than recomputed in
+    SQL."""
     import hashlib
+    import math
+    import struct
+
+    from vector_spark.dataops.multimodal import make_ppm, make_wav
 
     kinds = ("image", "audio", "video")
     vals = []
     for i in range(n_rows):
-        payload = bytes.fromhex(hashlib.md5((str(seed) + str(i)).encode()).hexdigest()) * 64
         kind = kinds[i % 3]
-        vals.append(
-            f"('media-{i:08d}', '{kind}', {len(payload)}::BIGINT, "
-            f"'{hashlib.sha256(payload).hexdigest()}', {str(kind != 'video').upper()})"
-        )
-    body = ",\n              ".join(vals)
+        if kind == "image":
+            payload = make_ppm(i)
+            header, _, rest = payload.partition(b"\n")
+            dims, _, rest = rest.partition(b"\n")
+            _, _, body = rest.partition(b"\n")
+            w, h = (int(v) for v in dims.split())
+            sums = [0, 0, 0]
+            for j, byte in enumerate(body):
+                sums[j % 3] += byte
+            feat = [
+                float(w),
+                float(h),
+                *[round(s / (w * h), 6) for s in sums],
+            ]
+            ok = True
+        elif kind == "audio":
+            payload = make_wav(i)
+            n = struct.unpack_from("<I", payload, 40)[0] // 2
+            samples = struct.unpack_from(f"<{n}h", payload, 44)
+            sr = struct.unpack_from("<I", payload, 24)[0]
+            peak = max(abs(s) for s in samples) if n else 0
+            rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+            feat = [float(n), float(sr), float(peak), round(rms, 6)]
+            ok = True
+        else:
+            payload = (
+                bytes.fromhex(
+                    hashlib.md5((str(seed) + str(i)).encode()).hexdigest()
+                )
+                * 64
+            )
+            feat = None
+            ok = False
+        sha = hashlib.sha256(payload).hexdigest()
+        if feat is None:
+            vals.append(
+                f"('media-{i:08d}', '{kind}', {len(payload)}::BIGINT, "
+                f"'{sha}', FALSE, NULL::INT, NULL::DOUBLE)"
+            )
+        else:
+            for fidx, fval in enumerate(feat):
+                vals.append(
+                    f"('media-{i:08d}', '{kind}', {len(payload)}::BIGINT, "
+                    f"'{sha}', TRUE, {fidx}::INT, {fval!r}::DOUBLE)"
+                )
+    body_sql = ",\n              ".join(vals)
     return f"""
         SELECT * FROM (VALUES
-              {body}) AS t(media_id, kind, n_bytes, sha, decode_ok)
+              {body_sql})
+        AS t(media_id, kind, n_bytes, sha, decode_ok, fidx, fval)
     """
 
 

@@ -117,8 +117,16 @@ def test_multimodal_features(spark):
     assert len(rows) == 30
     ok = [r for r in rows if r.decode_ok]
     bad = [r for r in rows if not r.decode_ok]
-    assert all(r.kind == "video" for r in bad)  # video decoder stubbed out
-    assert all(len(r.feat) == 4 for r in ok)
+    assert all(r.kind == "video" for r in bad)  # ffmpeg-less: video honest-fails
+    # real codecs: WAV -> [n, sr, peak, rms]; PPM -> [w, h, r, g, b]
+    for r in ok:
+        if r.kind == "audio":
+            n, sr, peak, rms = r.feat
+            assert sr == 8000.0 and n >= 400 and 0 < rms < peak <= 16000
+        else:
+            w, h, mr, mg, mb = r.feat
+            assert w == 16.0 and 8 <= h <= 15
+            assert all(0 <= m <= 255 for m in (mr, mg, mb))
     assert all(r.n_bytes > 0 and r.sha for r in rows)
     # determinism
     again = {r.media_id: r.sha for r in extract_features(media).collect()}
@@ -532,3 +540,43 @@ def test_tf_idf_keywords_ranking(spark):
     assert all(len(v) <= 2 for v in by_doc.values())
     # 'the' appears in every doc -> idf = ln(4/4) = ~0, never a keyword
     assert all(w != "the" for v in by_doc.values() for _, w, _ in v)
+
+
+def test_wav_ppm_codecs_roundtrip():
+    """The lib-free codecs parse their own generators' output exactly,
+    and reject malformed payloads (poison-pill isolation upstream)."""
+    import math
+
+    import pytest as _pytest
+
+    from vector_spark.dataops.multimodal import (
+        decode_ppm,
+        decode_wav,
+        make_ppm,
+        make_wav,
+    )
+
+    n, sr, peak, rms = decode_wav(make_wav(7))
+    assert (n, sr) == (407.0, 8000.0)
+    assert peak <= 8007 and 0 < rms < peak
+    # hand-check rms on a tiny constructed wave: samples +/-4 alternating
+    import struct
+
+    data = struct.pack("<4h", 4, -4, 4, -4)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 16000, 2, 16, b"data", len(data),
+    )
+    assert decode_wav(hdr + data) == [4.0, 8000.0, 4.0, 4.0]
+
+    w, h, mr, mg, mb = decode_ppm(make_ppm(3))
+    assert (w, h) == (16.0, 11.0)
+    # uniform 2x1 image: both pixels (10, 20, 30)
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 10, 20, 30])
+    assert decode_ppm(ppm) == [2.0, 1.0, 10.0, 20.0, 30.0]
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"not a wav")
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 1\n255\nxx")

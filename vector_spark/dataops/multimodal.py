@@ -2,10 +2,14 @@
 columns with typed metadata.
 
 The Spark-side machinery (schemas, Arrow-batched UDF signatures,
-partition-size control for wide binary rows) is real and tested; the
-actual codec calls are stubbed behind ``DECODERS`` because the
-image/audio libraries are not in this container — swap in PIL/ffmpeg
-functions on a real cluster without touching the plumbing.
+partition-size control for wide binary rows) is real and tested, and
+so are the codecs for the lib-free formats: RIFF/WAVE PCM16 and
+binary PPM decode with struct+numpy only (``decode_wav`` /
+``decode_ppm`` — header parse, vectorized samples, signal features).
+Formats that need external codec libraries (JPEG/PNG via PIL, video
+frame-sampling via ffmpeg) stay behind the same ``DECODERS`` registry
+as honest unsupported entries — swap in the library-backed functions
+on a real cluster without touching the plumbing.
 
 Scale notes: binary payload rows are WIDE — ``media_repartition``
 sizes partitions by cumulative payload bytes (not row count) so a
@@ -36,40 +40,169 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id string, kind string, n_bytes long, sha string, "
-    "feat array<float>, decode_ok boolean"
+    "feat array<double>, decode_ok boolean"
 )
 
 
+def make_wav(i: int) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 mono payload for row ``i``: a
+    pure-integer triangle wave (no libm — every byte is exactly
+    reproducible in any language). Real, standards-conformant WAV."""
+    import struct
+
+    sr = 8000
+    n = 400 + (i % 200)
+    amp = 8000 + (i % 8000)
+    period = 20 + (i % 50)
+    samples = []
+    for t in range(n):
+        phase = t % period
+        half = period // 2
+        if half == 0:
+            v = 0
+        elif phase < half:
+            v = -amp + (2 * amp * phase) // half
+        else:
+            v = amp - (2 * amp * (phase - half)) // (period - half)
+        samples.append(v)
+    data = struct.pack(f"<{n}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sr, sr * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def make_ppm(i: int) -> bytes:
+    """Deterministic binary PPM (P6) payload for row ``i``: integer
+    gradient pixels. Real, standards-conformant netpbm image."""
+    w = 16
+    h = 8 + (i % 8)
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px.append((x * 7 + y * 13 + i) % 256)
+            px.append((x * 3 + y * 5 + 2 * i) % 256)
+            px.append((x * 11 + y * 2 + 3 * i) % 256)
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+
 def synthetic_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = repeated hash bytes)."""
+    """Deterministic media table: REAL WAV (audio rows) and PPM (image
+    rows) payloads built batch-wise in mapInPandas; video rows carry
+    an opaque fake payload (frame sampling needs ffmpeg — decode_ok
+    stays false for them, honestly)."""
+    import hashlib
+
     base = spark.range(n_rows)
-    rid = F.col("id")
-    kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(rid, F.lit(3)) + 1).cast("int"),
-    )
-    payload = F.repeat(F.unhex(F.md5(F.concat(F.lit(seed), rid))), 64).cast("binary")
-    return base.select(
-        F.format_string("media-%08d", rid).alias("media_id"),
-        kind.alias("kind"),
-        payload.alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(256).cast("int").alias("width"),
-        F.lit(256).cast("int").alias("height"),
-        (F.pmod(rid, F.lit(30_000))).cast("int").alias("duration_ms"),
+    schema = (
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int"
     )
 
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ("image", "audio", "video")
+        mimes = {
+            "image": "image/x-portable-pixmap",
+            "audio": "audio/wav",
+            "video": "application/octet-stream",
+        }
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = kinds[i % 3]
+                if kind == "image":
+                    payload = make_ppm(i)
+                elif kind == "audio":
+                    payload = make_wav(i)
+                else:
+                    payload = (
+                        bytes.fromhex(
+                            hashlib.md5((str(seed) + str(i)).encode()).hexdigest()
+                        )
+                        * 64
+                    )
+                rows.append(
+                    (
+                        f"media-{i:08d}",
+                        kind,
+                        payload,
+                        mimes[kind],
+                        16 if kind == "image" else 256,
+                        (8 + i % 8) if kind == "image" else 256,
+                        i % 30_000,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "mime",
+                    "width", "height", "duration_ms",
+                ],
+            )
 
-def _decode_image_stub(payload: bytes) -> list[float]:
-    """STUB: real impl would PIL-decode + resize + embed. Deterministic
-    fake: 4 floats from the payload head so tests can assert shape."""
-    head = payload[:8] if payload else b"\x00" * 8
-    return [float(b) / 255.0 for b in head[:4]]
+    return base.mapInPandas(op, schema=schema)
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """REAL RIFF/WAVE PCM16 decode (struct + numpy, no codec libs):
+    parses the fmt/data chunks, vectorizes the samples, and returns
+    [n_samples, sample_rate, peak_abs, rms(6dp)]. Raises on
+    non-PCM16 or malformed RIFF."""
+    import math
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n = int(x.size)
+    peak = int(np.abs(x).max()) if n else 0
+    rms = math.sqrt(int((x * x).sum()) / n) if n else 0.0
+    return [float(n), float(sr), float(peak), round(rms, 6)]
+
+
+def decode_ppm(payload: bytes) -> list[float]:
+    """REAL binary-PPM (P6) decode (header parse + numpy): returns
+    [width, height, mean_r(6dp), mean_g(6dp), mean_b(6dp)]."""
+    import numpy as np
+
+    parts = payload.split(b"\n", 3)
+    if parts[0] != b"P6" or len(parts) < 4:
+        raise ValueError("not a binary PPM payload")
+    w, h = (int(v) for v in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8).astype(np.int64)
+    px = px.reshape(h * w, 3)
+    n = h * w
+    means = [round(int(px[:, c].sum()) / n, 6) for c in range(3)]
+    return [float(w), float(h), *means]
 
 
 DECODERS = {
-    "image": _decode_image_stub,
-    "audio": _decode_image_stub,  # STUB — swap for librosa/ffmpeg path
+    # real lib-free codecs; mime-dispatched first, kind fallback
+    "image/x-portable-pixmap": decode_ppm,
+    "audio/wav": decode_wav,
+    "image": decode_ppm,
+    "audio": decode_wav,
     "video": None,  # NotImplemented: frame-sampling needs ffmpeg
 }
 
@@ -85,14 +218,21 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, oks = [], []
-            for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                dec = DECODERS.get(kind)
+            mimes = pdf["mime"] if "mime" in pdf.columns else [None] * len(pdf)
+            for kind, mime, payload in zip(pdf["kind"], mimes, pdf["payload"]):
+                dec = DECODERS.get(mime) or DECODERS.get(kind)
                 if dec is None or payload is None:
                     feats.append(None)
                     oks.append(False)
                 else:
-                    feats.append(dec(bytes(payload)))
-                    oks.append(True)
+                    try:
+                        feats.append(dec(bytes(payload)))
+                        oks.append(True)
+                    except Exception:
+                        # poison-pill isolation: one malformed payload
+                        # must not kill a 100 TB job
+                        feats.append(None)
+                        oks.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
