@@ -580,3 +580,48 @@ def test_wav_ppm_codecs_roundtrip():
         decode_wav(b"not a wav")
     with _pytest.raises(ValueError):
         decode_ppm(b"P5\n2 1\n255\nxx")
+
+
+def test_transform_media_resize_and_downsample(spark):
+    """resize (PPM nearest-neighbor) and resample (WAV decimation) are
+    REAL: the transformed payloads re-decode with the expected shapes;
+    video passes through with transform_ok=false."""
+    from vector_spark.dataops.multimodal import (
+        decode_ppm,
+        decode_wav,
+        extract_features,
+        synthetic_media,
+        transform_media,
+    )
+
+    media = synthetic_media(spark, 9)
+    out = transform_media(media)
+    rows = {r.media_id: r for r in out.collect()}
+    assert all(
+        (r.kind != "video") == r.transform_ok for r in rows.values()
+    )
+    for r in rows.values():
+        if r.kind == "image":
+            w, h, *_ = decode_ppm(bytes(r.payload))
+            assert (w, h) == (8.0, 8.0)
+        elif r.kind == "audio":
+            n, sr, *_ = decode_wav(bytes(r.payload))
+            assert sr == 4000.0 and 200 <= n <= 300
+    # transformed payloads feed straight back into extract_features
+    feats = extract_features(out.drop("transform_ok"))
+    assert feats.filter("decode_ok").count() == 6
+
+
+def test_resize_ppm_nearest_neighbor_exact():
+    from vector_spark.dataops.multimodal import decode_ppm, resize_ppm
+
+    # 2x2 image with distinct corners; upscale to 4x4 -> each corner
+    # becomes a 2x2 block, means unchanged
+    src = b"P6\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  255, 255, 255]
+    )
+    big = resize_ppm(src, 4, 4)
+    w, h, mr, mg, mb = decode_ppm(big)
+    assert (w, h) == (4.0, 4.0)
+    assert [mr, mg, mb] == decode_ppm(src)[2:]
