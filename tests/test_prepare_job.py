@@ -88,3 +88,32 @@ def test_frozen_weights_path(spark, tmp_path):
         r.doc_id: r.score for r in score_classifier(feats, frozen).collect()
     }
     assert froz == live
+
+
+def test_prepare_media_data_job(spark, tmp_path):
+    """media job: normalize → decode → sha-dedup composes; every
+    distinct payload appears once with decoded features; video rows
+    survive with decode_ok=false."""
+    from jobs.prepare_media_data import curate_media
+    from vector_spark.dataops.multimodal import synthetic_media
+
+    media = synthetic_media(spark, 30)
+    out = curate_media(media).collect()
+    assert len(out) == 30  # all synthetic payloads distinct
+    kinds = {r.kind for r in out}
+    assert kinds == {"image", "audio", "video"}
+    assert all(r.dup_count == 1 for r in out)
+    for r in out:
+        if r.kind == "video":
+            assert not r.decode_ok and r.feat is None
+        else:
+            assert r.decode_ok and len(r.feat) in (4, 5)
+    # duplicate payloads collapse: double the table, counts become 2
+    doubled = media.unionByName(
+        media.withColumn("media_id", F.concat(F.col("media_id"), F.lit("-b")))
+    )
+    out2 = curate_media(doubled).collect()
+    assert len(out2) == 30
+    assert all(r.dup_count == 2 for r in out2)
+    # keeper is min media_id (the originals, not the -b copies)
+    assert all(not r.media_id.endswith("-b") for r in out2)
