@@ -418,3 +418,57 @@ def test_grok_round5_tranche2(spark):
     assert (r.pid, r.loglevel, r.progname, r.message) == (
         8, "WARN", "app", "slow request",
     )
+
+
+def test_grok_round5_tranche3(spark):
+    """cron/pam syslog, bro conn/http, junos RT_FLOW deny."""
+    from vector_spark.operators.grok import grok_parser
+
+    def one(pattern, line, types=None):
+        df = spark.createDataFrame([(line,)], "line string")
+        return grok_parser(df, pattern, field="line", types=types).first()
+
+    r = one(
+        "%{CRONLOG}",
+        "Oct 11 22:14:15 host1 CRON[1234]: (root) CMD (/usr/bin/backup --all)",
+    )
+    assert (r.user, r.action, r.command) == (
+        "root", "CMD", "/usr/bin/backup --all",
+    )
+
+    r = one(
+        "%{SYSLOGPAMSESSION}",
+        "Oct 11 22:14:15 host1 sshd[999]: pam_unix(sshd:session): "
+        "session opened for user deploy by (uid=0)",
+    )
+    assert (r.pam_module, r.pam_session_state, r.username) == (
+        "pam_unix", "opened", "deploy",
+    )
+
+    r = one(
+        "%{BRO_CONN}",
+        "1426235101.5\tCab1\t10.0.0.1\t51213\t10.0.0.2\t80\ttcp\thttp\t"
+        "0.25\t512\t2048\tSF",
+        types={"orig_p": "int", "resp_p": "int"},
+    )
+    assert (r.proto, r.orig_p, r.resp_p, r.conn_state) == ("tcp", 51213, 80, "SF")
+
+    r = one(
+        "%{BRO_HTTP}",
+        "1426235101.5\tCab1\t10.0.0.1\t51213\t10.0.0.2\t80\t1\tGET\t"
+        "example.com\t/index.html\t-\tcurl/7.1\t0\t1024\t200\tOK",
+        types={"status_code": "int"},
+    )
+    assert (r.method, r.domain, r.status_code, r.status_msg) == (
+        "GET", "example.com", 200, "OK",
+    )
+
+    r = one(
+        "%{RT_FLOW3}",
+        "RT_FLOW_SESSION_DENY: session denied 10.0.0.1/1234->10.0.0.2/443 "
+        "junos-https 6(0) default-deny trust untrust extra",
+        types={"src_port": "int", "dst_port": "int"},
+    )
+    assert (r.event, r.src_port, r.dst_port, r.policy_name) == (
+        "RT_FLOW_SESSION_DENY", 1234, 443, "default-deny",
+    )

@@ -247,6 +247,44 @@ GROK_PATTERNS: dict[str, str] = {
         r"%{SPACE}%{LOGLEVEL:event_level}"
     ),
     "MCOLLECTIVEAUDIT": r"%{TIMESTAMP_ISO8601:timestamp}:",
+    # round-5 tranche 3: cron/pam syslog lines, bro/zeek conn+http,
+    # junos RT_FLOW deny (field names underscored — Java group names
+    # cannot carry the logstash originals' dashes)
+    "CRON_ACTION": r"[A-Z ]+",
+    "CRONLOG": (
+        r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action} "
+        r"\(%{DATA:command}\)"
+    ),
+    "SYSLOGPAMSESSION": (
+        r"%{SYSLOGBASE} %{WORD:pam_module}\(%{DATA:pam_caller}\): "
+        r"session %{WORD:pam_session_state} for user %{USERNAME:username}"
+        r"(?: by %{GREEDYDATA:pam_by})?"
+    ),
+    "BRO_CONN": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t"
+        r"%{IP:resp_h}\t%{INT:resp_p}\t%{WORD:proto}\t"
+        r"%{NOTSPACE:service}\t%{NUMBER:duration}\t%{NUMBER:orig_bytes}\t"
+        r"%{NUMBER:resp_bytes}\t%{NOTSPACE:conn_state}"
+    ),
+    "BRO_HTTP": (
+        r"%{NUMBER:ts}\t%{NOTSPACE:uid}\t%{IP:orig_h}\t%{INT:orig_p}\t"
+        r"%{IP:resp_h}\t%{INT:resp_p}\t%{INT:trans_depth}\t"
+        r"%{WORD:method}\t%{NOTSPACE:domain}\t%{NOTSPACE:uri}\t"
+        r"%{NOTSPACE:referrer}\t%{NOTSPACE:user_agent}\t"
+        r"%{NUMBER:request_body_len}\t%{NUMBER:response_body_len}\t"
+        r"%{INT:status_code}\t%{GREEDYDATA:status_msg}"
+    ),
+    "RT_FLOW_EVENT": (
+        r"(?:RT_FLOW_SESSION_CREATE|RT_FLOW_SESSION_CLOSE"
+        r"|RT_FLOW_SESSION_DENY)"
+    ),
+    "RT_FLOW3": (
+        r"%{RT_FLOW_EVENT:event}: session denied "
+        r"%{IP:src_ip}/%{INT:src_port}->%{IP:dst_ip}/%{INT:dst_port} "
+        r"%{NOTSPACE:service} %{INT:protocol_id}\(\d\) "
+        r"%{NOTSPACE:policy_name} %{NOTSPACE:from_zone} "
+        r"%{NOTSPACE:to_zone} %{GREEDYDATA}"
+    ),
 }
 
 _GROK_REF_RE = re.compile(r"%\{(?P<pat>[A-Z0-9_]+)(?::(?P<name>[^}:]+))?(?::[^}]+)?\}")
