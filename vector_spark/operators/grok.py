@@ -250,6 +250,15 @@ GROK_PATTERNS: dict[str, str] = {
     # round-5 tranche 3: cron/pam syslog lines, bro/zeek conn+http,
     # junos RT_FLOW deny (field names underscored — Java group names
     # cannot carry the logstash originals' dashes)
+    # core grok-patterns completion (the base file's remaining entries)
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "BASE16FLOAT": (
+        r"\b(?<![0-9.+-])(?>[+-]?(?:0x)?(?:(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)"
+        r"|(?:\.[0-9A-Fa-f]+)))\b"
+    ),
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
     "CRON_ACTION": r"[A-Z ]+",
     "CRONLOG": (
         r"%{SYSLOGBASE} \(%{USER:user}\) %{CRON_ACTION:action} "
