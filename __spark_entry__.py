@@ -1414,8 +1414,10 @@ def _q_stream_route(spark, sf):
         q = stream_route_writer(
             stream, routes, sinks, checkpoint_dir=f"{work}/_ckpt"
         ).start()
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # never leak a stream against the temp sinks
         frames = []
         for lane, path in sinks.items():
             frames.append(
@@ -1488,8 +1490,10 @@ def _q_stream_chunk_tokens(spark, sf):
             .outputMode("append")
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # never leak a stream against the temp dir
         out = spark.table(qname).select(
             "stream",
             "shard",

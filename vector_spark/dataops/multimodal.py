@@ -331,7 +331,13 @@ def transform_media(
     ``extract_features``: one Python crossing per batch, mime-first
     dispatch, poison-pill isolation (transform_ok=false, payload
     passed through unchanged). Output schema = input schema +
-    transform_ok boolean."""
+    transform_ok boolean.
+
+    Contract note: payload-DERIVED metadata columns (width/height/
+    duration_ms) are not rewritten — the transform map is opaque to
+    this op. Downstream consumers should re-derive them from the
+    payload (``extract_features`` does) or drop them, as
+    ``jobs/prepare_media_data.curate_media`` does."""
     tmap = TRANSFORMS if transforms is None else transforms
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
