@@ -2563,7 +2563,46 @@ def _q_ann_topk(spark, sf):
         F.col("dim").alias("neighbor_id"),
         F.col("val").alias("cos"),
     )
-    return b.unionByName(l).unionByName(i).unionByName(r)
+    p = _q_pq_ann(spark, sf).select(
+        F.col("part").alias("method"),
+        F.col("a").alias("query_id"),
+        F.col("b").alias("neighbor_id"),
+        F.col("val").alias("cos"),
+    )
+    return b.unionByName(l).unionByName(i).unionByName(r).unionByName(p)
+
+
+def _q_pq_ann(spark, sf):
+    """Product-quantization ANN: per-subspace Lloyd codebooks (m=4,
+    k=8, one iteration from the 8 smallest-id seeds), 4-int codes per
+    vector (map-only projection — the corpus' original vectors are
+    never touched again), and ADC top-5 for the 3 smallest-id queries
+    via in-plan LUT literals. Emits every code and every top-k row."""
+    from vector_spark.dataops.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _load(spark, sf, "embeddings")
+    cb = pq_train(emb, m=4, k=8, iters=1)
+    codes = (
+        pq_encode(emb, cb)
+        .select(
+            F.col("vec_id").cast("long").alias("a"),
+            F.posexplode("codes").alias("j", "code"),
+        )
+        .select(
+            F.lit("pq_code").alias("part"),
+            "a",
+            F.col("j").cast("long").alias("b"),
+            F.col("code").cast("double").alias("val"),
+        )
+    )
+    q = emb.orderBy("vec_id").limit(3)
+    topk = pq_topk(emb, q, cb, k=5).select(
+        F.lit("pq").alias("part"),
+        F.col("query_id").cast("long").alias("a"),
+        F.col("neighbor_id").cast("long").alias("b"),
+        F.col("score").alias("val"),
+    )
+    return codes.unionByName(topk)
 
 
 def _q_text_doc_signals(spark, sf):
@@ -2856,6 +2895,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_suite": _q_packing_suite,
         "contamination_fuzzy": _q_contamination_fuzzy,
         "ivf_refine": _q_ivf_refine,
+        "pq_ann": _q_pq_ann,
         "decontamination": _q_decontamination,
         "sampling_mix": _q_sampling_mix,
     }
@@ -3029,6 +3069,10 @@ def _composite_oracles(o: dict[str, str]) -> dict[str, str]:
             SELECT 'centroid' AS method, cell AS query_id,
                    dim AS neighbor_id, val AS cos
             FROM ({o["ivf_refine"]})
+            UNION ALL
+            SELECT part AS method, a AS query_id, b AS neighbor_id,
+                   val AS cos
+            FROM ({o["pq_ann"]})
         """,
         "text_doc_signals": f"""
             SELECT t.*, r.mean_word_len, r.symbol_word_ratio, r.bullet_ratio,
@@ -3231,6 +3275,81 @@ def _bpe_oracle() -> str:
                cast(unnest(toks) AS int) AS token_id
         FROM flat
     """
+
+
+_PQ_ANN_ORACLE = """
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), js AS (SELECT unnest(range(0, 4)) AS j
+    ), seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             embedding::DOUBLE[] AS c
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ), subs AS (
+      SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv FROM emb CROSS JOIN js
+    ), scb AS (
+      SELECT s.cell, j, c[j*16+1 : j*16+16] AS cent
+      FROM seeds s CROSS JOIN js
+    ), a1 AS (
+      SELECT vec_id, j, cell, sv FROM (
+        SELECT t.vec_id, t.j, s.cell, t.sv,
+               row_number() OVER (
+                 PARTITION BY t.vec_id, t.j
+                 ORDER BY round(list_dot_product(s.cent, s.cent)
+                                - 2*list_dot_product(t.sv, s.cent), 6) ASC,
+                          s.cell ASC) AS rk
+        FROM subs t JOIN scb s USING (j)
+      ) WHERE rk = 1
+    ), m1 AS (
+      SELECT j, cell, dim, round(avg(sv[dim]), 6) AS m
+      FROM (SELECT j, cell, sv,
+                   unnest(generate_series(1, 16)) AS dim FROM a1)
+      GROUP BY j, cell, dim
+    ), cb1 AS (
+      SELECT s.j, s.cell, coalesce(g.c, s.cent) AS cent
+      FROM scb s LEFT JOIN (
+        SELECT j, cell, list(m ORDER BY dim) AS c FROM m1 GROUP BY j, cell
+      ) g ON g.j = s.j AND g.cell = s.cell
+    ), codes AS (
+      SELECT vec_id, j, cell AS code FROM (
+        SELECT t.vec_id, t.j, s.cell,
+               row_number() OVER (
+                 PARTITION BY t.vec_id, t.j
+                 ORDER BY round(list_dot_product(s.cent, s.cent)
+                                - 2*list_dot_product(t.sv, s.cent), 6) ASC,
+                          s.cell ASC) AS rk
+        FROM subs t JOIN cb1 s USING (j)
+      ) WHERE rk = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, v FROM emb ORDER BY vec_id LIMIT 3
+    ), lut AS (
+      SELECT q.query_id, c.j, c.cell,
+             round(list_dot_product(q.v[c.j*16+1 : c.j*16+16], c.cent), 6) AS p
+      FROM queries q CROSS JOIN cb1 c
+    ), parts AS (
+      SELECT c.vec_id AS neighbor_id, l.query_id,
+             list(l.p ORDER BY l.j) AS ps
+      FROM codes c JOIN lut l ON l.j = c.j AND l.cell = c.code
+      GROUP BY 1, 2
+    ), topk AS (
+      SELECT query_id, neighbor_id, score FROM (
+        SELECT query_id, neighbor_id,
+               round(ps[1] + ps[2] + ps[3] + ps[4], 6) AS score,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(ps[1] + ps[2] + ps[3] + ps[4], 6) DESC,
+                          neighbor_id ASC) AS rk
+        FROM parts WHERE neighbor_id <> query_id
+      ) WHERE rk <= 5
+    )
+    SELECT 'pq_code' AS part, cast(vec_id AS bigint) AS a,
+           cast(j AS bigint) AS b, cast(code AS double) AS val
+    FROM codes
+    UNION ALL
+    SELECT 'pq' AS part, cast(query_id AS bigint) AS a,
+           cast(neighbor_id AS bigint) AS b, score AS val
+    FROM topk
+"""
 
 
 def _bpe_train_oracle(k: int = 8) -> str:
@@ -3950,6 +4069,7 @@ def _legacy_oracle_sql() -> dict[str, str]:
             ) WHERE "rank" <= 5
         """,
         "bpe_train": _bpe_train_oracle(),
+        "pq_ann": _PQ_ANN_ORACLE,
         "bigram_logprob": f"""
             WITH words AS (
               SELECT cast(doc_id AS bigint) AS doc_id,

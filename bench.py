@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "grok_services",
     "tf_idf",
+    "pq_ann",
 ]
 
 

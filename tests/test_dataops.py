@@ -625,3 +625,40 @@ def test_resize_ppm_nearest_neighbor_exact():
     w, h, mr, mg, mb = decode_ppm(big)
     assert (w, h) == (4.0, 4.0)
     assert [mr, mg, mb] == decode_ppm(src)[2:]
+
+
+def test_pq_roundtrip_recall(spark):
+    """PQ sanity: codes are m ints in [0, k); ADC ranks an exact
+    duplicate of the query first (its reconstruction is identical);
+    the codebook has the right shape."""
+    from vector_spark.dataops.similarity import pq_encode, pq_topk, pq_train
+
+    rows = []
+    for i in range(32):
+        base = [0.0] * 32
+        base[i % 32] = 1.0
+        base[(i * 7) % 32] += 0.5
+        rows.append((i, base))
+    rows.append((99, list(rows[5][1])))  # exact dup of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=4, k=8, iters=2)
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 8
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, cb).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+    assert codes[5] == codes[99]  # identical vectors -> identical codes
+    q = df.filter("vec_id = 5")
+    top = pq_topk(df, q, cb, k=5).collect()
+    # ADC scores depend only on codes: the exact dup ties for the top
+    # score, so it must appear in the top-k and share the max score
+    best = max(r.score for r in top)
+    dup = [r for r in top if r.neighbor_id == 99]
+    assert dup and dup[0].score == best
+
+
+def test_pq_train_deterministic(spark):
+    from vector_spark.dataops.similarity import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = pq_train(emb, m=4, k=8, iters=1)
+    b = pq_train(emb, m=4, k=8, iters=1)
+    assert a == b

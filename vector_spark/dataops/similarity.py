@@ -324,3 +324,188 @@ def ivf_refine_centroids(
             by_cell.setdefault(r.cell, [0.0] * d)[r.dim] = float(r.m)
         cents = [by_cell.get(c, cents[c]) for c in range(len(cents))]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: subspace codebooks + 1-byte codes + ADC scoring —
+# the memory-bound scale path for ANN (a 64-d float vector becomes m
+# small ints; scoring never touches the original vectors).
+# ---------------------------------------------------------------------------
+
+
+def _pq_dot(sv: Column, cent: list[float]) -> Column:
+    """Dot product of an array-column subvector with a LITERAL
+    centroid — one zip_with + ordered fold, JVM-side."""
+    lit_cent = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(sv, lit_cent, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_best_cell(
+    vec_col: Column, j: int, sub: int, cb_j: list[list[float]], round_digits: int
+) -> Column:
+    """argmin_cell ||x_j − c||² as a PURE PROJECTION: ||c||² − 2·x_j·c
+    per cell (||x_j||² is constant across cells), rounded, then
+    F.least over (dist, cell) structs — lexicographic struct ordering
+    gives ties → lowest cell with no shuffle and no UDF."""
+    sv = F.slice(vec_col, j * sub + 1, sub)
+    cands = []
+    for cell, cent in enumerate(cb_j):
+        n2 = float(sum(v * v for v in cent))
+        dist = F.round(F.lit(n2) - 2.0 * _pq_dot(sv, cent), round_digits)
+        cands.append(F.struct(dist.alias("d"), F.lit(cell).alias("c")))
+    return F.least(*cands)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with distributed Lloyd:
+    ``codebook[j][cell]`` is the centroid of subspace ``j``.
+
+    Seeds are the subvectors of the ``k`` smallest ids (deterministic,
+    engine-portable — same convention as the ivf_refine gate). Each
+    iteration: assignment is a map-only projection (per-cell distance
+    literals + F.least — no shuffle, no UDF), then per-(j, cell, dim)
+    means via ONE explode + hash-aggregate whose exchange is bounded
+    by d × k rows per partition, never corpus size; the collect is
+    the KB-sized codebook. Empty cells keep their previous centroid.
+    Distances and means round to ``round_digits`` so the DuckDB
+    oracle replays training bit-for-bit."""
+    seeds = [
+        [float(v) for v in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+    d = len(seeds[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    codebook = [
+        [seeds[c][j * sub : (j + 1) * sub] for c in range(k)] for j in range(m)
+    ]
+    vec = F.col(vec_col)
+    for _ in range(int(iters)):
+        arms = [
+            F.struct(
+                F.lit(j).alias("j"),
+                _pq_best_cell(vec, j, sub, codebook[j], round_digits)["c"].alias(
+                    "cell"
+                ),
+                F.slice(vec, j * sub + 1, sub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+        assigned = df.select(F.explode(F.array(*arms)).alias("x")).select(
+            "x.j", "x.cell", F.posexplode("x.sv").alias("dim", "v")
+        )
+        means = (
+            assigned.groupBy("j", "cell", "dim")
+            .agg(F.round(F.avg("v"), round_digits).alias("m"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], list[float]] = {}
+        for r in means:
+            upd.setdefault((r.j, r.cell), [0.0] * sub)[r.dim] = float(r.m)
+        codebook = [
+            [upd.get((j, c), codebook[j][c]) for c in range(k)] for j in range(m)
+        ]
+    return codebook
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Encode every vector to its m PQ codes — ONE map-only
+    projection (m × k literal distances + F.least per subspace), no
+    shuffle, no UDF. Output (id_col, codes array<int>)."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    vec = F.col(vec_col)
+    codes = F.array(
+        *[
+            _pq_best_cell(vec, j, sub, codebook[j], round_digits)["c"]
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query a LUT of
+    round(dot(q_j, c_{j,cell})) literals ships in the plan (queries
+    are few by contract — the collect here is |queries| rows), scoring
+    is ONE element_at per subspace summed left-to-right j=0..m-1
+    (fixed fp order, matching the oracle's list_sum replay), and the
+    per-query top-k uses the same rounded window rank as
+    brute_force_topk. The corpus side touches only the m-int codes —
+    never the original vectors: the memory-bound 10^9-vector shape."""
+    from pyspark.sql import Window
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    queries = [
+        (r["query_id"], [float(v) for v in r["_qvec"]])
+        for r in query_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        ).collect()
+    ]
+    codes = pq_encode(df, codebook, id_col=id_col, vec_col=vec_col,
+                      round_digits=round_digits)
+    per_query = []
+    for qid, qv in queries:
+        score = None
+        for j in range(m):
+            qsub = qv[j * sub : (j + 1) * sub]
+            lut = F.array(
+                *[
+                    F.lit(
+                        round(
+                            sum(a * b for a, b in zip(qsub, codebook[j][c])),
+                            round_digits,
+                        )
+                    )
+                    for c in range(len(codebook[j]))
+                ]
+            )
+            part = F.element_at(lut, F.element_at("codes", j + 1) + 1)
+            score = part if score is None else score + part
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.round(score, round_digits).alias("score"),
+            )
+        )
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(F.array(*per_query)).alias("q"),
+    ).select("q.query_id", "neighbor_id", "q.score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
