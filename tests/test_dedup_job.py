@@ -76,3 +76,65 @@ def test_dedup_then_prepare_composed(spark, tmp_path):
     rows = blocks.collect()
     assert len(rows) > 0 and all(r.n_tok == 256 for r in rows)
     assert obs["in"].get["n"] == n_kept
+
+
+def test_incremental_dedup_against_published_index(spark, tmp_path):
+    """Cross-run dedup: run 1 publishes its keeper index; run 2's
+    shard (disjoint ids, containing an exact copy and a near-copy of
+    run-1 docs plus one fresh doc) dedups against the index without
+    re-reading run 1's corpus."""
+    from jobs.dedup_corpus import (
+        dedup_decisions,
+        incremental_dedup_decisions,
+        publish_index,
+    )
+
+    run1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different content about spark pipelines here"),
+        ],
+        "doc_id long, text string",
+    )
+    d1, _ = dedup_decisions(run1, threshold=0.5)
+    idx = str(tmp_path / "index")
+    publish_index(run1, d1, idx)
+
+    run2 = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),  # exact copy of 1
+            (101, "the quick brown fox jumps over the lazy dog today"),    # near copy of 1
+            (102, "entirely novel text that matches nothing else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    d2, cross = incremental_dedup_decisions(run2, idx, threshold=0.5)
+    rows = {r.doc_id: r for r in d2.collect()}
+    assert not rows[100].keep and rows[100].cluster == 1  # exact cross hit
+    assert not rows[101].keep and rows[101].cluster == 1  # fuzzy cross hit
+    assert rows[102].keep and rows[102].cluster == 102    # fresh doc survives
+    # evidence pairs point prior -> new
+    ev = {(r.id_a, r.id_b) for r in cross.collect()}
+    assert (1, 100) in ev and (1, 101) in ev
+
+
+def test_incremental_dedup_rejects_id_collision(spark, tmp_path):
+    import pytest as _pytest
+
+    from jobs.dedup_corpus import (
+        dedup_decisions,
+        incremental_dedup_decisions,
+        publish_index,
+    )
+
+    run1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    d1, _ = dedup_decisions(run1)
+    idx = str(tmp_path / "index")
+    publish_index(run1, d1, idx)
+    clash = spark.createDataFrame(
+        [(1, "some other text entirely")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="disjoint id ranges"):
+        incremental_dedup_decisions(clash, idx)
