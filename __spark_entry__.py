@@ -30,8 +30,71 @@ TABLES = (
 ).split()
 
 
+# Primary key per table: redistribution hashes on it so downstream
+# equi-joins / self-joins on the key can reuse the one exchange instead
+# of adding their own (multi-arm parse gates join back on event_id).
+_TABLE_KEY = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+}
+
+# (path) -> (rows, row_groups, bytes); footer reads are KBs, driver-side
+_SCAN_META: dict[str, tuple[int, int, int]] = {}
+
+# Redistribute a scan when its split count is far below the session's
+# parallelism AND the table is big enough that pre-shuffle compute
+# dominates the one extra (tiny) shuffle. Parameterised, local defaults.
+_REDIST_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_REDIST_MIN_ROWS", "20000"))
+_REDIST_MODE = os.environ.get("SPARK_GRAFT_SCAN_REDIST", "auto")  # auto|off|force
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if _REDIST_MODE == "off":
+        return df
+    meta = _SCAN_META.get(path)
+    if meta is None:
+        try:
+            import pyarrow.parquet as _pq
+
+            pf = _pq.ParquetFile(path)
+            meta = (
+                pf.metadata.num_rows,
+                pf.metadata.num_row_groups,
+                os.path.getsize(path),
+            )
+        except Exception:
+            meta = (0, 1, 0)
+        _SCAN_META[path] = meta
+    rows, row_groups, nbytes = meta
+    # A parquet ROW GROUP is the minimum split granularity: the driver's
+    # generated tables are single files with ~10^6-row row groups, so a
+    # scan cannot run wider than ~row_groups tasks no matter the core
+    # count (guide §2.5 "input skew": one huge unsplittable file →
+    # repartition immediately after the read). Effective splits are
+    # additionally capped by maxPartitionBytes byte-ranges.
+    mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    splits = min(row_groups, max(1, -(-nbytes // mpb)))
+    par = spark.sparkContext.defaultParallelism
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
+    if _REDIST_MODE == "force" or (rows >= _REDIST_MIN_ROWS and splits < par // 2):
+        key = _TABLE_KEY.get(name)
+        if key is not None:
+            # explicit numPartitions (= session shuffle partitions):
+            # AQE keeps REPARTITION_BY_NUM exchanges uncoalesced, and a
+            # later join on the key sees hashpartitioning(key, n) on
+            # both sides → no further exchange
+            df = df.repartition(n, F.col(key))
+        else:
+            df = df.repartition(n)
+    return df
 
 
 # ---------------------------------------------------------------------------
