@@ -394,3 +394,22 @@ def test_bpe_train_property_vs_reference(spark):
         got = bpe_train(df, 5, min_freq=1)
         want = py_bpe(texts, 5, 1)
         assert got == want, f"{texts}: {got} != {want}"
+
+
+def test_bpe_train_driver_path_matches_distributed(spark):
+    """Hybrid-path pin: the driver-side merge loop (histogram under
+    SPARK_GRAFT_BPE_DRIVER_WORDS) and the distributed per-iteration
+    loop (forced via driver_max_words=0) must learn the IDENTICAL
+    merge table — counts, tie-breaks, merge application, early stop."""
+    from vector_spark.dataops.tokens import bpe_train
+
+    corpora = [
+        ["the table the table fast", "fast fast table the", "slow the fable"],
+        ["aaaa aaa aa", "abab baba"],
+        ["mississippi mississippi kiss", "missive kiss kiss"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        local = bpe_train(df, 6, min_freq=1)  # default: driver path
+        dist = bpe_train(df, 6, min_freq=1, driver_max_words=0)
+        assert local == dist, f"{texts}: {local} != {dist}"

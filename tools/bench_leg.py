@@ -16,17 +16,38 @@ every wall lands in the artifact). Two estimators come out:
   choice because host-tenancy noise only ever SLOWS a run.
 
 argv: threads input_path input2_path warm_path out_dir [mpb]
+
+Two sandbox-survival guards (round 6 — both were fatal at the
+driver's sf1.0 scale, where one rep's routed output is ~6 GB and a
+local[1] R-row run is ~390 s):
+
+- each rep's sink output is deleted as soon as its wall is recorded
+  (the output is never read back; sink counts ride the telemetry), so
+  disk stays bounded at ~2 rep outputs instead of reps×6 GB — the
+  round-5 sf1.0 legs died on disk-full, which is why BENCH_r05's
+  headline value is null;
+- a wall-clock budget (SPARK_GRAFT_LEG_BUDGET, default 1400 s) skips
+  remaining reps / the 2R run when the next run's conservative
+  estimate would cross it, and the JSON gains "budget_truncated".
+  The caller (the frozen bench.py) kills the subprocess at 1800 s,
+  which would crash the whole bench with TimeoutExpired — a truncated
+  leg with every recorded wall is strictly more information. The
+  budget is CLOCK-dependent only, never value-dependent: at bench
+  scale (sf0.1) every schedule fits and behavior is byte-identical.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LEG_BUDGET = float(os.environ.get("SPARK_GRAFT_LEG_BUDGET", "1400"))
 
 
 def cpu_sampler(stop, samples):
@@ -78,19 +99,38 @@ def main():
         shuffle_partitions=threads,
         extra_conf=extra,
     )
+    t_start = time.monotonic()
     run_pipeline(spark, warm_path, f"{out_dir}/warm")  # JIT warmup
+    shutil.rmtree(f"{out_dir}/warm", ignore_errors=True)
     w1s: list[float] = []
     w2s: list[float] = []
     cpus: list[float] = []
     rows = 0
     sink_counts: dict = {}
+    truncated = False
+
+    def _fits(est: float) -> bool:
+        return (time.monotonic() - t_start) + est <= LEG_BUDGET
+
     for i in range(reps):
+        # conservative next-run estimate: the worst wall seen so far
+        # (+50% flush/quiesce slack); the first rep always runs
+        if w1s and not _fits(max(w1s) * 1.5):
+            truncated = True
+            break
         rows, w1, sink_counts = _timed(spark, input_path, f"{out_dir}/o1_{i}", cpus)
         w1s.append(w1)
-    _, w2, _ = _timed(spark, input2_path, f"{out_dir}/o2", cpus)
-    w2s.append(w2)
+        # timed output is never read back — free it immediately so the
+        # leg's disk high-water mark is O(1 rep), not O(reps)
+        shutil.rmtree(f"{out_dir}/o1_{i}", ignore_errors=True)
+    if _fits(max(w1s) * 2.6):
+        _, w2, _ = _timed(spark, input2_path, f"{out_dir}/o2", cpus)
+        w2s.append(w2)
+        shutil.rmtree(f"{out_dir}/o2", ignore_errors=True)
+    else:
+        truncated = True
     spark.stop()
-    delta = min(w2s) - min(w1s)
+    delta = (min(w2s) - min(w1s)) if w2s else 0.0
     print(
         json.dumps(
             {
@@ -103,6 +143,7 @@ def main():
                 "w2_walls": w2s,
                 "mean_cpu_pct": round(sum(cpus) / max(len(cpus), 1), 1),
                 "sink_counts": sink_counts,
+                "budget_truncated": truncated,
             }
         )
     )

@@ -12,6 +12,8 @@ counts before anything shuffles, so the exchange carries at most
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -304,11 +306,54 @@ def chunk_tokens(
     return blocks
 
 
+def _bpe_train_from_histogram(
+    hist: list[tuple[str, int]],
+    n_merges: int,
+    min_freq: int,
+    us: str,
+) -> list[tuple[str, str, int]]:
+    """Driver-side BPE merge loop over a collected word histogram —
+    exact replica of the distributed iteration's semantics: pair
+    counts weighted by word freq, argmax with ties on the \\x1e-joined
+    pair string ascending (the same total order ``orderBy(F.asc(pair))``
+    applies), left-to-right non-overlapping merge application, early
+    stop below ``min_freq``."""
+    parts: list[list[str]] = [list(w) for w, _ in hist]
+    freqs = [c for _, c in hist]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for ps, c in zip(parts, freqs):
+            for i in range(len(ps) - 1):
+                k = (ps[i], ps[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + us + kv[0][1]))
+        if c < min_freq:
+            break
+        merges.append((a, b, c))
+        for wi, ps in enumerate(parts):
+            if a not in ps:
+                continue
+            i, np_ = 0, []
+            while i < len(ps):
+                if i + 1 < len(ps) and ps[i] == a and ps[i + 1] == b:
+                    np_.append(a + b)
+                    i += 2
+                else:
+                    np_.append(ps[i])
+                    i += 1
+            parts[wi] = np_
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_freq: int = 2,
+    driver_max_words: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """LEARN a BPE merge table from the corpus — the counterpart of
     ``bpe_encode`` (which applies one). Returns
@@ -335,7 +380,22 @@ def bpe_train(
     The histogram persists once; each iteration re-persists the
     updated parts (O(n_merges) cached KB-to-MB frames, previous one
     unpersisted) so lineage stays flat. Stops early when the best
-    pair's frequency drops below ``min_freq``."""
+    pair's frequency drops below ``min_freq``.
+
+    PRODUCTION MERGE COUNTS (hybrid path): a real 30k-merge tokenizer
+    train would be 30k sequential Spark jobs (~hours of pure
+    scheduling at ~0.4 s/round) while the per-iteration DATA is only
+    the word histogram. So when the histogram has at most
+    ``driver_max_words`` distinct words (default 500k, env
+    ``SPARK_GRAFT_BPE_DRIVER_WORDS``; 0 disables) it is collected once
+    and the merge loop runs driver-side in pure Python — identical
+    counts, identical lexicographic tie-break (pairs compared as the
+    same \\x1e-joined string Spark orders), identical left-to-right
+    non-overlapping merge application, so the learned table is
+    bit-identical to the distributed loop (pytest-pinned on a shared
+    prefix). The ONE corpus-sized pass (the histogram) stays
+    distributed either way; the distributed per-iteration loop remains
+    the path for histograms past the threshold."""
     from vector_spark.dataops.dedup import normalize_text
 
     SEP = "\x1f"
@@ -352,6 +412,21 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    if driver_max_words is None:
+        driver_max_words = int(
+            os.environ.get("SPARK_GRAFT_BPE_DRIVER_WORDS", "500000")
+        )
+    if driver_max_words > 0:
+        # ONE job: limit(N+1) tells us whether the histogram fits AND
+        # delivers it when it does (N+1 rows back == did not fit).
+        hist = words.limit(driver_max_words + 1).collect()
+        if len(hist) <= driver_max_words:
+            return _bpe_train_from_histogram(
+                [(r["word"], int(r["freq"])) for r in hist],
+                int(n_merges),
+                int(min_freq),
+                US,
+            )
     # initial parts: the word's chars joined on SEP
     cur = words.select(
         "word",
