@@ -54,10 +54,12 @@ _REDIST_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_REDIST_MIN_ROWS", "20000"))
 _REDIST_MODE = os.environ.get("SPARK_GRAFT_SCAN_REDIST", "auto")  # auto|off|force
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _load(
+    spark: SparkSession, sf_dir: str, name: str, redistribute: bool = True
+) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if _REDIST_MODE == "off":
+    if _REDIST_MODE == "off" or not redistribute:
         return df
     meta = _SCAN_META.get(path)
     if meta is None:
@@ -655,7 +657,13 @@ def _q_histogram(spark, sf):
 def _q_aggregate_window(spark, sf):
     from vector_spark.operators import aggregate_metrics, log_to_metric
 
-    ev = _load(spark, sf, "events").withColumnRenamed("ts", "timestamp")
+    # redistribute=False: the gate's pre-shuffle work is a trivial
+    # projection straight into a hash aggregation (its own exchange) —
+    # the redistribution shuffle of full rows is pure cost here
+    # (measured 0.51 s -> 0.98 s at sf1.0 with it on)
+    ev = _load(spark, sf, "events", redistribute=False).withColumnRenamed(
+        "ts", "timestamp"
+    )
     metrics = log_to_metric(ev, [{"type": "counter", "field": "event_id", "name": "evt"}])
     agg = aggregate_metrics(metrics, interval="1 hour")
     return agg.select(

@@ -117,15 +117,38 @@ def publish_index(
     decisions: DataFrame,
     path: str,
     minhash_k: int = 16,
+    bands: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    accumulate_from: str | None = None,
 ) -> None:
     """Publish this run's dedup INDEX for future incremental runs:
-    the keepers' exact fingerprints and minhash signatures. Only
-    keepers are indexed — a dropped doc's keeper already represents
-    its neighborhood, so the index stays O(distinct content)."""
-    from vector_spark.dataops.dedup import minhash_signatures, normalize_text
+    the keepers' exact fingerprints, minhash signatures AND banded
+    LSH buckets (``(id, band, band_hash)``). Only keepers are
+    indexed — a dropped doc's keeper already represents its
+    neighborhood, so the index stays O(distinct content).
 
+    The stored buckets are what keeps the incremental path
+    O(new shard): a later run bands only ITS shard and equi-joins
+    against these buckets — the accumulated corpus is never re-banded
+    (round-5 finding: re-banding the whole prior index each nightly
+    run was the one cost term that grew with index age).
+
+    ``accumulate_from``: a prior index to UNION into the published one
+    (incremental mode) — without it, chaining run3 --against run2's
+    index silently loses run1's keepers. When the destination equals
+    ``accumulate_from`` the write goes to a temp sibling first and is
+    swapped in, so the lazily-read prior parquet is never overwritten
+    mid-read."""
+    import shutil
+
+    from vector_spark.dataops.dedup import (
+        minhash_lsh_bands,
+        minhash_signatures,
+        normalize_text,
+    )
+
+    spark = docs.sparkSession
     keep = decisions.filter("keep").select(F.col(id_col).cast("long").alias(id_col))
     kept_docs = docs.withColumn(id_col, F.col(id_col).cast("long")).join(
         keep, id_col, "left_semi"
@@ -137,8 +160,56 @@ def publish_index(
     sigs = minhash_signatures(
         kept_docs, k=minhash_k, text_col=text_col, id_col=id_col
     )
-    fp.write.mode("overwrite").parquet(f"{path}/fingerprints")
-    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+    rows_per_band = max(1, minhash_k // bands)
+    buckets = minhash_lsh_bands(sigs, bands=bands, rows_per_band=rows_per_band)
+    if accumulate_from:
+        fp = spark.read.parquet(f"{accumulate_from}/fingerprints").unionByName(fp)
+        sigs = spark.read.parquet(f"{accumulate_from}/signatures").unionByName(sigs)
+        prior_buckets = _read_index_buckets(
+            spark, accumulate_from, minhash_k, bands
+        )
+        buckets = prior_buckets.unionByName(buckets)
+    dest = path
+    swap = accumulate_from and os.path.realpath(path) == os.path.realpath(
+        accumulate_from
+    )
+    if swap:
+        dest = path.rstrip("/") + ".tmp_publish"
+        shutil.rmtree(dest, ignore_errors=True)
+    fp.write.mode("overwrite").parquet(f"{dest}/fingerprints")
+    sigs.write.mode("overwrite").parquet(f"{dest}/signatures")
+    buckets.write.mode("overwrite").parquet(f"{dest}/buckets")
+    with open(os.path.join(dest, "index_meta.json"), "w") as f:
+        json.dump({"minhash_k": minhash_k, "bands": bands}, f)
+    if swap:
+        old = path.rstrip("/") + ".tmp_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(dest, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+
+def _read_index_buckets(
+    spark: SparkSession, index_path: str, minhash_k: int, bands: int
+) -> DataFrame:
+    """The index's banded buckets — stored if published with a
+    matching (minhash_k, bands) shape, else derived by banding the
+    stored signatures (pre-round-6 indexes; pays the one-off banding
+    but still never generates prior-vs-prior pairs)."""
+    from vector_spark.dataops.dedup import minhash_lsh_bands
+
+    meta_path = os.path.join(index_path, "index_meta.json")
+    if os.path.exists(os.path.join(index_path, "buckets")) and os.path.exists(
+        meta_path
+    ):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("minhash_k") == minhash_k and meta.get("bands") == bands:
+            return spark.read.parquet(f"{index_path}/buckets")
+    sigs = spark.read.parquet(f"{index_path}/signatures")
+    return minhash_lsh_bands(
+        sigs, bands=bands, rows_per_band=max(1, minhash_k // bands)
+    )
 
 
 def incremental_dedup_decisions(
@@ -158,12 +229,18 @@ def incremental_dedup_decisions(
     1. intra-shard decisions via the full ``dedup_decisions`` plan;
     2. exact cross hits: equi-join of new fingerprints against the
        index's fingerprint store (semi-join-sized — no text re-read);
-    3. fuzzy cross hits: the index's SIGNATURES union the new shard's,
-       through the same oracle-gated banding + estimate chain, kept
-       only where exactly one side is new (prior-vs-prior pairs were
-       settled when the index was published);
+    3. fuzzy cross hits: the NEW shard alone is banded and its buckets
+       equi-join the index's STORED buckets (round 6 — previously the
+       whole prior index's signatures were re-banded every run and
+       prior-vs-prior candidate pairs were generated only to be
+       anti-joined away, a cost that grew with index age; now per-run
+       cost is O(new shard) regardless). The Jaccard estimate then
+       reads the prior signatures only for candidate ids (semi-join);
     4. a new doc hit by either path flips to keep=False with the
-       PRIOR keeper as its cluster (min over hits, deterministic).
+       PRIOR keeper as its cluster (min over hits, deterministic),
+       and any intra-shard cluster that pointed at a re-pointed
+       keeper follows it to the prior keeper (cluster always names a
+       KEPT representative).
 
     Returns (decisions for the new shard, cross-pair evidence).
     ASSUMES id spaces are disjoint across runs (the index stores raw
@@ -171,7 +248,7 @@ def incremental_dedup_decisions(
     contamination_fuzzy's OFFSET contract."""
     from vector_spark.dataops.dedup import (
         minhash_jaccard_estimate,
-        minhash_lsh_candidates,
+        minhash_lsh_bands,
         minhash_signatures,
         normalize_text,
     )
@@ -214,47 +291,76 @@ def incremental_dedup_decisions(
         F.lit(1.0).alias("est_jaccard"),
     )
 
-    # fuzzy cross hits: union signatures, band, keep new-vs-prior pairs
+    # fuzzy cross hits: band ONLY the new shard, probe the stored
+    # buckets — prior-vs-prior pairs can never form, and the prior
+    # signatures are read once, restricted to candidate ids
+    rows_per_band = max(1, minhash_k // bands)
+    # staged (same lineage-cut as minhash_lsh_candidates' reuse): the
+    # new shard's signatures feed banding AND both estimate legs; the
+    # candidate pairs feed the estimate and the prior-sig semi-join —
+    # without the cuts each consumer re-runs the shingle pipeline and
+    # re-scans the index buckets
     sigs_new = minhash_signatures(
         new_docs.withColumn(id_col, F.col(id_col).cast("long")),
         k=minhash_k,
         text_col=text_col,
         id_col=id_col,
+    ).persist()
+    new_banded = minhash_lsh_bands(
+        sigs_new, bands=bands, rows_per_band=rows_per_band
     )
-    all_sigs = prior_sigs.unionByName(sigs_new)
-    cands = minhash_lsh_candidates(
-        all_sigs, bands=bands, rows_per_band=max(1, minhash_k // bands)
+    prior_banded = _read_index_buckets(
+        spark, index_path, minhash_k, bands
     )
-    est = minhash_jaccard_estimate(all_sigs, cands, threshold=threshold)
-    new_only = new_ids.withColumnRenamed(id_col, "nid")
-    fuzzy_cross = (
-        est.join(new_only, est.id_b == F.col("nid"), "left_semi")
+    fuzzy_cands = (
+        prior_banded.select(
+            F.col("id").alias("id_a"), "band", "band_hash"
+        )
         .join(
-            new_only,
-            est.id_a == F.col("nid"),
-            "left_anti",  # id_a must be PRIOR (a < b ordering puts smaller first)
+            new_banded.select(F.col("id").alias("id_b"), "band", "band_hash"),
+            ["band", "band_hash"],
         )
-        .unionByName(
-            est.join(new_only, est.id_a == F.col("nid"), "left_semi")
-            .join(new_only, est.id_b == F.col("nid"), "left_anti")
-            .select(
-                F.col("id_b").alias("id_a"),
-                F.col("id_a").alias("id_b"),
-                "est_jaccard",
-            )
-        )
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+    est_sigs = prior_sigs.join(
+        fuzzy_cands.select(F.col("id_a").alias("id")).distinct(),
+        "id",
+        "left_semi",
+    ).unionByName(sigs_new)
+    fuzzy_cross = minhash_jaccard_estimate(
+        est_sigs, fuzzy_cands, threshold=threshold
     )
 
-    cross = exact_cross.unionByName(fuzzy_cross)
+    # staged: consumed by hits, the keeper re-pointing join, and the
+    # returned evidence — bounded by the cross-pair count
+    cross = exact_cross.unionByName(fuzzy_cross).persist()
     # one decision per hit new doc: drop it, cluster = min prior keeper
     hits = cross.groupBy(F.col("id_b").alias(id_col)).agg(
         F.min("id_a").alias("_prior_cluster")
     )
+    # intra-shard members whose cluster was a re-pointed keeper must
+    # follow it: if new doc A (intra keeper of {A, B}) flips to prior
+    # keeper P, B's cluster=A would name a DROPPED doc — LSH banding is
+    # not transitive, so B need not hit P itself. Join the cluster
+    # column against the hits and coalesce members through to P.
+    keeper_moves = hits.select(
+        F.col(id_col).alias("_moved_keeper"),
+        F.col("_prior_cluster").alias("_keeper_prior"),
+    )
     decisions = (
         decisions.join(hits, id_col, "left")
+        .join(
+            keeper_moves,
+            F.col("cluster") == F.col("_moved_keeper"),
+            "left",
+        )
         .select(
             id_col,
-            F.coalesce(F.col("_prior_cluster"), F.col("cluster")).alias("cluster"),
+            F.coalesce(
+                F.col("_prior_cluster"), F.col("_keeper_prior"), F.col("cluster")
+            ).alias("cluster"),
             (F.col("_prior_cluster").isNull() & F.col("keep")).alias("keep"),
         )
     )
@@ -300,7 +406,8 @@ def main() -> None:
     decisions.write.mode("overwrite").parquet(f"{args.output}/decisions")
     if args.publish_index:
         publish_index(docs, decisions, args.publish_index,
-                      minhash_k=args.minhash_k)
+                      minhash_k=args.minhash_k, bands=args.bands,
+                      accumulate_from=args.against)
     d = spark.read.parquet(f"{args.output}/decisions")
     total = d.count()
     kept = d.filter("keep").count()

@@ -118,6 +118,110 @@ def test_incremental_dedup_against_published_index(spark, tmp_path):
     assert (1, 100) in ev and (1, 101) in ev
 
 
+def test_incremental_dedup_repoints_intra_cluster_members(spark, tmp_path):
+    """If new doc A is the intra-shard keeper of {A, B} and A flips to
+    keep=False against prior keeper P, B's cluster must follow A to P
+    (cluster always names a KEPT representative) — LSH banding is not
+    transitive, so B need not hit P itself."""
+    from jobs.dedup_corpus import (
+        dedup_decisions,
+        incremental_dedup_decisions,
+        publish_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog tonight while "
+        "rain falls gently on the quiet empty streets of the town"
+    )
+    run1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    d1, _ = dedup_decisions(run1, threshold=0.5)
+    idx = str(tmp_path / "index")
+    publish_index(run1, d1, idx)
+
+    # 100 = exact copy of prior 1 (cross hit), 101 = exact copy of 100
+    # (intra pair, keeper 100) — after the cross hit, 101 must point
+    # to 1, not to the dropped 100
+    run2 = spark.createDataFrame(
+        [(100, base), (101, base)], "doc_id long, text string"
+    )
+    d2, _ = incremental_dedup_decisions(run2, idx, threshold=0.5)
+    rows = {r.doc_id: r for r in d2.collect()}
+    assert not rows[100].keep and rows[100].cluster == 1
+    assert not rows[101].keep and rows[101].cluster == 1
+
+
+def test_incremental_dedup_never_rebands_prior_signatures(spark, tmp_path):
+    """Scale guard (round-6 fix): the incremental plan bands ONLY the
+    new shard — the index's signatures feed the Jaccard estimate
+    (one scan, candidate-restricted) and the stored ``buckets`` table
+    feeds candidate generation. The prior signatures parquet must
+    appear at most once in the plan, and the buckets parquet must
+    appear."""
+    from jobs.dedup_corpus import (
+        dedup_decisions,
+        incremental_dedup_decisions,
+        publish_index,
+    )
+
+    run1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    d1, _ = dedup_decisions(run1, threshold=0.5)
+    idx = str(tmp_path / "index")
+    publish_index(run1, d1, idx)
+    assert (tmp_path / "index" / "buckets").exists()
+
+    run2 = spark.createDataFrame(
+        [(100, "totally different words entirely here now")],
+        "doc_id long, text string",
+    )
+    d2, _ = incremental_dedup_decisions(run2, idx, threshold=0.5)
+    # formatted explain prints one "Location: ... [path]" per scan
+    plan = d2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # exactly the two Jaccard-estimate legs (id_a/id_b) may scan the
+    # prior signatures; the old union-re-banding path added a third
+    # scan feeding the banding aggregate
+    assert plan.count(f"{idx}/signatures") <= 2, plan
+    assert f"{idx}/buckets" in plan, plan
+
+
+def test_publish_index_accumulates_prior_keepers(spark, tmp_path):
+    """Chained incremental runs: run3 --against run2's index must
+    still catch duplicates of run1's content — publish_index in
+    incremental mode unions the prior index into the published one
+    (including when publishing over the --against path itself)."""
+    from jobs.dedup_corpus import (
+        dedup_decisions,
+        incremental_dedup_decisions,
+        publish_index,
+    )
+
+    day1 = "the quick brown fox jumps over the lazy dog tonight"
+    run1 = spark.createDataFrame([(1, day1)], "doc_id long, text string")
+    d1, _ = dedup_decisions(run1, threshold=0.5)
+    idx = str(tmp_path / "index")
+    publish_index(run1, d1, idx)
+
+    run2 = spark.createDataFrame(
+        [(100, "fresh second day content about spark planning")],
+        "doc_id long, text string",
+    )
+    d2, _ = incremental_dedup_decisions(run2, idx, threshold=0.5)
+    # publish over the SAME path (tmp-swap) with accumulation
+    publish_index(run2, d2, idx, accumulate_from=idx)
+
+    # day 3 carries a duplicate of day-1 content
+    run3 = spark.createDataFrame([(200, day1)], "doc_id long, text string")
+    d3, _ = incremental_dedup_decisions(run3, idx, threshold=0.5)
+    rows = {r.doc_id: r for r in d3.collect()}
+    assert not rows[200].keep and rows[200].cluster == 1
+
+
 def test_incremental_dedup_rejects_id_collision(spark, tmp_path):
     import pytest as _pytest
 

@@ -196,16 +196,15 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, reuse: bool = True
+def minhash_lsh_bands(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
-    """LSH banding: hash each band of the signature; docs sharing a
-    (band, band_hash) bucket are candidates. Equi-join on the bucket —
-    the all-pairs comparison never materializes. Output distinct
-    (id_a, id_b) candidate pairs (a < b). ``reuse`` persists the
-    banded frame so the self-join doesn't recompute the signature
-    pipeline twice."""
-    banded = (
+    """The LSH banding projection alone: (id, band, band_hash) — one
+    row per document band. Factored out of ``minhash_lsh_candidates``
+    so an incremental-dedup index can PERSIST the banded buckets and
+    later runs band only their new shard (the prior corpus is never
+    re-banded)."""
+    return (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(
@@ -220,6 +219,18 @@ def minhash_lsh_candidates(
             ).alias("band_hash")
         )
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, reuse: bool = True
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; docs sharing a
+    (band, band_hash) bucket are candidates. Equi-join on the bucket —
+    the all-pairs comparison never materializes. Output distinct
+    (id_a, id_b) candidate pairs (a < b). ``reuse`` persists the
+    banded frame so the self-join doesn't recompute the signature
+    pipeline twice."""
+    banded = minhash_lsh_bands(signatures, bands=bands, rows_per_band=rows_per_band)
     if reuse:
         banded = banded.persist()
     a = banded.alias("a")
