@@ -55,8 +55,17 @@ _REDIST_MODE = os.environ.get("SPARK_GRAFT_SCAN_REDIST", "auto")  # auto|off|for
 
 
 def _load(
-    spark: SparkSession, sf_dir: str, name: str, redistribute: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    redistribute: bool = True,
+    min_rows: int | None = None,
 ) -> DataFrame:
+    """``min_rows`` overrides the redistribution row threshold for
+    gates whose per-row compute is heavy enough (shingling, regex
+    sweeps, vector arithmetic) that even a few thousand rows are worth
+    a redistribution shuffle (measured per-gate; see
+    OPTIMIZATION_r06.md)."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if _REDIST_MODE == "off" or not redistribute:
@@ -86,7 +95,8 @@ def _load(
     splits = min(row_groups, max(1, -(-nbytes // mpb)))
     par = spark.sparkContext.defaultParallelism
     n = int(spark.conf.get("spark.sql.shuffle.partitions", str(par)))
-    if _REDIST_MODE == "force" or (rows >= _REDIST_MIN_ROWS and splits < par // 2):
+    threshold = _REDIST_MIN_ROWS if min_rows is None else min_rows
+    if _REDIST_MODE == "force" or (rows >= threshold and splits < par // 2):
         key = _TABLE_KEY.get(name)
         if key is not None:
             # explicit numPartitions (= session shuffle partitions):
@@ -712,7 +722,7 @@ def _q_jaccard(spark, sf):
     oracle mirrors the pruning with a HAVING clause."""
     from vector_spark.dataops.dedup import ngram_jaccard_pairs
 
-    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    docs = _load(spark, sf, "documents", min_rows=2000).withColumn("doc_id", F.col("doc_id").cast("long"))
     return ngram_jaccard_pairs(docs, threshold=0.35, max_shingle_df=50)
 
 
@@ -726,7 +736,7 @@ def _q_minhash(spark, sf):
 def _q_minhash_lsh(spark, sf):
     from vector_spark.dataops.dedup import minhash_lsh_candidates, minhash_signatures
 
-    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    docs = _load(spark, sf, "documents", min_rows=2000).withColumn("doc_id", F.col("doc_id").cast("long"))
     sigs = minhash_signatures(docs, k=8)
     return minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
 
@@ -734,7 +744,7 @@ def _q_minhash_lsh(spark, sf):
 def _q_simhash(spark, sf):
     from vector_spark.dataops.dedup import simhash16
 
-    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    docs = _load(spark, sf, "documents", min_rows=2000).withColumn("doc_id", F.col("doc_id").cast("long"))
     out = simhash16(docs)
     return out.select("id", F.col("simhash").cast("long").alias("simhash"))
 
@@ -742,7 +752,7 @@ def _q_simhash(spark, sf):
 def _q_embed_topk(spark, sf):
     from vector_spark.dataops.similarity import brute_force_topk
 
-    emb = _load(spark, sf, "embeddings")
+    emb = _load(spark, sf, "embeddings", min_rows=2000)
     q = emb.filter(F.col("vec_id") == 0)
     out = brute_force_topk(emb, q, k=5)
     return out.select("query_id", "neighbor_id", "cos")
@@ -762,7 +772,7 @@ def _q_embed_lsh(spark, sf):
 def _q_text_stats(spark, sf):
     from vector_spark.dataops.textstats import text_stats
 
-    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    docs = _load(spark, sf, "documents", min_rows=2000).withColumn("doc_id", F.col("doc_id").cast("long"))
     out = text_stats(docs)
     return out.select(
         "doc_id", "n_words", "n_tokens", "stopword_ratio", "lang_guess", "fingerprint"
@@ -1378,7 +1388,7 @@ def _q_winnow(spark, sf):
     fingerprints for shared passages of >= k+window-1 words."""
     from vector_spark.dataops.textstats import winnow_fingerprints
 
-    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    docs = _load(spark, sf, "documents", min_rows=2000).withColumn("doc_id", F.col("doc_id").cast("long"))
     return winnow_fingerprints(docs, k=5, window=4)
 
 
@@ -1395,7 +1405,7 @@ def _q_minhash_estimate(spark, sf):
         minhash_signatures,
     )
 
-    docs = _load(spark, sf, "documents").withColumn("doc_id", F.col("doc_id").cast("long"))
+    docs = _load(spark, sf, "documents", min_rows=2000).withColumn("doc_id", F.col("doc_id").cast("long"))
     sigs = minhash_signatures(docs, k=8).persist()
     cands = minhash_lsh_candidates(sigs, bands=4, rows_per_band=2)
     return minhash_jaccard_estimate(sigs, cands, threshold=0.25)
@@ -1957,7 +1967,7 @@ def _q_bpe_encode(spark, sf):
     oracle pins every token id at every position, not a digest."""
     from vector_spark.dataops.tokens import bpe_encode
 
-    docs = _load(spark, sf, "documents").select(
+    docs = _load(spark, sf, "documents", min_rows=2000).select(
         F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
     )
     enc = bpe_encode(docs, _BPE_MERGES, text_col="text", out_col="tokens")
@@ -2032,7 +2042,7 @@ def _q_quality_classifier(spark, sf):
     )
     from vector_spark.dataops.dedup import normalize_text
 
-    docs = _load(spark, sf, "documents")
+    docs = _load(spark, sf, "documents", min_rows=2000)
     ws = F.filter(
         F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
     )
@@ -2119,7 +2129,7 @@ def _q_pii_scrub(spark, sf):
     engines scrub the same spans. Map-only — no shuffle, no UDF."""
     from vector_spark.dataops.curation import pii_scrub
 
-    docs = _load(spark, sf, "documents").select(
+    docs = _load(spark, sf, "documents", min_rows=2000).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.concat(
             F.col("text"),
@@ -2154,7 +2164,7 @@ def _q_contamination(spark, sf):
     synthetic corpus overlaps; production default is 8-13."""
     from vector_spark.dataops.curation import contamination_check
 
-    docs = _load(spark, sf, "documents").withColumn(
+    docs = _load(spark, sf, "documents", min_rows=2000).withColumn(
         "doc_id", F.col("doc_id").cast("long")
     )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
@@ -2651,7 +2661,7 @@ def _q_pq_ann(spark, sf):
     via in-plan LUT literals. Emits every code and every top-k row."""
     from vector_spark.dataops.similarity import pq_encode, pq_topk, pq_train
 
-    emb = _load(spark, sf, "embeddings")
+    emb = _load(spark, sf, "embeddings", min_rows=2000)
     cb = pq_train(emb, m=4, k=8, iters=1)
     codes = (
         pq_encode(emb, cb)
@@ -2707,7 +2717,7 @@ def _q_tf_idf(spark, sf):
     ties, round-6 scores so the DuckDB replay ranks identically)."""
     from vector_spark.dataops.textstats import tf_idf_keywords
 
-    docs = _load(spark, sf, "documents").select(
+    docs = _load(spark, sf, "documents", min_rows=2000).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     return tf_idf_keywords(docs, top_k=5)

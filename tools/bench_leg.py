@@ -26,7 +26,7 @@ local[1] R-row run is ~390 s):
   disk stays bounded at ~2 rep outputs instead of reps×6 GB — the
   round-5 sf1.0 legs died on disk-full, which is why BENCH_r05's
   headline value is null;
-- a wall-clock budget (SPARK_GRAFT_LEG_BUDGET, default 1400 s) skips
+- a wall-clock budget (SPARK_GRAFT_LEG_BUDGET, default 1200 s) skips
   remaining reps / the 2R run when the next run's conservative
   estimate would cross it, and the JSON gains "budget_truncated".
   The caller (the frozen bench.py) kills the subprocess at 1800 s,
@@ -47,7 +47,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-LEG_BUDGET = float(os.environ.get("SPARK_GRAFT_LEG_BUDGET", "1400"))
+LEG_BUDGET = float(os.environ.get("SPARK_GRAFT_LEG_BUDGET", "1200"))
 
 
 def cpu_sampler(stop, samples):
