@@ -2662,9 +2662,18 @@ def _q_pq_ann(spark, sf):
     from vector_spark.dataops.similarity import pq_encode, pq_topk, pq_train
 
     emb = _load(spark, sf, "embeddings", min_rows=2000)
-    cb = pq_train(emb, m=4, k=8, iters=1)
+    # ONE TakeOrdered collect serves both the 8 training seeds and the
+    # 3 query vectors (queries ⊂ seeds by the same smallest-id
+    # convention) — previously three sequential driver jobs: seeds
+    # collect, query collect, plus their plans
+    head = emb.orderBy("vec_id").limit(8).collect()
+    seeds = [[float(v) for v in r["embedding"]] for r in head]
+    cb = pq_train(emb, m=4, k=8, iters=1, seeds=seeds)
+    # the encode projection feeds BOTH union branches (code listing +
+    # ADC scoring) — staged so it executes once, 5 small ints per row
+    codes_df = pq_encode(emb, cb).persist()
     codes = (
-        pq_encode(emb, cb)
+        codes_df
         .select(
             F.col("vec_id").cast("long").alias("a"),
             F.posexplode("codes").alias("j", "code"),
@@ -2676,8 +2685,10 @@ def _q_pq_ann(spark, sf):
             F.col("code").cast("double").alias("val"),
         )
     )
-    q = emb.orderBy("vec_id").limit(3)
-    topk = pq_topk(emb, q, cb, k=5).select(
+    queries = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in head[:3]]
+    topk = pq_topk(
+        emb, None, cb, k=5, queries=queries, codes_df=codes_df
+    ).select(
         F.lit("pq").alias("part"),
         F.col("query_id").cast("long").alias("a"),
         F.col("neighbor_id").cast("long").alias("b"),

@@ -383,23 +383,30 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    seeds: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace PQ codebooks with distributed Lloyd:
     ``codebook[j][cell]`` is the centroid of subspace ``j``.
 
     Seeds are the subvectors of the ``k`` smallest ids (deterministic,
-    engine-portable — same convention as the ivf_refine gate). Each
-    iteration: assignment is a map-only projection (per-cell distance
-    literals + F.least — no shuffle, no UDF), then per-(j, cell, dim)
-    means via ONE explode + hash-aggregate whose exchange is bounded
-    by d × k rows per partition, never corpus size; the collect is
-    the KB-sized codebook. Empty cells keep their previous centroid.
-    Distances and means round to ``round_digits`` so the DuckDB
-    oracle replays training bit-for-bit."""
-    seeds = [
-        [float(v) for v in r[vec_col]]
-        for r in df.orderBy(id_col).limit(k).collect()
-    ]
+    engine-portable — same convention as the ivf_refine gate); a
+    caller that already holds them (e.g. it shares one TakeOrdered
+    collect between seeds and queries) passes ``seeds`` to skip the
+    collect job. Each iteration: assignment is a map-only projection
+    (per-cell distance literals + array_min — no shuffle, no UDF),
+    then per-(j, cell, dim) means via ONE explode + hash-aggregate
+    whose exchange is bounded by d × k rows per partition, never
+    corpus size; the collect is the KB-sized codebook. Empty cells
+    keep their previous centroid. Distances and means round to
+    ``round_digits`` so the DuckDB oracle replays training
+    bit-for-bit."""
+    if seeds is None:
+        seeds = [
+            [float(v) for v in r[vec_col]]
+            for r in df.orderBy(id_col).limit(k).collect()
+        ]
+    else:
+        seeds = [[float(v) for v in s] for s in seeds[:k]]
     d = len(seeds[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -459,12 +466,14 @@ def pq_encode(
 
 def pq_topk(
     df: DataFrame,
-    query_df: DataFrame,
+    query_df: DataFrame | None,
     codebook: list[list[list[float]]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    queries: list[tuple] | None = None,
+    codes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query a LUT of
     round(dot(q_j, c_{j,cell})) literals ships in the plan (queries
@@ -473,19 +482,31 @@ def pq_topk(
     (fixed fp order, matching the oracle's list_sum replay), and the
     per-query top-k uses the same rounded window rank as
     brute_force_topk. The corpus side touches only the m-int codes —
-    never the original vectors: the memory-bound 10^9-vector shape."""
+    never the original vectors: the memory-bound 10^9-vector shape.
+
+    ``queries`` (pre-collected ``(id, vector)`` pairs) skips the
+    |queries|-row collect job; ``codes_df`` reuses an already-encoded
+    (id, codes) frame (e.g. one the caller also materializes for its
+    own output) instead of re-deriving the encode projection."""
     from pyspark.sql import Window
 
     m = len(codebook)
     sub = len(codebook[0][0])
-    queries = [
-        (r["query_id"], [float(v) for v in r["_qvec"]])
-        for r in query_df.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-        ).collect()
-    ]
-    codes = pq_encode(df, codebook, id_col=id_col, vec_col=vec_col,
-                      round_digits=round_digits)
+    if queries is None:
+        queries = [
+            (r["query_id"], [float(v) for v in r["_qvec"]])
+            for r in query_df.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+            ).collect()
+        ]
+    else:
+        queries = [(qid, [float(v) for v in vec]) for qid, vec in queries]
+    codes = (
+        codes_df.select(F.col(id_col), "codes")
+        if codes_df is not None
+        else pq_encode(df, codebook, id_col=id_col, vec_col=vec_col,
+                       round_digits=round_digits)
+    )
     per_query = []
     for qid, qv in queries:
         score = None
