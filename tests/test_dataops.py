@@ -662,3 +662,26 @@ def test_pq_train_deterministic(spark):
     a = pq_train(emb, m=4, k=8, iters=1)
     b = pq_train(emb, m=4, k=8, iters=1)
     assert a == b
+
+
+def test_pq_precollected_paths_match_defaults(spark):
+    """Round-6 fast paths: pre-collected seeds (pq_train), pre-
+    collected queries and a reused codes frame (pq_topk) must be
+    bit-identical to the collect-inside defaults."""
+    from vector_spark.dataops.similarity import pq_encode, pq_topk, pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    head = emb.orderBy("vec_id").limit(8).collect()
+    seeds = [[float(v) for v in r["embedding"]] for r in head]
+    assert pq_train(emb, m=4, k=8, iters=1, seeds=seeds) == pq_train(
+        emb, m=4, k=8, iters=1
+    )
+    cb = pq_train(emb, m=4, k=8, iters=1)
+    qs = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in head[:3]]
+    fast = pq_topk(
+        emb, None, cb, k=5, queries=qs, codes_df=pq_encode(emb, cb)
+    )
+    slow = pq_topk(emb, emb.orderBy("vec_id").limit(3), cb, k=5)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
