@@ -48,15 +48,20 @@ def curate_media(media: DataFrame) -> DataFrame:
     normalized = transform_media(media_repartition(media))
     feats = extract_features(normalized.drop("transform_ok"))
     w = F.col("media_id")
+    # min_by keyed on the same keeper as the media_id column: the
+    # surviving row's kind/feat/decode_ok are the KEEPER's values, so
+    # byte-identical payloads with divergent labels resolve
+    # deterministically across runs (F.first over an unordered group
+    # does not)
     return (
         feats.groupBy("sha")
         .agg(
             F.min(w).alias("media_id"),
             F.count(F.lit(1)).alias("dup_count"),
-            F.first("kind").alias("kind"),
-            F.first("n_bytes").alias("n_bytes"),
-            F.first("feat").alias("feat"),
-            F.first("decode_ok").alias("decode_ok"),
+            F.min_by("kind", w).alias("kind"),
+            F.min_by("n_bytes", w).alias("n_bytes"),
+            F.min_by("feat", w).alias("feat"),
+            F.min_by("decode_ok", w).alias("decode_ok"),
         )
     )
 

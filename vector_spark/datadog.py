@@ -489,6 +489,16 @@ class _Compiler:
             return _guard(self._col(a.field).isNotNull())
         if a.field is None:
             rx = _word_regex(value)
+            if "*" not in value:
+                # \b<literal>\b matching implies the literal occurs as a
+                # substring, so a cheap contains() short-circuits the
+                # regex for every non-matching row (identical result:
+                # rlike ⇒ contains for escaped literals, and null
+                # propagates the same through AND)
+                return self._or_defaults(
+                    lambda c: c.cast("string").contains(value)
+                    & c.cast("string").rlike(rx)
+                )
             return self._or_defaults(lambda c: c.cast("string").rlike(rx))
         cls = self._class(a.field)
         if a.field == "tags":
@@ -502,6 +512,15 @@ class _Compiler:
                 return _guard(target.endswith(value.replace("*", "")))
             if value.endswith("*") and value.count("*") == 1:
                 return _guard(target.startswith(value.replace("*", "")))
+            if (
+                len(value) > 2
+                and value.startswith("*")
+                and value.endswith("*")
+                and value.count("*") == 2
+            ):
+                # '*lit*' glob = ^.*lit.*$ = substring containment; a
+                # byte-search contains() replaces the regex outright
+                return _guard(target.contains(value[1:-1]))
             return _guard(target.rlike(_glob_regex(value)))
         if cls == "tag":
             # tag equality: exact 'k:v' entry (normalized tag map equality)

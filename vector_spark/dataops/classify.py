@@ -94,6 +94,9 @@ def train_nb_classifier(
     Input: (features array<int>, label boolean). Output: one weight
     table (feature int, weight double) with the class-prior bias under
     ``BIAS_FEATURE`` — exactly what ``score_classifier`` joins.
+    Contract: feature ids must be NON-NEGATIVE (``hash_features``
+    guarantees it); negative ids are reserved for the bias row (−1)
+    and the internal per-document sentinel (−2) below.
 
     w_f = ln((c_pos(f)+α)/(T_pos+α·V)) − ln((c_neg(f)+α)/(T_neg+α·V)),
     bias = ln(n_pos_docs / n_neg_docs); V = ``n_features``.

@@ -121,25 +121,38 @@ def contamination_check(
     the 64-bit gram hash (for giant benchmark unions).
     """
     doc_grams = _gram_frame(docs, id_col, text_col, n)
-    bench_grams = _gram_frame(benchmark, id_col, text_col, n).select("_gh").distinct()
+    bench_grams = (
+        _gram_frame(benchmark, id_col, text_col, n)
+        .select("_gh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
-    totals = doc_grams.groupBy("_cid").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        doc_grams.join(bench_grams, "_gh")
+    # ONE pass over the corpus-sized gram explode: a LEFT join against
+    # the (distinct, broadcast) benchmark grams marks each gram, and a
+    # single per-doc hash aggregate yields the total AND hit counts.
+    # (Previously `totals` and `hits` each re-executed the explode +
+    # hash subtree — the corpus pays its shingling twice — and a third
+    # aggregate-to-aggregate join recombined them; identical output,
+    # plan-tested.) The left join preserves cardinality because the
+    # bench side is distinct on the join key.
+    per_doc = (
+        doc_grams.join(bench_grams, "_gh", "left")
         .groupBy("_cid")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    return (
-        hits.join(totals, "_cid")
-        .select(
-            F.col("_cid").alias(id_col),
-            "n_grams",
-            "n_contaminated",
-            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
-                "contamination"
-            ),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("_hit")).alias("n_contaminated"),
         )
+        .filter(F.col("n_contaminated") > 0)
+    )
+    return per_doc.select(
+        F.col("_cid").alias(id_col),
+        "n_grams",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+            "contamination"
+        ),
     )
 
 
