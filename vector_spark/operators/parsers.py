@@ -178,16 +178,23 @@ def regex_parser(
     )
 
     def _split_expr(i: int) -> Column:
-        # the anchored wrap consumes the whole line, the lazy [\s\S]*?
+        # the anchored wrap consumes the whole line, the lazy (?s:.*?)
         # prefix reproduces find()'s leftmost-match position, and the
         # replacement emits every capture group sentinel-joined. A
         # non-participating group substitutes "" in both engines
         # (Matcher.appendReplacement and RegExpExtract agree), so fast
-        # and fallback paths match.
+        # and fallback paths match. The any-char runs are SCOPED-DOTALL
+        # dots, not [\s\S]: Java's engine compiles (?s:.*) to its
+        # optimized all-chars loop but treats the char-class union
+        # [\s\S]* as a generic Curly node with per-char state — measured
+        # 0.1 s vs 16 s over 1 M rows when the tail is non-empty (a
+        # pattern matching a mid-line span). (?s:) is scoped so a DATA /
+        # GREEDYDATA dot inside the user pattern keeps its
+        # no-newline semantics; the matched language is identical.
         jp = to_java_regex(patterns[i])
         n = _group_count(patterns[i])
         repl = _EXTRACT_SENTINEL.join(f"${g}" for g in range(1, n + 1))
-        wrapped = r"\A[\s\S]*?(?:" + jp + r")[\s\S]*\z"
+        wrapped = r"\A(?s:.*?)(?:" + jp + r")(?s:.*)\z"
         return F.split(F.regexp_replace(src, wrapped, repl), _EXTRACT_SENTINEL, -1)
 
     def _uniq(name: str) -> str:
